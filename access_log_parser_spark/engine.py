@@ -1,0 +1,327 @@
+"""Vectorized parse engine — the core of the PySpark-native rebuild.
+
+Everything the reference does per line in its eager loop
+(`/root/reference/parser_core.go:176-254`: skip-check -> decode ->
+unmatched? -> filter -> selectLabels -> addLineNumber -> LineHandler ->
+prefix -> write) runs here as ONE Arrow-batched ``mapInPandas`` pass
+followed by pure-Catalyst finalization. Design goals at 100 TB:
+
+- exactly one Python<->JVM hop on the hot path (regex decode + DSL filter +
+  serialization all happen in the same pandas batch function);
+- regexes and filter predicates compile once per executor, not per line
+  (the reference recompiles filters per line — parser_core.go:220);
+- TSV "isFirst" header and prefix decoration are JVM-side Catalyst
+  expressions (window-free ``min(when(...)) over source`` + ``transform``),
+  so no global ordering is ever collected to the driver;
+- document-level predicates (skip lines, source pruning) stay JVM-side
+  ahead of the Python stage so Catalyst pushes them into the scan.
+
+Two surfaces:
+
+- :func:`parse_routed` — reference-parity: Option semantics, byte-exact
+  serialized output lines, status routing column, error rows;
+- :func:`extract_fields` / :func:`extract_ltsv` — the Spark-native
+  structured surface: typed string columns (union of capture groups) for
+  SQL, joins and aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from . import decoders, patterns as pat
+from .decoders import EXCLUDED, MATCHED, SKIPPED, UNMATCHED
+from .filters import apply_filters, compile_filters
+from .handlers import MATCHED_PREFIX, UNMATCHED_PREFIX
+from .options import Option
+
+LINE_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("line_no", LongType()),
+        StructField("raw", StringType()),
+    ]
+)
+
+ROUTED_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("line_no", LongType()),
+        StructField("status", StringType()),
+        StructField("pattern_id", IntegerType()),
+        StructField("out_line", StringType()),
+        StructField("tsv_header", StringType()),
+        StructField("raw", StringType()),
+    ]
+)
+
+
+def _resolve_patterns(fmt: str | Sequence[str]) -> list[str] | None:
+    """fmt is 'ltsv', a preset name, or an explicit pattern list."""
+    if isinstance(fmt, str):
+        if fmt == "ltsv":
+            return None
+        return list(pat.PRESETS[fmt])
+    return [str(p) for p in fmt]
+
+
+def parse_routed(
+    lines_df: DataFrame,
+    fmt: str | Sequence[str],
+    opt: Option | None = None,
+) -> DataFrame:
+    """Full reference pipeline over a lines DataFrame.
+
+    ``lines_df`` must carry (source string, line_no long, raw string);
+    line_no is 1-based within its source (the reference's scanner counter).
+    Returns (source, line_no, status, pattern_id, out_line, raw) where
+    ``status`` routes the row (matched/unmatched/excluded/skipped),
+    ``out_line`` is the byte-exact serialized record (None when the row
+    produces no output) and unmatched rows keep ``raw`` for the errors
+    sink (parser_result.go:32-36).
+    """
+    opt = opt or Option()
+    pattern_strs = _resolve_patterns(fmt)
+    if pattern_strs is not None:
+        # Driver-side validation, AddPattern semantics (parser_regex.go:74-89).
+        for p in pattern_strs:
+            pat.validate_pattern(p)
+        if not pattern_strs:
+            raise decoders.NoPatternError
+    # Driver-side DSL validation: syntax + operator errors surface before any
+    # task runs; data-dependent errors (unknown label, non-numeric value)
+    # still abort at execution, matching parser_core.go:220-223.
+    compile_filters(opt.filters)
+
+    skip_set = frozenset(int(s) for s in opt.skip_lines)
+    labels_sel = tuple(opt.labels)
+    add_no = bool(opt.line_number)
+    handler_name = opt.line_handler if isinstance(opt.line_handler, str) else None
+    handler = opt.resolve_handler()
+    is_tsv = handler_name == "tsv"
+    filter_exprs = tuple(opt.filters)
+    emit_unmatch = bool(opt.unmatch_lines)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        compiled = (
+            [pat.validate_pattern(p) for p in pattern_strs]
+            if pattern_strs is not None
+            else None
+        )
+        names = [pat.group_names(p) for p in compiled] if compiled else None
+        filt = compile_filters(filter_exprs)
+        for pdf in batches:
+            raws = pdf["raw"].tolist()
+            line_nos = pdf["line_no"].tolist()
+            n = len(raws)
+            status = [MATCHED] * n
+            pids = [-1] * n
+            out = [None] * n
+
+            live_idx = []
+            for i, ln in enumerate(line_nos):
+                if ln in skip_set:
+                    status[i] = SKIPPED
+                else:
+                    live_idx.append(i)
+
+            if compiled is not None:
+                sub_pids, sub_vals = decoders.regex_decode_batch(
+                    [raws[i] for i in live_idx], compiled, names
+                )
+                row_ls: list[list[str] | None] = [None] * n
+                row_vs: list[list[str] | None] = [None] * n
+                for k, i in enumerate(live_idx):
+                    pids[i] = sub_pids[k]
+                    if sub_pids[k] >= 0:
+                        row_ls[i] = names[sub_pids[k]]
+                        row_vs[i] = sub_vals[k]
+            else:
+                sub_ls, sub_vs = decoders.ltsv_decode_batch(
+                    [raws[i] for i in live_idx]
+                )
+                row_ls = [None] * n
+                row_vs = [None] * n
+                for k, i in enumerate(live_idx):
+                    row_ls[i] = sub_ls[k]
+                    row_vs[i] = sub_vs[k]
+                    if sub_ls[k] is not None:
+                        pids[i] = 0
+
+            headers = [None] * n
+            for i in live_idx:
+                ls = row_ls[i]
+                if ls is None:
+                    status[i] = UNMATCHED
+                    if emit_unmatch:
+                        out[i] = raws[i]
+                    continue
+                vs = row_vs[i]
+                if filt and not apply_filters(filt, ls, vs):
+                    status[i] = EXCLUDED
+                    continue
+                if labels_sel:
+                    ls, vs = decoders.select_labels(labels_sel, ls, vs)
+                if add_no:
+                    ls = ["no", *ls]
+                    vs = [str(line_nos[i]), *vs]
+                out[i] = handler(ls, vs, False)
+                if is_tsv:
+                    headers[i] = "\t".join(ls)
+
+            yield pd.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "line_no": pdf["line_no"],
+                    "status": pd.Series(status, dtype="object"),
+                    "pattern_id": pd.Series(pids, dtype="int32"),
+                    "out_line": pd.Series(out, dtype="object"),
+                    "tsv_header": pd.Series(headers, dtype="object"),
+                    "raw": pdf["raw"],
+                }
+            )
+
+    routed = lines_df.select("source", "line_no", "raw").mapInPandas(
+        run, ROUTED_SCHEMA
+    )
+
+    # --- Catalyst-side finalization (no extra Python hop) ---
+    if is_tsv:
+        # isFirst = first matched line per source (parser_core.go:182,245);
+        # a single partition-window min, no global sort.
+        w = Window.partitionBy("source")
+        first_line = F.min(
+            F.when(F.col("status") == MATCHED, F.col("line_no"))
+        ).over(w)
+        routed = routed.withColumn(
+            "out_line",
+            F.when(
+                (F.col("status") == MATCHED) & (F.col("line_no") == first_line),
+                F.concat_ws("\n", F.col("tsv_header"), F.col("out_line")),
+            ).otherwise(F.col("out_line")),
+        )
+    routed = routed.drop("tsv_header")
+
+    if opt.prefix:
+        # applyPrefix (parser_core.go:323-334), multi-line aware for matched
+        # output; unmatched raws get the single-line UNMATCHED prefix
+        # (parser_core.go:203-205). Non-tty path: no ANSI color.
+        prefixed = F.array_join(
+            F.transform(
+                F.split(F.col("out_line"), "\n"),
+                lambda x: F.concat(F.lit(MATCHED_PREFIX), x),
+            ),
+            "\n",
+        )
+        routed = routed.withColumn(
+            "out_line",
+            F.when(F.col("status") == MATCHED, prefixed)
+            .when(
+                (F.col("status") == UNMATCHED) & F.col("out_line").isNotNull(),
+                F.concat(F.lit(UNMATCHED_PREFIX), F.col("out_line")),
+            )
+            .otherwise(F.col("out_line")),
+        )
+    return routed
+
+
+def extract_fields(
+    lines_df: DataFrame,
+    fmt: str | Sequence[str],
+    passthrough: Sequence[str] = (),
+    line_col: str = "raw",
+) -> DataFrame:
+    """Structured surface: decode lines into typed string columns.
+
+    Output = passthrough columns + (pattern_id int, one string column per
+    capture group in the union schema; groups absent from the winning
+    pattern are NULL; pattern_id = -1 marks unmatched rows). This is the
+    column-oriented equivalent of the reference's (labels, values) slices
+    (parser_core.go:69) and feeds joins/aggregations without further Python.
+    """
+    pattern_strs = _resolve_patterns(fmt)
+    if not pattern_strs:
+        raise decoders.NoPatternError
+    for p in pattern_strs:
+        pat.validate_pattern(p)
+    compiled0 = [pat.validate_pattern(p) for p in pattern_strs]
+    union = pat.union_schema(compiled0)
+
+    passthrough = list(passthrough)
+    out_schema = StructType(
+        [lines_df.schema[c] for c in passthrough]
+        + [StructField("pattern_id", IntegerType())]
+        + [StructField(name, StringType()) for name in union]
+    )
+    union_idx = {name: j for j, name in enumerate(union)}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        compiled = [pat.validate_pattern(p) for p in pattern_strs]
+        names = [pat.group_names(p) for p in compiled]
+        # per-pattern: union position -> capture position (or None)
+        slot: list[list[int | None]] = []
+        for ns in names:
+            pos = {nm: k for k, nm in enumerate(ns)}
+            slot.append([pos.get(nm) for nm in union])
+        width = len(union)
+        for pdf in batches:
+            raws = pdf[line_col].tolist()
+            pids, vals = decoders.regex_decode_batch(raws, compiled, names)
+            cols: list[list[str | None]] = [[None] * len(raws) for _ in range(width)]
+            for i, pid in enumerate(pids):
+                if pid < 0:
+                    continue
+                vs = vals[i]
+                sl = slot[pid]
+                for j in range(width):
+                    k = sl[j]
+                    if k is not None:
+                        cols[j][i] = vs[k]
+            data = {c: pdf[c] for c in passthrough}
+            data["pattern_id"] = pd.Series(pids, dtype="int32")
+            for j, name in enumerate(union):
+                data[name] = pd.Series(cols[j], dtype="object")
+            yield pd.DataFrame(data)
+
+    return lines_df.select(*passthrough, line_col).mapInPandas(run, out_schema)
+
+
+def extract_ltsv(
+    lines_df: DataFrame,
+    passthrough: Sequence[str] = (),
+    line_col: str = "raw",
+) -> DataFrame:
+    """LTSV structured surface: per-line dynamic schema kept as ordered
+    parallel arrays (labels, values) — NOT a MapType, because Spark maps do
+    not preserve insertion order and serialization order matters
+    (SURVEY.md §1.3). ``labels`` is NULL for invalid lines."""
+    passthrough = list(passthrough)
+    out_schema = StructType(
+        [lines_df.schema[c] for c in passthrough]
+        + [
+            StructField("labels", ArrayType(StringType())),
+            StructField("values", ArrayType(StringType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ls, vs = decoders.ltsv_decode_batch(pdf[line_col].tolist())
+            data = {c: pdf[c] for c in passthrough}
+            data["labels"] = pd.Series(ls, dtype="object")
+            data["values"] = pd.Series(vs, dtype="object")
+            yield pd.DataFrame(data)
+
+    return lines_df.select(*passthrough, line_col).mapInPandas(run, out_schema)

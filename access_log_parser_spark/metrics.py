@@ -1,0 +1,138 @@
+"""Lineage metrics: the reference's ``Result`` counters, distributed.
+
+The reference's only aggregate is per-input counters Total/Matched/
+Unmatched/Excluded/Skipped plus an errors side-list
+(`/root/reference/parser_result.go:16-36`), with the invariant
+``Total = Matched + Unmatched + Excluded + Skipped``.
+
+Here the counters are computed two ways:
+
+- :func:`observe_routed` attaches a ``pyspark.sql.Observation`` so a write
+  pass yields the counters for free (no second scan of the data — the
+  100 TB path);
+- :func:`collect_result` runs an explicit partial+final hash aggregation
+  (`groupBy` + ``sum(when(...))``) — used by tests and the driver-style
+  Parser API.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from .decoders import EXCLUDED, MATCHED, SKIPPED, UNMATCHED
+
+_STATUSES = (MATCHED, UNMATCHED, EXCLUDED, SKIPPED)
+
+
+@dataclass
+class ParseError:
+    """One unmatched line (parser_result.go:32-36)."""
+
+    entry: str
+    line_number: int
+    line: str
+
+
+@dataclass
+class Result:
+    """Counter aggregate (parser_result.go:16-27). elapsed_time in seconds."""
+
+    total: int = 0
+    matched: int = 0
+    unmatched: int = 0
+    excluded: int = 0
+    skipped: int = 0
+    elapsed_time: float = 0.0
+    source: str = ""
+    zip_entries: list[str] = field(default_factory=list)
+    errors: list[ParseError] = field(default_factory=list)
+
+    def counters(self) -> tuple[int, int, int, int, int]:
+        return (self.total, self.matched, self.unmatched, self.excluded, self.skipped)
+
+    def check_invariant(self) -> bool:
+        return self.total == self.matched + self.unmatched + self.excluded + self.skipped
+
+    def report(self, top: int = 10) -> str:
+        """Human-readable summary (stand-in for Result.String(),
+        parser_result.go:40-100; layout is ours, content is the same)."""
+        lines = [
+            "/* SUMMARY */",
+            f"Total: {self.total}  Matched: {self.matched}  Unmatched: {self.unmatched}"
+            f"  Excluded: {self.excluded}  Skipped: {self.skipped}",
+            f"ElapsedTime: {self.elapsed_time:.6f}s  Source: {self.source or '-'}",
+        ]
+        if self.zip_entries:
+            lines.append(f"ZipEntries: {', '.join(self.zip_entries)}")
+        if self.errors:
+            lines.append(f"/* UNMATCH LINES (top {top}) */")
+            for e in sorted(self.errors, key=lambda e: (e.entry, e.line_number))[:top]:
+                src = f"{e.entry}:" if e.entry else ""
+                lines.append(f"{src}{e.line_number}: {e.line}")
+        return "\n".join(lines)
+
+
+def _counter_aggs() -> list:
+    aggs = [F.count(F.lit(1)).alias("total")]
+    for st in _STATUSES:
+        aggs.append(
+            F.sum(F.when(F.col("status") == st, 1).otherwise(0)).alias(st)
+        )
+    return aggs
+
+
+def observe_routed(routed: DataFrame, name: str = "lineage") -> tuple[DataFrame, Observation]:
+    """Attach counter observation; read ``obs.get`` after the first action."""
+    obs = Observation(name)
+    return routed.observe(obs, *_counter_aggs()), obs
+
+
+def result_from_observation(obs: Observation, elapsed: float = 0.0, source: str = "") -> Result:
+    m = obs.get
+    return Result(
+        total=m["total"],
+        matched=m[MATCHED] or 0,
+        unmatched=m[UNMATCHED] or 0,
+        excluded=m[EXCLUDED] or 0,
+        skipped=m[SKIPPED] or 0,
+        elapsed_time=elapsed,
+        source=source,
+    )
+
+
+def counters_by_source(routed: DataFrame) -> DataFrame:
+    """Per-source counter table (the zip-entry partial -> final shape,
+    parser_core.go:152-163): groupBy(source) partial+final hash agg."""
+    return routed.groupBy("source").agg(*_counter_aggs())
+
+
+def counters_by_sink(routed: DataFrame) -> DataFrame:
+    """Per-sink aggregate counts: sinks are keyed by (status, pattern_id)."""
+    return routed.groupBy("status", "pattern_id").agg(
+        F.count(F.lit(1)).alias("rows")
+    )
+
+
+def collect_result(routed: DataFrame, source: str = "", elapsed: float = 0.0) -> Result:
+    """Aggregate counters + errors list into a Result (test/driver path)."""
+    row = routed.agg(*_counter_aggs()).collect()[0]
+    errors = [
+        ParseError(entry="", line_number=r["line_no"], line=r["raw"])
+        for r in routed.filter(F.col("status") == UNMATCHED)
+        .select("source", "line_no", "raw")
+        .orderBy("source", "line_no")
+        .collect()
+    ]
+    return Result(
+        total=row["total"],
+        matched=row[MATCHED] or 0,
+        unmatched=row[UNMATCHED] or 0,
+        excluded=row[EXCLUDED] or 0,
+        skipped=row[SKIPPED] or 0,
+        elapsed_time=elapsed,
+        source=source,
+        errors=errors,
+    )

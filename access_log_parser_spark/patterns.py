@@ -1,0 +1,176 @@
+"""Preset pattern registry and validation.
+
+The preset regexes are the public log-format grammars from the reference
+(`/root/reference/parser_regex.go:104-237`): Apache CLF (4 patterns),
+Apache CLF + vhost (4), Amazon S3 access logs (5, trailing-truncation
+fallbacks), CloudFront (1, tab-separated), ALB (1), NLB (1), CLB (2).
+They use only the RE2 subset shared with Python ``re`` (named groups
+``(?P<x>...)``, char classes, no backrefs), so they compile unchanged.
+
+Validation mirrors ``AddPattern`` (`/root/reference/parser_regex.go:74-89`):
+the pattern must compile, contain at least one capture group, and every
+group must be named.
+"""
+
+from __future__ import annotations
+
+import re
+
+REGEX_PATTERN_ERROR = "invalid regex pattern"
+
+# --- Apache CLF (parser_regex.go:110-115): space/tab x with/without referer+agent
+APACHE_CLF = [
+    r'^(?P<remote_host>\S+) (?P<remote_logname>\S+) (?P<remote_user>[\S ]+) (?P<datetime>\[[^\]]+\]) \"(?P<method>[A-Z\-]+) (?P<request_uri>[^ \"]+) (?P<protocol>HTTP/[0-9.]+|-)\" (?P<status>[0-9]{3}) (?P<size>[0-9]+|-) "(?P<referer>[^\"]*)" "(?P<user_agent>[^\"]*)"',
+    r'^(?P<remote_host>\S+) (?P<remote_logname>\S+) (?P<remote_user>[\S ]+) (?P<datetime>\[[^\]]+\]) \"(?P<method>[A-Z\-]+) (?P<request_uri>[^ \"]+) (?P<protocol>HTTP/[0-9.]+|-)\" (?P<status>[0-9]{3}) (?P<size>[0-9]+|-)',
+    '^(?P<remote_host>\\S+)\t(?P<remote_logname>\\S+)\t(?P<remote_user>[\\S ]+)\t(?P<datetime>\\[[^\\]]+\\])\t\\"(?P<method>[A-Z\\-]+) (?P<request_uri>[^ \\"]+) (?P<protocol>HTTP/[0-9.]+|-)\\"\t(?P<status>[0-9]{3})\t(?P<size>[0-9]+|-)\t"(?P<referer>[^\\"]*)"\t"(?P<user_agent>[^\\"]*)"',
+    '^(?P<remote_host>\\S+)\t(?P<remote_logname>\\S+)\t(?P<remote_user>[\\S ]+)\t(?P<datetime>\\[[^\\]]+\\])\t\\"(?P<method>[A-Z\\-]+) (?P<request_uri>[^ \\"]+) (?P<protocol>HTTP/[0-9.]+|-)\\"\t(?P<status>[0-9]{3})\t(?P<size>[0-9]+|-)',
+]
+
+# --- Apache CLF with virtual host (parser_regex.go:131-136)
+APACHE_CLF_VHOST = [
+    r'^(?P<virtual_host>\S+) ' + APACHE_CLF[0][1:],
+    r'^(?P<virtual_host>\S+) ' + APACHE_CLF[1][1:],
+    '^(?P<virtual_host>\\S+)\t' + APACHE_CLF[2][1:],
+    '^(?P<virtual_host>\\S+)\t' + APACHE_CLF[3][1:],
+]
+
+# --- Amazon S3 access log (parser_regex.go:152-158): 28/27/26/25/20-field
+# trailing-truncation fallbacks; first match wins.
+_S3_HEAD = (
+    r'^(?P<bucket_owner>[!-~]+) (?P<bucket>[!-~]+) (?P<time>\[[^\]]+\]) '
+    r'(?P<remote_ip>[!-~]+) (?P<requester>[!-~]+) (?P<request_id>[!-~]+) '
+    r'(?P<operation>[!-~]+) (?P<key>[!-~]+) '
+    r'\"(?P<method>[A-Z\-]+) (?P<request_uri>[^ \"]+) (?P<protocol>HTTP/[0-9.]+|-)\" '
+    r'(?P<http_status>\d{1,3}) (?P<error_code>[!-~]+) (?P<bytes_sent>[\d\-.]+) '
+    r'(?P<object_size>[\d\-.]+) (?P<total_time>[\d\-.]+) (?P<turn_around_time>[\d\-.]+) '
+    r'"(?P<referer>[^\"]*)" "(?P<user_agent>[^\"]*)" (?P<version_id>[!-~]+)'
+)
+_S3_TAIL = [
+    ' (?P<host_id>[!-~]+)',
+    ' (?P<signature_version>[!-~]+)',
+    ' (?P<cipher_suite>[!-~]+)',
+    ' (?P<authentication_type>[!-~]+)',
+    ' (?P<host_header>[!-~]+)',
+    ' (?P<tls_version>[!-~]+)',
+    ' (?P<access_point_arn>[!-~]+)',
+    ' (?P<acl_required>[!-~]+)',
+]
+S3 = [
+    _S3_HEAD + ''.join(_S3_TAIL),        # 28 fields
+    _S3_HEAD + ''.join(_S3_TAIL[:7]),    # 27
+    _S3_HEAD + ''.join(_S3_TAIL[:6]),    # 26
+    _S3_HEAD + ''.join(_S3_TAIL[:5]),    # 25
+    _S3_HEAD,                            # 20
+]
+
+# --- CloudFront (parser_regex.go:175), tab-separated, 33 fields
+CLOUDFRONT = [
+    '^(?P<date>[\\d\\-.:]+)\t(?P<time>[\\d\\-.:]+)\t(?P<x_edge_location>[ -~]+)\t'
+    '(?P<sc_bytes>[\\d\\-.]+)\t(?P<c_ip>[ -~]+)\t(?P<cs_method>[ -~]+)\t'
+    '(?P<cs_host>[ -~]+)\t(?P<cs_uri_stem>[ -~]+)\t(?P<sc_status>\\d{1,3}|-)\t'
+    '(?P<cs_referer>[^\\"]*)\t(?P<cs_user_agent>[^\\"]*)\t(?P<cs_uri_query>[ -~]+)\t'
+    '(?P<cs_cookie>\\S+)\t(?P<x_edge_result_type>[ -~]+)\t(?P<x_edge_request_id>[ -~]+)\t'
+    '(?P<x_host_header>[ -~]+)\t(?P<cs_protocol>[ -~]+)\t(?P<cs_bytes>[\\d\\-.]+)\t'
+    '(?P<time_taken>[\\d\\-.]+)\t(?P<x_forwarded_for>[ -~]+)\t(?P<ssl_protocol>[ -~]+)\t'
+    '(?P<ssl_cipher>[ -~]+)\t(?P<x_edge_response_result_type>[ -~]+)\t'
+    '(?P<cs_protocol_version>[ -~]+)\t(?P<fle_status>[ -~]+)\t(?P<fle_encrypted_fields>\\S+)\t'
+    '(?P<c_port>[\\d\\-.]+)\t(?P<time_to_first_byte>[\\d\\-.]+)\t'
+    '(?P<x_edge_detailed_result_type>[ -~]+)\t(?P<sc_content_type>[ -~]+)\t'
+    '(?P<sc_content_len>[\\d\\-.]+)\t(?P<sc_range_start>[\\d\\-.]+)\t(?P<sc_range_end>[\\d\\-.]+)'
+]
+
+# --- ALB (parser_regex.go:193), 31 fields
+ALB = [
+    r'^(?P<type>[!-~]+) (?P<time>[!-~]+) (?P<elb>[!-~]+) (?P<client_port>[!-~]+) '
+    r'(?P<target_port>[!-~]+) (?P<request_processing_time>[\d\-.]+) '
+    r'(?P<target_processing_time>[\d\-.]+) (?P<response_processing_time>[\d\-.]+) '
+    r'(?P<elb_status_code>\d{1,3}|-) (?P<target_status_code>\d{1,3}|-) '
+    r'(?P<received_bytes>[\d\-.]+) (?P<sent_bytes>[\d\-.]+) '
+    r'\"(?P<method>[A-Z\-]+) (?P<request_uri>[^ \"]+) (?P<protocol>HTTP/[0-9.]+|-|-)\" '
+    r'"(?P<user_agent>[^\"]*)" (?P<ssl_cipher>[!-~]+) (?P<ssl_protocol>[!-~]+) '
+    r'(?P<target_group_arn>[!-~]+) "(?P<trace_id>[ -~]+)" "(?P<domain_name>[ -~]+)" '
+    r'"(?P<chosen_cert_arn>[ -~]+)" (?P<matched_rule_priority>[!-~]+) '
+    r'(?P<request_creation_time>[!-~]+) "(?P<actions_executed>[ -~]+)" '
+    r'"(?P<redirect_url>[ -~]+)" "(?P<error_reason>[ -~]+)" "(?P<target_port_list>[ -~]+)" '
+    r'"(?P<target_status_code_list>[ -~]+)" "(?P<classification>[ -~]+)" '
+    r'"(?P<classification_reason>[ -~]+)"'
+]
+
+# --- NLB (parser_regex.go:211), 22 fields
+NLB = [
+    r'^(?P<type>[!-~]+) (?P<version>[!-~]+) (?P<time>[!-~]+) (?P<elb>[!-~]+) '
+    r'(?P<listener>[!-~]+) (?P<client_port>[!-~]+) (?P<destination_port>[!-~]+) '
+    r'(?P<connection_time>[\d\-.]+) (?P<tls_handshake_time>[\d\-.]+) '
+    r'(?P<received_bytes>[!-~]+) (?P<sent_bytes>[!-~]+) (?P<incoming_tls_alert>[!-~]+) '
+    r'(?P<chosen_cert_arn>[!-~]+) (?P<chosen_cert_serial>[ -~]+) (?P<tls_cipher>\S+) '
+    r'(?P<tls_protocol_version>[!-~]+) (?P<tls_named_group>[!-~]+) (?P<domain_name>[!-~]+) '
+    r'(?P<alpn_fe_protocol>[!-~]+) (?P<alpn_be_protocol>[!-~]+) '
+    r'(?P<alpn_client_preference_list>[ -~]+) (?P<tls_connection_creation_time>[!-~]+)'
+]
+
+# --- CLB (parser_regex.go:229-230), 17/14 fields
+_CLB_HEAD = (
+    r'^(?P<time>[!-~]+) (?P<elb>[!-~]+) (?P<client_port>[!-~]+) (?P<backend_port>[!-~]+) '
+    r'(?P<request_processing_time>[\d\-.]+) (?P<backend_processing_time>[\d\-.]+) '
+    r'(?P<response_processing_time>[\d\-.]+) (?P<elb_status_code>\d{1,3}|-) '
+    r'(?P<backend_status_code>\d{1,3}|-) (?P<received_bytes>[\d\-.]+) (?P<sent_bytes>[\d\-.]+) '
+    r'\"(?P<method>[A-Z\-]+) (?P<request_uri>[^ \"]+) (?P<protocol>HTTP/[0-9.]+|-)\"'
+)
+CLB = [
+    _CLB_HEAD + r' "(?P<user_agent>[^\"]*)" (?P<ssl_cipher>[!-~]+) (?P<ssl_protocol>[!-~]+)',
+    _CLB_HEAD,
+]
+
+PRESETS: dict[str, list[str]] = {
+    "apache_clf": APACHE_CLF,
+    "apache_clf_vhost": APACHE_CLF_VHOST,
+    "s3": S3,
+    "cloudfront": CLOUDFRONT,
+    "alb": ALB,
+    "nlb": NLB,
+    "clb": CLB,
+}
+
+
+class PatternError(ValueError):
+    pass
+
+
+def validate_pattern(pattern: str) -> re.Pattern:
+    """Compile + validate one pattern (parser_regex.go:74-89 semantics).
+
+    Rejects: non-compiling patterns, patterns with no capture group, and
+    patterns with any unnamed capture group.
+    """
+    try:
+        ptn = re.compile(pattern)
+    except re.error as e:
+        raise PatternError(f"{REGEX_PATTERN_ERROR}: {e}") from e
+    if ptn.groups < 1:
+        raise PatternError(f"{REGEX_PATTERN_ERROR}: capture group not found")
+    if len(ptn.groupindex) != ptn.groups:
+        raise PatternError(f"{REGEX_PATTERN_ERROR}: non-named capture group detected")
+    return ptn
+
+
+def compile_patterns(patterns: list[str]) -> list[re.Pattern]:
+    return [validate_pattern(p) for p in patterns]
+
+
+def group_names(pattern: re.Pattern) -> list[str]:
+    """Capture group names in positional order (SubexpNames()[1:] analogue)."""
+    inv = {v: k for k, v in pattern.groupindex.items()}
+    return [inv[i] for i in range(1, pattern.groups + 1)]
+
+
+def union_schema(patterns: list[re.Pattern]) -> list[str]:
+    """Union of all group names, preserving first-seen positional order.
+
+    The widest preset pattern comes first in every preset, so for presets
+    this equals pattern 0's field list.
+    """
+    seen: dict[str, None] = {}
+    for p in patterns:
+        for name in group_names(p):
+            seen.setdefault(name)
+    return list(seen)
