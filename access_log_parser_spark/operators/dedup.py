@@ -1,0 +1,282 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup.
+
+Scale notes (the 100 TB story):
+
+- exact dedup is a hash groupBy — partial/final agg, no skew risk beyond
+  pathological identical docs (AQE handles);
+- near-dup never does an O(n^2) cross join: candidates come from
+  inverted-index joins (shared shingle / LSH band bucket / simhash chunk),
+  i.e. shuffle on a bounded key, then pairwise verification only within
+  buckets;
+- all hashes are md5-derived with arithmetic in bounded integer ranges, so
+  a DuckDB oracle can reproduce them exactly (no engine-private hash).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+# MinHash parameters (shared with the DuckDB oracle in __spark_entry__)
+MINHASH_K = 16          # signature length
+LSH_BANDS = 4           # bands of 4 rows each
+LSH_ROWS = MINHASH_K // LSH_BANDS
+MERSENNE = (1 << 61) - 1
+_A = [2 * i + 1 for i in range(1, MINHASH_K + 1)]   # odd multipliers
+_B = [7919 * (i + 1) for i in range(MINHASH_K)]
+
+SIMHASH_BITS = 32
+
+
+def normalized(c):
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via md5-fingerprint groupBy: one shuffle on the digest.
+    Returns (fp, n_dups, keep_id=min doc_id, dup_ids)."""
+    fp = F.md5(normalized(F.col(text_col)))
+    return (
+        df.select(F.col("doc_id"), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keep_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(c, n: int = 3):
+    """Word n-gram shingles of normalized text (distinct, JVM-side)."""
+    toks = F.split(normalized(c), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.5, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Candidate pairs by inverted shingle index, verified by exact Jaccard.
+
+    Plan shape: explode distinct shingles -> self-join on shingle (shuffle
+    on shingle, never a cross join) -> per-pair common count -> Jaccard via
+    |A n B| / (|A| + |B| - |A n B|). Returns (id_a, id_b, jaccard)."""
+    sh = df.select(
+        F.col("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("g"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, on="g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.round(
+        F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+    )
+    return (
+        common.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --- MinHash + LSH ---
+
+def _minhash_py(grams: list[str]) -> list[int]:
+    """k minhashes of a shingle set; base hash = first 15 hex chars of md5
+    (60 bits, bigint-safe), permuted by (a*h+b) mod 2^61-1."""
+    if not grams:
+        return [MERSENNE] * MINHASH_K
+    hs = [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) for g in grams]
+    return [min((a * h + b) % MERSENNE for h in hs) for a, b in zip(_A, _B)]
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, sig array<long>): shingling JVM-side, hashing in one
+    Arrow-batched pass (md5 per shingle is the only Python work)."""
+    sh = df.select(F.col("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("sig", ArrayType(LongType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sigs = [_minhash_py(list(g)) for g in pdf["sh"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+
+    return sh.mapInPandas(run, schema)
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_key): docs
+    agreeing on ALL rows of any band become candidates. Band key is the
+    md5 of the joined band values (cross-engine reproducible)."""
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i].cast("string")
+                                for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+                            ],
+                        )
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return lsh_candidate_pairs(minhash_signatures(df, text_col, n))
+
+
+# --- SimHash ---
+
+def _simhash_py(toks: list[str]) -> int:
+    """32-bit simhash over whitespace tokens; token hash = low 32 bits of
+    the 60-bit md5 int (same base hash as minhash)."""
+    acc = [0] * SIMHASH_BITS
+    for t in toks:
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) & 0xFFFFFFFF
+        for j in range(SIMHASH_BITS):
+            acc[j] += 1 if (h >> j) & 1 else -1
+    out = 0
+    for j in range(SIMHASH_BITS):
+        if acc[j] >= 0:
+            out |= 1 << j
+    return out
+
+
+def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long)."""
+    toks = df.select(
+        F.col("doc_id"), F.split(normalized(F.col(text_col)), " ").alias("t")
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("simhash", LongType())]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vals = [_simhash_py(list(t)) for t in pdf["t"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": vals})
+
+    return toks.mapInPandas(run, schema)
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming. Candidates via
+    the pigeonhole trick: split 32 bits into 4 chunks; distance<=3 implies
+    at least one identical chunk -> join per chunk, verify with bit_count."""
+    s = simhash(df, text_col)
+    chunks = s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 8 * c).bitwiseAND(F.lit(255))
+                    for c in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+# --- embedding-cosine near-dup ---
+
+def embedding_near_dup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_col: str | None = "label",
+) -> DataFrame:
+    """Pairs with cosine >= threshold. Buckets (e.g. a cluster/label
+    column) bound the pairwise work; within-bucket pairs are verified with
+    an exact JVM-side cosine (zip_with + aggregate, no Python)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        (F.lit(0) if bucket_col is None else F.col(bucket_col)).alias("bkt"),
+    )
+    a = base.alias("a")
+    b = base.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda side: F.sqrt(
+        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = F.round(dot / (norm("a") * norm("b")), 6)
+    return (
+        a.join(b, on=F.col("a.bkt") == F.col("b.bkt"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small)
+  query set against the (huge) corpus; cosine is a pure JVM expression
+  (``zip_with`` + ``aggregate``), ranking is one window per query. This is
+  the correctness baseline and the right plan whenever |queries| is small:
+  corpus-side work is a single scan, no shuffle until the per-query top-k
+  (which AQE keeps tiny).
+- :func:`lsh_ann` — the scale path: random-hyperplane LSH buckets (sign
+  bits of deterministic md5-derived hyperplanes), candidate join on bucket
+  key, exact re-rank within candidates. Recall < 1 by construction; the
+  bucket key is reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIM_ROUND = 6
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (excluding self-matches by
+    id). Returns (query_id, neighbor_id, rank, cosine); ties broken by
+    neighbor_id for determinism."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), SIM_ROUND)
+    scored = (
+        c.join(F.broadcast(q))  # corpus x small-query broadcast product
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplane_sign(vec_col, plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane: weight of dim j in plane p is
+    +1 if md5("p:j") has an even first hex digit else -1. Cross-engine
+    reproducible (md5 everywhere); good enough spread for bucketing."""
+    import hashlib
+
+    weights = [
+        1.0 if int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+        for j in range(dim)
+    ]
+    w = F.array(*[F.lit(x) for x in weights])
+    return (
+        F.aggregate(
+            F.zip_with(vec_col, w, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        >= 0
+    ).cast("int")
+
+
+def lsh_buckets(
+    emb: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket): bucket = sign-bit string over n_planes hyperplanes."""
+    v = _as_double(F.col(vec_col))
+    bits = [_hyperplane_sign(v, p, dim).cast("string") for p in range(n_planes)]
+    return emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.concat_ws("", *bits).alias("bucket"),
+    )
+
+
+def lsh_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's LSH bucket, then
+    exact cosine re-rank. At scale the bucket join shuffles each side once
+    on a short key instead of broadcasting a cross product."""
+    c = lsh_buckets(corpus, n_planes, dim, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    ).withColumnRenamed("v", "cv")
+    q = lsh_buckets(queries, n_planes, dim, id_col, vec_col).withColumnRenamed(
+        "id", "query_id"
+    ).withColumnRenamed("v", "qv")
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        SIM_ROUND,
+    )
+    scored = (
+        c.join(q, on="bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

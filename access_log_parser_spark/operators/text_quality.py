@@ -1,0 +1,103 @@
+"""Text analysis operators for training-data pipelines.
+
+All of these run JVM-side (built-in ``pyspark.sql.functions``, inside
+whole-stage codegen) — no Python on the hot path. Each is defined with
+deterministic, SQL-expressible semantics so a DuckDB oracle can verify it
+bit-for-bit (see ``__spark_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deliberately tiny, deterministic per-language stopword sets (heuristic
+# n-gram/stopword language ID — a real pipeline would broadcast a model)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en", "para", "que"],
+}
+
+WORD_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"  # BPE-ish coarse token classes
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokenization (split of trimmed text)."""
+    return F.split(F.trim(c), r"\s+")
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + regex (BPE-ish) token count per doc."""
+    return df.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(WORD_REGEX), 0)).alias(
+            "re_tokens"
+        ),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score:
+
+    - n_chars, n_tokens, mean token length;
+    - punct_ratio: share of chars outside [A-Za-z0-9 and space];
+    - stopword_hits: distinct English stopwords present;
+    - score: bounded composite (higher = more natural-language-like).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.size(toks)
+    punct = n_chars - F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    hits = F.size(F.array_intersect(toks, sw))
+    mean_len = F.round((n_chars - n_tokens + 1) / n_tokens, 6)
+    punct_ratio = F.round(punct / n_chars, 6)
+    score = F.round(
+        F.least(F.lit(1.0), hits / F.lit(10.0)) * 0.5
+        + F.when((mean_len >= 3) & (mean_len <= 10), 0.3).otherwise(0.0)
+        + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0),
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        hits.alias("stopword_hits"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: distinct-stopword hits per language,
+    argmax with deterministic lexicographic tie-break."""
+    toks = tokens(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(
+                F.array_intersect(toks, F.array([F.lit(w) for w in STOPWORDS[lang]]))
+            ).alias("hits"),
+            # invert lang for tie-break: array_max picks highest hits, then
+            # lexicographically SMALLEST language (en < es) via reversed cmp
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(STOPWORDS, reverse=True)
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["hits"].alias("pred_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text —
+    the exact-dedup key, stable across engines."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.select("doc_id", F.md5(norm).alias("fp"))

