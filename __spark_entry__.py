@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator inventory (SURVEY.md §2 plus
+the training-data operators) as (spark, sf_dir) -> DataFrame callables;
+``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL for each. Log-format
+queries synthesize their input lines from the shared ``events`` table with
+expressions written in the SQL subset both engines parse identically, so
+the oracle can recompute expected parse results in closed form.
+
+Column names are aliased identically on both sides (driver compares
+sorted-by-name value hashes).
 """
 
 from __future__ import annotations
@@ -12,27 +16,745 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------------
+# shared SQL fragments (valid in BOTH Spark SQL and DuckDB)
+# --------------------------------------------------------------------------
+
+# Apache-CLF line from an events row; every 10th line is unparseable garbage.
+CLF_LINE = """
+CASE WHEN event_id % 10 = 0 THEN concat('GARBAGE-', CAST(event_id AS STRING))
+ELSE concat(
+  '192.0.2.', CAST(user_id % 200 AS STRING),
+  ' - user', CAST(user_id % 50 AS STRING),
+  ' [16/Feb/2019:11:23:45 +0000] "GET /', event_type, '/', CAST(event_id AS STRING),
+  ' HTTP/1.1" ', CAST(200 + (event_id % 4) * 100 AS STRING),
+  ' ', CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING),
+  ' "-" "ua/', CAST(event_id % 7 AS STRING), '"')
+END
+""".strip()
+
+# expected CLF fields for non-garbage lines (oracle side)
+CLF_FIELDS = {
+    "remote_host": "concat('192.0.2.', CAST(user_id % 200 AS STRING))",
+    "remote_logname": "'-'",
+    "remote_user": "concat('user', CAST(user_id % 50 AS STRING))",
+    "datetime": "'[16/Feb/2019:11:23:45 +0000]'",
+    "method": "'GET'",
+    "request_uri": "concat('/', event_type, '/', CAST(event_id AS STRING))",
+    "protocol": "'HTTP/1.1'",
+    "status": "CAST(200 + (event_id % 4) * 100 AS STRING)",
+    "size": "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING)",
+    "referer": "'-'",
+    "user_agent": "concat('ua/', CAST(event_id % 7 AS STRING))",
+}
+
+# source/line coordinates: 20 synthetic "files", 1-based line numbers
+SRC = "concat('src', CAST(event_id % 20 AS STRING))"
+LINE_NO = "CAST(FLOOR(event_id / 20) AS BIGINT) + 1"
+
+# S3 line with trailing-truncation variants: event_id % 3 = 0 -> 28 fields
+# (pattern 0), 1 -> 25 fields (pattern 3), 2 -> 20 fields (pattern 4).
+S3_BASE20 = """concat(
+  'owner', CAST(event_id % 5 AS STRING), ' bucket', CAST(event_id % 7 AS STRING),
+  ' [16/Feb/2019:11:23:45 +0000] 192.0.2.', CAST(user_id % 200 AS STRING),
+  ' requester', CAST(event_id % 5 AS STRING), ' REQID', CAST(event_id AS STRING),
+  ' REST.GET.OBJECT key', CAST(event_id % 11 AS STRING),
+  ' "GET /bucket', CAST(event_id % 7 AS STRING), '/key HTTP/1.1" ',
+  CAST(200 + (event_id % 3) * 100 AS STRING), ' - ',
+  CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING),
+  ' - 7 - "-" "S3Console/0.4" vid', CAST(event_id % 13 AS STRING))""".strip()
+
+S3_TAIL25 = "' hostid SigV2 ECDHE-RSA-AES128 AuthHeader bucket.s3.amazonaws.com'"
+S3_TAIL28 = "' TLSV1.1 - Yes'"
+
+S3_LINE = f"""
+CASE WHEN event_id % 3 = 0 THEN concat({S3_BASE20}, {S3_TAIL25}, {S3_TAIL28})
+     WHEN event_id % 3 = 1 THEN concat({S3_BASE20}, {S3_TAIL25})
+     ELSE {S3_BASE20}
+END
+""".strip()
+
+# LTSV line (always valid) — chr(9) is the tab separator in both dialects
+LTSV_LINE = """concat(
+  'remote_host:192.0.2.', CAST(user_id % 200 AS STRING), chr(9),
+  'request:GET /', event_type, ' HTTP/1.1', chr(9),
+  'status:', CAST(200 + (event_id % 4) * 100 AS STRING), chr(9),
+  'size:', CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING))""".strip()
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _event_lines(spark: SparkSession, sf_dir: str, line_sql: str) -> DataFrame:
+    """events -> (source, line_no, raw [, event_id]) lines DataFrame."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id"),
+        F.expr(SRC).alias("source"),
+        F.expr(LINE_NO).alias("line_no"),
+        F.expr(line_sql).alias("raw"),
+    )
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def _q_parse_clf_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex decode, structured surface: union-schema string columns."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    out = extract_fields(lines, "apache_clf", passthrough=["event_id"])
+    return out.select(
+        "event_id", "pattern_id", "remote_host", "remote_user", "method",
+        "request_uri", "protocol", "status", "size", "user_agent",
+    )
+
+
+def _q_parse_s3_fallbacks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-match-wins cascade over the 5 S3 truncation patterns."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, S3_LINE)
+    out = extract_fields(lines, "s3", passthrough=["event_id"])
+    return out.select(
+        "event_id", "pattern_id", "bucket", "http_status", "bytes_sent",
+        "version_id", "host_header", "tls_version",
+    )
+
+
+def _q_parse_ltsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTSV dynamic decode: ordered (pos, label, value) triples."""
+    from access_log_parser_spark import extract_ltsv
+
+    lines = _event_lines(spark, sf_dir, LTSV_LINE)
+    out = extract_ltsv(lines, passthrough=["event_id"])
+    return out.select(
+        "event_id",
+        F.posexplode(F.arrays_zip(F.col("labels"), F.col("values"))).alias("pos", "lv"),
+    ).select(
+        "event_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("lv.labels").alias("label"),
+        F.col("lv.values").alias("value"),
+    )
+
+
+def _q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Option pipeline: skip-lines + filter DSL + routing; per-sink
+    aggregate counts (the north_rule's per-sink equality check)."""
+    from access_log_parser_spark import Option, counters_by_sink, parse_routed
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    routed = parse_routed(
+        lines.select("source", "line_no", "raw"),
+        "apache_clf",
+        Option(skip_lines=[1], filters=["status == 200"]),
+    )
+    return counters_by_sink(routed).select(
+        "status", "pattern_id", F.col("rows").cast("bigint").alias("n_rows")
+    )
+
+
+def _q_filter_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter DSL compiled to a Catalyst predicate (JVM path)."""
+    from access_log_parser_spark import extract_fields, filters_to_column
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    fields = extract_fields(lines, "apache_clf", passthrough=["event_id"])
+    pred = filters_to_column(["size >= 50", "status < 400"], fields.columns)
+    return (
+        fields.filter(F.col("pattern_id") >= 0)
+        .filter(pred)
+        .select("event_id", "status", "size")
+    )
+
+
+def _q_serialize_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact NDJSON serialization of LTSV-decoded lines."""
+    from access_log_parser_spark import parse_routed
+
+    ev = _load(spark, sf_dir, "events")
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("source"),
+        F.lit(1).cast("long").alias("line_no"),
+        F.expr(LTSV_LINE).alias("raw"),
+    )
+    routed = parse_routed(lines, "ltsv")
+    return routed.select("source", "out_line")
+
+
+def _q_errors_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmatched route -> errors side table (entry, line_number, line)."""
+    from access_log_parser_spark import UNMATCHED, parse_routed
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    routed = parse_routed(lines.select("source", "line_no", "raw"), "apache_clf")
+    return routed.filter(F.col("status") == UNMATCHED).select(
+        F.col("source").alias("entry"),
+        F.col("line_no").alias("line_number"),
+        F.col("raw").alias("line"),
+    )
+
+
+def _q_enrich_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast hash-join enrichment of parsed rows with a dim table."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.enrich import broadcast_enrich
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    fields = extract_fields(lines, "apache_clf", passthrough=["event_id"]).filter(
+        F.col("pattern_id") >= 0
+    )
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    enriched = broadcast_enrich(
+        fields.withColumn("n_nationkey", F.col("event_id") % 25),
+        nation,
+        on="n_nationkey",
+    )
+    return enriched.select("event_id", "remote_host", "n_name")
+
+
+def _q_agg_by_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pattern aggregate over the S3 fallback corpus."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, S3_LINE)
+    out = extract_fields(lines, "s3", passthrough=["event_id"])
+    return out.groupBy("pattern_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+
+
+def _q_counters_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Result counters (zip-entry merge shape)."""
+    from access_log_parser_spark import counters_by_source, parse_routed
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    routed = parse_routed(lines.select("source", "line_no", "raw"), "apache_clf")
+    c = counters_by_source(routed)
+    return c.select(
+        "source",
+        F.col("total").cast("bigint").alias("total"),
+        F.col("matched").cast("bigint").alias("matched"),
+        F.col("unmatched").cast("bigint").alias("unmatched"),
+        F.col("excluded").cast("bigint").alias("excluded"),
+        F.col("skipped").cast("bigint").alias("skipped"),
+    )
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary aggregation (cent-exact integer arithmetic)."""
+    li = _load(spark, sf_dir, "lineitem")
+    cents = lambda c: F.floor(F.col(c) * 100).cast("bigint")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents("l_quantity")).alias("sum_qty_c"),
+            F.sum(cents("l_extendedprice")).alias("sum_base_price_c"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+            ).alias("sum_disc_price_c"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (shuffle-heavy shape)."""
+    li = _load(spark, sf_dir, "lineitem")
+    o = _load(spark, sf_dir, "orders")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("revenue_c"))
+        .orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def _q_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-join star query with broadcast dims."""
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    n = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup fingerprints (md5 of normalized text) + group sizes.
+    The shared corpus has no duplicate docs, so groups are size 1 and the
+    check verifies fingerprint equality engine-to-engine."""
+    from access_log_parser_spark.operators.text_quality import fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp")
+
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16, md5-based, 2^61-1 modulus): first/last
+    signature components per doc — the LSH input contract."""
+    from access_log_parser_spark.operators.dedup import minhash_signatures
+
+    docs = _load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    return sigs.select(
+        "doc_id",
+        F.col("sig")[0].alias("mh_0"),
+        F.col("sig")[7].alias("mh_7"),
+        F.col("sig")[15].alias("mh_15"),
+    )
+
+
+def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs over an inverted shingle index,
+    restricted to doc_id < 200 to bound the oracle's pairwise work."""
+    from access_log_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, threshold=0.2, n=3)
+
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (md5 token hashes, sign-sum bits)."""
+    from access_log_parser_spark.operators.dedup import simhash
+
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return simhash(docs)
+
+
+def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from access_log_parser_spark.operators.text_quality import token_count
+
+    return token_count(_load(spark, sf_dir, "documents"))
+
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from access_log_parser_spark.operators.text_quality import quality_score
+
+    return quality_score(_load(spark, sf_dir, "documents"))
+
+
+def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from access_log_parser_spark.operators.text_quality import lang_id
+
+    return lang_id(_load(spark, sf_dir, "documents"))
+
+
+def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for 5 query vectors."""
+    from access_log_parser_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within label buckets."""
+    from access_log_parser_spark.operators.dedup import embedding_near_dup
+
+    emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return embedding_near_dup(emb, threshold=0.8, bucket_col="label").select(
+        "id_a", "id_b"
+    )
+
+
+def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (bytes + digest) over text payload cast to
+    binary — the JVM-side pre-filter of the media decode path."""
+    from access_log_parser_spark.operators.multimodal import binary_metadata
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return binary_metadata(docs, "doc_id", "payload")
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate NN (no SQL oracle: recall<1 by design;
+    rows-only check). Deterministic hyperplanes, stable output."""
+    from access_log_parser_spark.operators.similarity import lsh_ann
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return lsh_ann(emb, emb.filter(F.col("vec_id") < 5), k=5, dim=64).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming availableNow over a synthesized pages dir ->
+    parse -> fan-out -> read back per-status counts (no SQL oracle:
+    streaming + engine-synthesized input; rows-only check)."""
+    import os
+    import tempfile
+
+    from access_log_parser_spark.pages import synth_pages
+    from access_log_parser_spark.streaming import run_stream_once
+
+    tmp = tempfile.mkdtemp(prefix="alp_stream_")
+    pages_dir = os.path.join(tmp, "pages")
+    out_dir = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    pages = synth_pages(spark, 50, 10, 5)
+    pages.write.mode("overwrite").parquet(pages_dir)
+    run_stream_once(spark, pages_dir, pages.schema, out_dir, ckpt, fmt="s3")
+    routed = spark.read.parquet(os.path.join(out_dir, "data"))
+    return routed.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: parse+route the CLF corpus derived from sf0.001 events,
+    enrich per-sink counts — the north_rule pipeline in one DataFrame."""
+    return _q_route_counts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "parse_clf_fields": _q_parse_clf_fields,
+        "parse_s3_fallbacks": _q_parse_s3_fallbacks,
+        "parse_ltsv": _q_parse_ltsv,
+        "route_counts": _q_route_counts,
+        "filter_dsl": _q_filter_dsl,
+        "serialize_ndjson": _q_serialize_ndjson,
+        "errors_table": _q_errors_table,
+        "enrich_broadcast": _q_enrich_broadcast,
+        "agg_by_pattern": _q_agg_by_pattern,
+        "counters_by_source": _q_counters_by_source,
+        "tpch_q1": _q_tpch_q1,
+        "tpch_q3_top10": _q_tpch_q3_top10,
+        "orders_per_nation": _q_orders_per_nation,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_simhash": _q_dedup_simhash,
+        "text_token_count": _q_text_token_count,
+        "text_quality": _q_text_quality,
+        "text_lang_id": _q_text_lang_id,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "emb_near_dup": _q_emb_near_dup,
+        "multimodal_meta": _q_multimodal_meta,
+        "ann_lsh": _q_ann_lsh,
+        "stream_windowed_counts": _q_stream_windowed_counts,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracles (DuckDB SQL over the pre-registered views)
+# --------------------------------------------------------------------------
+
+_CLF_MATCHED = "event_id % 10 <> 0"
+
+_NORM_TEXT = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+_ORACLE: dict[str, str] = {}
+
+_ORACLE["parse_clf_fields"] = f"""
+SELECT event_id,
+  CASE WHEN {_CLF_MATCHED} THEN 0 ELSE -1 END AS pattern_id,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['remote_host']} END AS remote_host,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['remote_user']} END AS remote_user,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['method']} END AS method,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['request_uri']} END AS request_uri,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['protocol']} END AS protocol,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['status']} END AS status,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['size']} END AS size,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['user_agent']} END AS user_agent
+FROM events
+"""
+
+_ORACLE["parse_s3_fallbacks"] = """
+SELECT event_id,
+  CASE event_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 3 ELSE 4 END AS pattern_id,
+  concat('bucket', CAST(event_id % 7 AS STRING)) AS bucket,
+  CAST(200 + (event_id % 3) * 100 AS STRING) AS http_status,
+  CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) AS bytes_sent,
+  concat('vid', CAST(event_id % 13 AS STRING)) AS version_id,
+  CASE WHEN event_id % 3 <> 2 THEN 'bucket.s3.amazonaws.com' END AS host_header,
+  CASE WHEN event_id % 3 = 0 THEN 'TLSV1.1' END AS tls_version
+FROM events
+"""
+
+_ORACLE["parse_ltsv"] = f"""
+WITH e AS (SELECT event_id, user_id, event_type, value FROM events)
+SELECT event_id, 0 AS pos, 'remote_host' AS label,
+       concat('192.0.2.', CAST(user_id % 200 AS STRING)) AS value FROM e
+UNION ALL
+SELECT event_id, 1, 'request', concat('GET /', event_type, ' HTTP/1.1') FROM e
+UNION ALL
+SELECT event_id, 2, 'status', CAST(200 + (event_id % 4) * 100 AS STRING) FROM e
+UNION ALL
+SELECT event_id, 3, 'size',
+       CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) FROM e
+"""
+
+# route_counts semantics: skip line_no==1 (event_id<20) BEFORE decode;
+# garbage -> unmatched; filter status==200 (event_id%4==0) else excluded.
+_ORACLE["route_counts"] = """
+WITH tagged AS (
+  SELECT CASE
+    WHEN event_id < 20 THEN 'skipped'
+    WHEN event_id % 10 = 0 THEN 'unmatched'
+    WHEN event_id % 4 = 0 THEN 'matched'
+    ELSE 'excluded' END AS status,
+  CASE
+    WHEN event_id < 20 THEN -1
+    WHEN event_id % 10 = 0 THEN -1
+    ELSE 0 END AS pattern_id
+  FROM events)
+SELECT status, pattern_id, COUNT(*) AS n_rows FROM tagged GROUP BY 1, 2
+"""
+
+_ORACLE["filter_dsl"] = """
+SELECT event_id,
+  CAST(200 + (event_id % 4) * 100 AS STRING) AS status,
+  CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) AS size
+FROM events
+WHERE event_id % 10 <> 0
+  AND CAST(FLOOR(value * 100) AS BIGINT) >= 50
+  AND 200 + (event_id % 4) * 100 < 400
+"""
+
+_ORACLE["serialize_ndjson"] = """
+SELECT CAST(event_id AS STRING) AS source,
+  concat('{"remote_host":"192.0.2.', CAST(user_id % 200 AS STRING),
+   '","request":"GET /', event_type, ' HTTP/1.1',
+   '","status":"', CAST(200 + (event_id % 4) * 100 AS STRING),
+   '","size":"', CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING),
+   '"}') AS out_line
+FROM events
+"""
+
+_ORACLE["errors_table"] = f"""
+SELECT {SRC} AS entry, {LINE_NO} AS line_number,
+       concat('GARBAGE-', CAST(event_id AS STRING)) AS line
+FROM events WHERE event_id % 10 = 0
+"""
+
+_ORACLE["enrich_broadcast"] = f"""
+SELECT event_id,
+  {CLF_FIELDS['remote_host']} AS remote_host,
+  n.n_name AS n_name
+FROM events e LEFT JOIN nation n ON e.event_id % 25 = n.n_nationkey
+WHERE {_CLF_MATCHED}
+"""
+
+_ORACLE["agg_by_pattern"] = """
+SELECT CASE event_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 3 ELSE 4 END AS pattern_id,
+       COUNT(*) AS n_rows
+FROM events GROUP BY 1
+"""
+
+_ORACLE["counters_by_source"] = f"""
+SELECT {SRC} AS source,
+  COUNT(*) AS total,
+  CAST(SUM(CASE WHEN event_id % 10 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+  CAST(SUM(CASE WHEN event_id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unmatched,
+  CAST(0 AS BIGINT) AS excluded, CAST(0 AS BIGINT) AS skipped
+FROM events GROUP BY 1
+"""
+
+_ORACLE["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(FLOOR(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_price_c,
+  COUNT(*) AS count_order
+FROM lineitem GROUP BY 1, 2
+"""
+
+_ORACLE["tpch_q3_top10"] = """
+SELECT l_orderkey,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY 1 ORDER BY revenue_c DESC, l_orderkey ASC LIMIT 10
+"""
+
+_ORACLE["orders_per_nation"] = """
+SELECT n_name, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY 1
+"""
+
+_ORACLE["dedup_exact"] = f"""
+SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents
+"""
+
+# MinHash oracle: shingle -> 60-bit md5 int -> min((a*h+b) mod 2^61-1).
+# Shingles: distinct word 3-grams of normalized text (positions 1..n-2).
+_MH = "CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)"
+
+
+def _mh_sql(i: int, a: int, b: int) -> str:
+    return (
+        f"MIN(({a}::HUGEINT * {_MH} + {b}) % 2305843009213693951)::BIGINT AS mh_{i}"
+    )
+
+
+_ORACLE["dedup_minhash_lsh"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+    concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+)
+SELECT doc_id, {_mh_sql(0, 3, 7919)}, {_mh_sql(7, 17, 63352)}, {_mh_sql(15, 33, 126704)}
+FROM grams GROUP BY doc_id
+"""
+
+_ORACLE["dedup_ngram_jaccard"] = f"""
+WITH toks AS (
+  SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t
+  FROM documents WHERE doc_id < 200
+), grams AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(c / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(c / (sa.n + sb.n - c), 6) >= 0.2
+"""
+
+_ORACLE["dedup_simhash"] = f"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(string_split({_NORM_TEXT}, ' ')) AS tok
+  FROM documents WHERE doc_id < 200
+), h AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) & 4294967295 AS h32
+  FROM toks
+), bits AS (
+  SELECT doc_id, j,
+    SUM(CASE WHEN (h32 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h, UNNEST(generate_series(0, 31)) AS jj(j)
+  GROUP BY 1, 2
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY 1
+"""
+
+_ORACLE["text_token_count"] = r"""
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens
+FROM documents
+"""
+
+_SW_EN = "['the','and','of','to','a','in','is','it','that','for']"
+
+_ORACLE["text_quality"] = rf"""
+WITH base AS (
+  SELECT doc_id, text,
+    length(text) AS n_chars,
+    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+    length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS punct,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW_EN})) AS hits
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+  ROUND((n_chars - n_tokens + 1) / n_tokens, 6) AS mean_token_len,
+  ROUND(punct / n_chars, 6) AS punct_ratio,
+  hits AS stopword_hits,
+  ROUND(LEAST(1.0, hits / 10.0) * 0.5
+    + CASE WHEN (n_chars - n_tokens + 1) / n_tokens >= 3
+            AND (n_chars - n_tokens + 1) / n_tokens <= 10 THEN 0.3 ELSE 0.0 END
+    + CASE WHEN punct / n_chars < 0.1 THEN 0.2 ELSE 0.0 END, 6) AS quality
+FROM base
+"""
+
+_SW = {
+    "en": _SW_EN,
+    "de": "['der','die','das','und','ist','nicht','ein','mit','zu','auf']",
+    "fr": "['le','la','les','et','est','un','une','dans','pour','que']",
+    "es": "['el','la','los','y','es','un','una','en','para','que']",
+}
+
+_ORACLE["text_lang_id"] = rf"""
+WITH hits AS (
+  SELECT doc_id,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['en']})) AS h_en,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['de']})) AS h_de,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['fr']})) AS h_fr,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['es']})) AS h_es
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+    WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+    WHEN h_en >= h_de THEN 'en'
+    ELSE 'de' END AS pred_lang,
+  GREATEST(h_en, h_de, h_fr, h_es) AS pred_hits
+FROM hits
+"""
+
+_ORACLE["ann_cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.qv, c.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(q.qv, q.qv))
+         * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) AS cos
+  FROM q, embeddings c WHERE c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+_ORACLE["emb_near_dup"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+           FROM embeddings WHERE vec_id < 200)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.v, b.v)
+  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8
+"""
+
+_ORACLE["multimodal_meta"] = """
+SELECT doc_id AS media_id,
+  octet_length(encode(text)) AS n_bytes,
+  md5(text) AS digest
+FROM documents
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """ann_lsh and stream_windowed_counts are intentionally absent:
+    LSH recall < 1 (approximate by design) and streaming over
+    engine-synthesized pages are not SQL-expressible on the shared views —
+    the driver records rows-only checks for them."""
+    return dict(_ORACLE)

@@ -1,0 +1,159 @@
+"""Benchmark harness.
+
+Headline metric (BASELINE.json): docs/sec parse+route throughput — a
+synthesized Common-Crawl-style pages corpus (20 log lines per page,
+1-in-5 unmatched) is exploded, decoded through the vectorized engine and
+fanned out to (status, pattern_id) parquet sinks; counters ride the write
+via Observation. The scaling protocol (sandbox stand-in for N vs 4N
+executors) runs the SAME job at local[N] and local[4N] on the same input
+and reports efficiency = (T_N / T_4N) / 4.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs_per_sec": ...,
+   "scaling": {...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     ALP_BENCH_QUERIES=0 to skip per-query timings,
+     ALP_BENCH_SCALING=0 to skip the two-parallelism run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+LINES_PER_PAGE = 20
+
+
+def _session(cores: int):
+    from access_log_parser_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"alp-bench-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=max(cores, 8),
+    )
+
+
+def _n_pages(spark) -> int:
+    # scale the corpus to the sf tier via the documents table size
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+
+def parse_route_job(spark, n_pages: int, out_dir: str) -> dict:
+    """The headline job: synth pages -> explode -> decode -> fan-out write."""
+    from access_log_parser_spark.metrics import observe_routed
+    from access_log_parser_spark.engine import parse_routed
+    from access_log_parser_spark.pages import pages_to_lines, synth_pages
+    from access_log_parser_spark.sinks import write_routed
+
+    pages = synth_pages(spark, n_pages, LINES_PER_PAGE, 5)
+    lines = pages_to_lines(pages)
+    routed = parse_routed(lines, "s3")
+    observed, obs = observe_routed(routed)
+    t0 = time.monotonic()
+    write_routed(observed, out_dir, mode="overwrite")
+    elapsed = time.monotonic() - t0
+    m = obs.get
+    return {
+        "elapsed": elapsed,
+        "docs": n_pages,
+        "lines": m["total"],
+        "matched": m["matched"],
+        "unmatched": m["unmatched"],
+        "docs_per_sec": round(n_pages / elapsed, 1),
+        "lines_per_sec": round(m["total"] / elapsed, 1),
+    }
+
+
+def run_headline() -> tuple[dict, dict]:
+    spark = _session(CPUS)
+    n_pages = _n_pages(spark)
+    tmp = tempfile.mkdtemp(prefix="alp_bench_")
+    try:
+        # warm-up (JVM/codegen/Arrow) on a small slice, then measured run
+        parse_route_job(spark, max(n_pages // 20, 100), os.path.join(tmp, "warm"))
+        head = parse_route_job(spark, n_pages, os.path.join(tmp, "main"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    qtimes: dict[str, float] = {}
+    if os.environ.get("ALP_BENCH_QUERIES", "1") != "0":
+        import __spark_entry__ as entry
+
+        for name, fn in entry.queries().items():
+            t0 = time.monotonic()
+            try:
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            except Exception:
+                try:
+                    fn(spark, SF_DIR).count()
+                except Exception:
+                    qtimes[name] = -1.0
+                    continue
+            qtimes[name] = round(time.monotonic() - t0, 3)
+    spark.stop()
+    return head, qtimes
+
+
+def run_scaling(n_small: int) -> dict:
+    """Same job, same input, local[N] vs local[4N]."""
+    results = {}
+    for cores in (max(CPUS // 4, 1), CPUS):
+        spark = _session(cores)
+        n_pages = _n_pages(spark)
+        tmp = tempfile.mkdtemp(prefix=f"alp_scale_{cores}_")
+        try:
+            parse_route_job(spark, max(n_pages // 20, 100), os.path.join(tmp, "warm"))
+            r = parse_route_job(spark, n_pages, os.path.join(tmp, "main"))
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+            spark.stop()
+        results[cores] = r
+    small, big = sorted(results)
+    t_n, t_4n = results[small]["elapsed"], results[big]["elapsed"]
+    ratio = big / small
+    return {
+        "cores_small": small,
+        "cores_big": big,
+        "docs_per_sec_small": results[small]["docs_per_sec"],
+        "docs_per_sec_big": results[big]["docs_per_sec"],
+        "elapsed_small": round(t_n, 3),
+        "elapsed_big": round(t_4n, 3),
+        "efficiency": round((t_n / t_4n) / ratio, 3),
+    }
+
+
+def main() -> None:
+    head, qtimes = run_headline()
+    scaling = None
+    if os.environ.get("ALP_BENCH_SCALING", "1") != "0":
+        scaling = run_scaling(CPUS)
+    out = {
+        "metric": "parse_route_docs_per_sec",
+        "value": round(head["elapsed"], 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "docs": head["docs"],
+        "lines": head["lines"],
+        "docs_per_sec": head["docs_per_sec"],
+        "lines_per_sec": head["lines_per_sec"],
+    }
+    if scaling:
+        out["scaling"] = scaling
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
