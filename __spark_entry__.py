@@ -368,11 +368,13 @@ def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within label buckets."""
+    """Embedding-cosine near-dup pairs within label buckets (0.3
+    threshold: the synthetic embeddings have no true near-dups, so this
+    exercises the top tail of the cosine distribution)."""
     from access_log_parser_spark.operators.dedup import embedding_near_dup
 
     emb = _load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
-    return embedding_near_dup(emb, threshold=0.8, bucket_col="label").select(
+    return embedding_near_dup(emb, threshold=0.3, bucket_col="label").select(
         "id_a", "id_b"
     )
 
@@ -741,7 +743,7 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v)
-  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.8
+  / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
 """
 
 _ORACLE["multimodal_meta"] = """

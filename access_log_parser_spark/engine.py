@@ -81,6 +81,7 @@ def parse_routed(
     lines_df: DataFrame,
     fmt: str | Sequence[str],
     opt: Option | None = None,
+    keep_raw: str = "unmatched",
 ) -> DataFrame:
     """Full reference pipeline over a lines DataFrame.
 
@@ -91,6 +92,11 @@ def parse_routed(
     ``out_line`` is the byte-exact serialized record (None when the row
     produces no output) and unmatched rows keep ``raw`` for the errors
     sink (parser_result.go:32-36).
+
+    ``keep_raw``: which rows carry the raw line back out of the engine —
+    "unmatched" (default: only the errors-sink rows, halving Arrow
+    transfer and sink bytes for mostly-matching corpora), "all", or
+    "none".
     """
     opt = opt or Option()
     pattern_strs = _resolve_patterns(fmt)
@@ -113,6 +119,8 @@ def parse_routed(
     is_tsv = handler_name == "tsv"
     filter_exprs = tuple(opt.filters)
     emit_unmatch = bool(opt.unmatch_lines)
+    if keep_raw not in ("unmatched", "all", "none"):
+        raise ValueError(f"keep_raw must be unmatched/all/none, got {keep_raw!r}")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         compiled = (
@@ -181,6 +189,15 @@ def parse_routed(
                 if is_tsv:
                     headers[i] = "\t".join(ls)
 
+            if keep_raw == "all":
+                raw_out = pdf["raw"]
+            elif keep_raw == "none":
+                raw_out = pd.Series([None] * n, dtype="object")
+            else:
+                raw_out = pd.Series(
+                    [raws[i] if status[i] == UNMATCHED else None for i in range(n)],
+                    dtype="object",
+                )
             yield pd.DataFrame(
                 {
                     "source": pdf["source"],
@@ -189,7 +206,7 @@ def parse_routed(
                     "pattern_id": pd.Series(pids, dtype="int32"),
                     "out_line": pd.Series(out, dtype="object"),
                     "tsv_header": pd.Series(headers, dtype="object"),
-                    "raw": pdf["raw"],
+                    "raw": raw_out,
                 }
             )
 
@@ -242,6 +259,7 @@ def extract_fields(
     fmt: str | Sequence[str],
     passthrough: Sequence[str] = (),
     line_col: str = "raw",
+    raw_when_unmatched: bool = False,
 ) -> DataFrame:
     """Structured surface: decode lines into typed string columns.
 
@@ -263,9 +281,9 @@ def extract_fields(
     out_schema = StructType(
         [lines_df.schema[c] for c in passthrough]
         + [StructField("pattern_id", IntegerType())]
+        + ([StructField("raw", StringType())] if raw_when_unmatched else [])
         + [StructField(name, StringType()) for name in union]
     )
-    union_idx = {name: j for j, name in enumerate(union)}
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         compiled = [pat.validate_pattern(p) for p in pattern_strs]
@@ -291,11 +309,128 @@ def extract_fields(
                         cols[j][i] = vs[k]
             data = {c: pdf[c] for c in passthrough}
             data["pattern_id"] = pd.Series(pids, dtype="int32")
+            if raw_when_unmatched:
+                data["raw"] = pd.Series(
+                    [raws[i] if pids[i] < 0 else None for i in range(len(raws))],
+                    dtype="object",
+                )
             for j, name in enumerate(union):
                 data[name] = pd.Series(cols[j], dtype="object")
             yield pd.DataFrame(data)
 
     return lines_df.select(*passthrough, line_col).mapInPandas(run, out_schema)
+
+
+def fast_parse_routed(
+    lines_df: DataFrame,
+    fmt: str | Sequence[str],
+    opt: Option | None = None,
+) -> DataFrame:
+    """JVM-serialization fast path: same routed output contract as
+    :func:`parse_routed`, ~2x throughput on mostly-matching corpora.
+
+    Python does ONLY the regex decode (struct columns out); status
+    derivation, DSL filtering, label projection, line numbers and the
+    five output encodings are Catalyst expressions (whole-stage codegen)
+    via :mod:`..functions.serialize_expr`.
+
+    Semantics differences vs the compat path (both documented reference
+    divergences, not result divergences on well-formed data):
+
+    - filter DSL errors are not abort-exact: a numeric comparison against
+      a non-numeric field value EXCLUDES the row (NULL predicate) instead
+      of aborting the job (parser_core.go:220-223);
+    - custom Python ``LineHandler`` callables are not supported (use the
+      compat path);
+    - LTSV input is not supported (dynamic per-line schema cannot be a
+      static Catalyst expression).
+    """
+    from .filters import filters_to_column
+    from .functions.serialize_expr import serialize_expr
+
+    opt = opt or Option()
+    if callable(opt.line_handler):
+        raise ValueError("fast path requires a named handler; use parse_routed")
+    handler = opt.line_handler
+    if isinstance(fmt, str) and fmt == "ltsv":
+        raise ValueError("fast path is regex-presets only; use parse_routed")
+
+    fields = extract_fields(
+        lines_df,
+        fmt,
+        passthrough=["source", "line_no"],
+        raw_when_unmatched=True,
+    )
+
+    skip = [int(s) for s in opt.skip_lines]
+    status = F.when(F.col("line_no").isin(skip), F.lit(SKIPPED)) if skip else None
+    unmatched_c = F.col("pattern_id") < 0
+    if opt.filters:
+        pred = filters_to_column(list(opt.filters), fields.columns)
+        excluded_c = ~F.coalesce(pred, F.lit(False))
+    else:
+        excluded_c = F.lit(False)
+    chain = (status.when(unmatched_c, F.lit(UNMATCHED)) if status is not None
+             else F.when(unmatched_c, F.lit(UNMATCHED)))
+    chain = chain.when(excluded_c, F.lit(EXCLUDED)).otherwise(F.lit(MATCHED))
+    fields = fields.withColumn("status", chain)
+
+    out_expr, header_expr = serialize_expr(
+        fmt, handler=handler, labels=list(opt.labels) or None,
+        line_number=opt.line_number,
+    )
+    out_line = F.when(F.col("status") == MATCHED, out_expr)
+    if opt.unmatch_lines:
+        out_line = out_line.when(F.col("status") == UNMATCHED, F.col("raw"))
+    routed = fields.select(
+        "source",
+        "line_no",
+        "status",
+        # skipped lines are never decoded in the reference
+        # (parser_core.go:197-200): pattern_id stays -1
+        F.when(F.col("status") == SKIPPED, F.lit(-1))
+        .otherwise(F.col("pattern_id"))
+        .cast("int")
+        .alias("pattern_id"),
+        out_line.alias("out_line"),
+        (header_expr if handler == "tsv" else F.lit(None).cast("string")).alias(
+            "tsv_header"
+        ),
+        F.when(F.col("status") == UNMATCHED, F.col("raw")).alias("raw"),
+    )
+
+    if handler == "tsv":
+        w = Window.partitionBy("source")
+        first_line = F.min(
+            F.when(F.col("status") == MATCHED, F.col("line_no"))
+        ).over(w)
+        routed = routed.withColumn(
+            "out_line",
+            F.when(
+                (F.col("status") == MATCHED) & (F.col("line_no") == first_line),
+                F.concat_ws("\n", F.col("tsv_header"), F.col("out_line")),
+            ).otherwise(F.col("out_line")),
+        )
+    routed = routed.drop("tsv_header")
+
+    if opt.prefix:
+        prefixed = F.array_join(
+            F.transform(
+                F.split(F.col("out_line"), "\n"),
+                lambda x: F.concat(F.lit(MATCHED_PREFIX), x),
+            ),
+            "\n",
+        )
+        routed = routed.withColumn(
+            "out_line",
+            F.when(F.col("status") == MATCHED, prefixed)
+            .when(
+                (F.col("status") == UNMATCHED) & F.col("out_line").isNotNull(),
+                F.concat(F.lit(UNMATCHED_PREFIX), F.col("out_line")),
+            )
+            .otherwise(F.col("out_line")),
+        )
+    return routed
 
 
 def extract_ltsv(

@@ -25,7 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .engine import parse_routed
+from .engine import fast_parse_routed, parse_routed
 from .metrics import Result, observe_routed, result_from_observation
 from .options import Option
 from .sinks import processed_batches, write_manifest, write_routed
@@ -57,12 +57,20 @@ def run_pipeline(
     text_col: str = "text",
     n_batches: int = 1,
     resume: bool = False,
+    engine: str = "auto",
 ) -> PipelineReport:
     """Run the pipeline; ``lookups`` maps name -> (lookup_df, join_key) and
     each lookup is broadcast-joined onto the routed rows (join_key must be
     a column of both sides; pages-side keys are carried through the
-    explode)."""
+    explode).
+
+    ``engine``: "fast" (JVM serialization, regex presets only), "compat"
+    (reference-exact Python path), or "auto" (fast when eligible)."""
     opt = opt or Option()
+    use_fast = engine == "fast" or (
+        engine == "auto" and fmt != "ltsv" and not callable(opt.line_handler)
+    )
+    parse = fast_parse_routed if use_fast else parse_routed
     start = time.monotonic()
 
     pages = _with_batch_id(pages, url_col, n_batches)
@@ -78,7 +86,7 @@ def run_pipeline(
         lines = explode_lines(
             batch_pages, text_col=text_col, source_col=url_col, keep=carry
         )
-        routed = parse_routed(lines.select("source", "line_no", "raw"), fmt, opt)
+        routed = parse(lines.select("source", "line_no", "raw"), fmt, opt)
 
         if lookups:
             keyed = lines.select("source", "line_no", *carry)
