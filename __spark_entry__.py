@@ -297,6 +297,20 @@ def _q_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_anti_join_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti-join reconciliation (SURVEY.md §2.3): all lines minus the
+    matched set = exactly the unmatched rows."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    fields = extract_fields(lines, "apache_clf", passthrough=["event_id"])
+    matched_ids = fields.filter(F.col("pattern_id") >= 0).select("event_id")
+    return (
+        lines.join(matched_ids, on="event_id", how="left_anti")
+        .select("event_id", "raw")
+    )
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup fingerprints (md5 of normalized text) + group sizes.
     The shared corpus has no duplicate docs, so groups are size 1 and the
@@ -445,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_top10": _q_tpch_q3_top10,
         "orders_per_nation": _q_orders_per_nation,
+        "anti_join_reconcile": _q_anti_join_reconcile,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -597,6 +612,11 @@ SELECT n_name, COUNT(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY 1
+"""
+
+_ORACLE["anti_join_reconcile"] = """
+SELECT event_id, concat('GARBAGE-', CAST(event_id AS STRING)) AS raw
+FROM events WHERE event_id % 10 = 0
 """
 
 _ORACLE["dedup_exact"] = f"""

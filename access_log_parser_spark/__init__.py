@@ -7,7 +7,7 @@ enrichment, aggregation, skew handling and resume are Catalyst-native.
 """
 
 from .decoders import EXCLUDED, MATCHED, SKIPPED, UNMATCHED
-from .engine import extract_fields, extract_ltsv, parse_routed
+from .engine import extract_fields, extract_ltsv, fast_parse_routed, parse_routed
 from .filters import FilterError, filters_to_column
 from .handlers import HANDLERS
 from .metrics import Result, collect_result, counters_by_sink, counters_by_source
@@ -35,6 +35,7 @@ __all__ = [
     "UNMATCHED",
     "extract_fields",
     "extract_ltsv",
+    "fast_parse_routed",
     "parse_routed",
     "FilterError",
     "filters_to_column",

@@ -325,6 +325,7 @@ def fast_parse_routed(
     lines_df: DataFrame,
     fmt: str | Sequence[str],
     opt: Option | None = None,
+    decoder: str = "python",
 ) -> DataFrame:
     """JVM-serialization fast path: same routed output contract as
     :func:`parse_routed`, ~2x throughput on mostly-matching corpora.
@@ -355,12 +356,24 @@ def fast_parse_routed(
     if isinstance(fmt, str) and fmt == "ltsv":
         raise ValueError("fast path is regex-presets only; use parse_routed")
 
-    fields = extract_fields(
-        lines_df,
-        fmt,
-        passthrough=["source", "line_no"],
-        raw_when_unmatched=True,
-    )
+    if decoder not in ("python", "jvm"):
+        raise ValueError(f"decoder must be python/jvm, got {decoder!r}")
+    if decoder == "jvm":
+        # zero-Python plan: regexp_replace group rewrite (see
+        # functions/jvm_decode.py for semantics caveats)
+        from .functions.jvm_decode import extract_fields_jvm
+
+        fields = extract_fields_jvm(
+            lines_df, fmt, passthrough=["source", "line_no"],
+            raw_when_unmatched=True,
+        )
+    else:
+        fields = extract_fields(
+            lines_df,
+            fmt,
+            passthrough=["source", "line_no"],
+            raw_when_unmatched=True,
+        )
 
     skip = [int(s) for s in opt.skip_lines]
     status = F.when(F.col("line_no").isin(skip), F.lit(SKIPPED)) if skip else None

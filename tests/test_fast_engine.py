@@ -42,6 +42,29 @@ def test_fast_matches_compat_golden(spark, opt):
     )
 
 
+@pytest.mark.parametrize("opt", OPTIONS[:7], ids=[str(i) for i in range(7)])
+def test_jvm_decoder_matches_compat(spark, opt):
+    lines = lines_from_string(spark, g.CONTAINS_UNMATCH_INPUT)
+    assert collect(fast_parse_routed(lines, "s3", opt, decoder="jvm")) == collect(
+        parse_routed(lines, "s3", opt)
+    )
+
+
+def test_jvm_decoder_fallback_patterns(spark):
+    # fallback pattern ids survive the zero-Python plan
+    from access_log_parser_spark.functions.jvm_decode import extract_fields_jvm
+    from access_log_parser_spark.engine import extract_fields
+
+    pages = synth_pages(spark, 20, 10, 5)
+    lines = pages_to_lines(pages)
+    a = extract_fields(lines, "s3", passthrough=["source", "line_no"])
+    b = extract_fields_jvm(lines, "s3", passthrough=["source", "line_no"])
+    key = lambda r: (r["source"], r["line_no"])
+    ra = sorted(map(tuple, a.collect()), key=lambda t: (t[0], t[1]))
+    rb = sorted(map(tuple, b.collect()), key=lambda t: (t[0], t[1]))
+    assert ra == rb
+
+
 def test_fast_matches_compat_synth_corpus(spark):
     lines = pages_to_lines(synth_pages(spark, 30, 10, 5))
     opt = Option(line_number=True)
