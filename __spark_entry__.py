@@ -311,6 +311,16 @@ def _q_anti_join_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted two-phase count per source (SURVEY.md §4 salting):
+    must equal a plain groupBy count."""
+    from access_log_parser_spark.enrich import two_phase_count
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    out = two_phase_count(lines, "source", buckets=8)
+    return out.select("source", F.col("count").cast("bigint").alias("n_lines"))
+
+
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup fingerprints (md5 of normalized text) + group sizes.
     The shared corpus has no duplicate docs, so groups are size 1 and the
@@ -460,6 +470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top10": _q_tpch_q3_top10,
         "orders_per_nation": _q_orders_per_nation,
         "anti_join_reconcile": _q_anti_join_reconcile,
+        "skew_two_phase": _q_skew_two_phase,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -617,6 +628,10 @@ GROUP BY 1
 _ORACLE["anti_join_reconcile"] = """
 SELECT event_id, concat('GARBAGE-', CAST(event_id AS STRING)) AS raw
 FROM events WHERE event_id % 10 = 0
+"""
+
+_ORACLE["skew_two_phase"] = f"""
+SELECT {SRC} AS source, COUNT(*) AS n_lines FROM events GROUP BY 1
 """
 
 _ORACLE["dedup_exact"] = f"""
