@@ -311,6 +311,52 @@ def _q_anti_join_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_window_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function over parsed rows: per-source running count of
+    matched lines by line number (the distributed generalization of the
+    reference's isFirst/line-ordering logic, SURVEY.md §2.5)."""
+    from pyspark.sql import Window
+
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    matched = extract_fields(
+        lines, "apache_clf", passthrough=["event_id", "source", "line_no"]
+    ).filter(F.col("pattern_id") >= 0)
+    w = Window.partitionBy("source").orderBy("line_no")
+    return matched.select(
+        "event_id",
+        "source",
+        "line_no",
+        F.row_number().over(w).cast("bigint").alias("running_matched"),
+    )
+
+
+def _q_rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregate over the routed corpus: per-(status, pattern_id),
+    per-status subtotals and grand total in one pass."""
+    from access_log_parser_spark import parse_routed
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    routed = parse_routed(lines.select("source", "line_no", "raw"), "apache_clf")
+    return routed.rollup("status", "pattern_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+
+
+def _q_event_time_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-hour aggregation over the events stream table
+    (batch twin of streaming.windowed_status_counts)."""
+    ev = _load(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH")
+    return ev.groupBy(
+        hour.alias("hour"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_value_c"),
+    )
+
+
 def _q_skew_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof salted two-phase count per source (SURVEY.md §4 salting):
     must equal a plain groupBy count."""
@@ -333,11 +379,12 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=16, md5-based, 2^61-1 modulus): first/last
-    signature components per doc — the LSH input contract."""
-    from access_log_parser_spark.operators.dedup import minhash_signatures
+    signature components per doc — the LSH input contract. Computed
+    fully JVM-side (explode + md5 + decimal min-agg, one shuffle)."""
+    from access_log_parser_spark.operators.dedup import minhash_signatures_jvm
 
     docs = _load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    sigs = minhash_signatures_jvm(docs)
     return sigs.select(
         "doc_id",
         F.col("sig")[0].alias("mh_0"),
@@ -471,6 +518,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_per_nation": _q_orders_per_nation,
         "anti_join_reconcile": _q_anti_join_reconcile,
         "skew_two_phase": _q_skew_two_phase,
+        "window_running_count": _q_window_running_count,
+        "rollup_counts": _q_rollup_counts,
+        "event_time_buckets": _q_event_time_buckets,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -632,6 +682,28 @@ FROM events WHERE event_id % 10 = 0
 
 _ORACLE["skew_two_phase"] = f"""
 SELECT {SRC} AS source, COUNT(*) AS n_lines FROM events GROUP BY 1
+"""
+
+_ORACLE["window_running_count"] = f"""
+SELECT event_id, {SRC} AS source, {LINE_NO} AS line_no,
+  ROW_NUMBER() OVER (PARTITION BY {SRC} ORDER BY {LINE_NO}) AS running_matched
+FROM events WHERE {_CLF_MATCHED}
+"""
+
+_ORACLE["rollup_counts"] = """
+WITH tagged AS (
+  SELECT CASE WHEN event_id % 10 = 0 THEN 'unmatched' ELSE 'matched' END AS status,
+         CASE WHEN event_id % 10 = 0 THEN -1 ELSE 0 END AS pattern_id
+  FROM events)
+SELECT status, pattern_id, COUNT(*) AS n_rows
+FROM tagged GROUP BY ROLLUP(status, pattern_id)
+"""
+
+_ORACLE["event_time_buckets"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
 """
 
 _ORACLE["dedup_exact"] = f"""

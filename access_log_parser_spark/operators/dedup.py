@@ -132,6 +132,31 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3) -> Dat
     return sh.mapInPandas(run, schema)
 
 
+def minhash_signatures_jvm(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Zero-Python MinHash: explode distinct shingles, hash JVM-side
+    (``conv(substr(md5(g),1,15),16,10)`` == Python ``int(md5[:15],16)``),
+    then ONE hash aggregation computes all k signature minima. The
+    (a*h+b) permutation runs in DECIMAL(38,0) because a*h overflows
+    int64; results are bit-identical to :func:`_minhash_py` and the
+    DuckDB oracle. This is the scale path: one shuffle on doc_id with
+    map-side partial mins, no Arrow transfer."""
+    sh = df.select(F.col("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    ex = sh.select("doc_id", F.explode("sh").alias("g"))
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("decimal(38,0)")
+    aggs = [
+        F.min((F.lit(a).cast("decimal(38,0)") * h + F.lit(b)) % F.lit(MERSENNE))
+        .cast("long")
+        .alias(f"mh_{i}")
+        for i, (a, b) in enumerate(zip(_A, _B))
+    ]
+    out = ex.groupBy("doc_id").agg(*aggs)
+    return out.select(
+        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_key): docs
     agreeing on ALL rows of any band become candidates. Band key is the

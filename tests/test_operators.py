@@ -53,6 +53,14 @@ def test_minhash_lsh_pairs(spark, docs):
     assert (0, 4) not in pairs
 
 
+def test_minhash_jvm_bit_identical(spark, docs):
+    from access_log_parser_spark.operators.dedup import minhash_signatures_jvm
+
+    py = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs).collect()}
+    jvm = {r["doc_id"]: r["sig"] for r in minhash_signatures_jvm(docs).collect()}
+    assert py == jvm
+
+
 def test_minhash_python_matches_duckdb_formula():
     # cross-engine contract: md5-first-15-hex base hash, (a*h+b) mod 2^61-1
     import duckdb
