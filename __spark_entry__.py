@@ -450,6 +450,38 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data curation: quality gate -> language gate ->
+    exact-dedup keep-first -> per-source kept/dropped stats. The shape of
+    a real corpus-cleaning job, end-to-end in one plan."""
+    from pyspark.sql import Window
+
+    from access_log_parser_spark.operators.text_quality import (
+        fingerprint,
+        lang_id,
+        quality_score,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    q = quality_score(docs).select("doc_id", "quality")
+    lg = lang_id(docs).select("doc_id", "pred_lang")
+    fp = fingerprint(docs)
+    joined = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(lg, "doc_id")
+        .join(fp, "doc_id")
+    )
+    gated = joined.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
+    keep = F.row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")
+    ) == 1
+    kept = gated.withColumn("_keep", keep).filter(F.col("_keep"))
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (bytes + digest) over text payload cast to
     binary — the JVM-side pre-filter of the media decode path."""
@@ -530,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "emb_near_dup": _q_emb_near_dup,
+        "curation_pipeline": _q_curation_pipeline,
         "multimodal_meta": _q_multimodal_meta,
         "ann_lsh": _q_ann_lsh,
         "stream_windowed_counts": _q_stream_windowed_counts,
@@ -851,6 +884,34 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v)
   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+_ORACLE["curation_pipeline"] = rf"""
+WITH feats AS (
+  SELECT doc_id, source,
+    ROUND(LEAST(1.0, len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['en']})) / 10.0) * 0.5
+      + CASE WHEN (length(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1)
+                  / len(regexp_split_to_array(trim(text), '\s+')) >= 3
+              AND (length(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1)
+                  / len(regexp_split_to_array(trim(text), '\s+')) <= 10 THEN 0.3 ELSE 0.0 END
+      + CASE WHEN (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+                  / length(text) < 0.1 THEN 0.2 ELSE 0.0 END, 6) AS quality,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['en']})) AS h_en,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['de']})) AS h_de,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['fr']})) AS h_fr,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['es']})) AS h_es,
+    md5({_NORM_TEXT}) AS fp
+  FROM documents
+), gated AS (
+  SELECT * FROM feats
+  WHERE quality >= 0.5 AND
+    (CASE WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+          WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+          WHEN h_en >= h_de THEN 'en' ELSE 'de' END) = 'en'
+), kept AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated
+)
+SELECT source, COUNT(*) AS n_kept FROM kept WHERE rn = 1 GROUP BY 1
 """
 
 _ORACLE["multimodal_meta"] = """
