@@ -104,6 +104,25 @@ def test_route_rules(spark):
     assert sinks["sink_matched"].count() + sinks["sink_unmatched"].count() == 100
 
 
+def test_text_extraction_byte_identical_per_url(spark):
+    # input_hint invariant: byte-identical extracted text per url —
+    # reassembling exploded lines must reproduce the original text payload
+    pages = synth_pages(spark, 15, 7, 5)
+    lines = pages_to_lines(pages)
+    # collect_list order is not shuffle-stable: sort structs by line_no
+    rebuilt = lines.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("line_no", "raw"))),
+                lambda s: s["raw"],
+            ),
+            "\n",
+        ).alias("text2")
+    )
+    joined = pages.join(rebuilt, pages.url == rebuilt.source)
+    assert joined.filter(F.col("text") != F.col("text2")).count() == 0
+
+
 def test_two_phase_count_matches_plain(spark):
     pages = synth_pages(spark, 30, 4, 5)
     lines = pages_to_lines(pages)
