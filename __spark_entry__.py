@@ -450,6 +450,58 @@ def _q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization of the events stream: a new session starts after a
+    >30-minute gap per user (LAG + conditional cumsum — the standard
+    log-analytics window composition the reference cannot express)."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # interval arithmetic is timezone-agnostic (ts is TIMESTAMP_NTZ)
+    prev = F.lag(F.col("ts")).over(w)
+    new_sess = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    sess = ev.withColumn(
+        "session_no",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )
+
+
+def _q_topk_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deterministic top-10 request URIs among matched CLF lines."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    fields = extract_fields(lines, "apache_clf").filter(F.col("pattern_id") >= 0)
+    return (
+        fields.groupBy("request_uri")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        .orderBy(F.col("hits").desc(), F.col("request_uri").asc())
+        .limit(10)
+    )
+
+
+def _q_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed response-size histogram over matched CLF lines."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    fields = extract_fields(lines, "apache_clf").filter(F.col("pattern_id") >= 0)
+    bucket = F.floor(F.log2(F.col("size").cast("double") + 1)).cast("int")
+    return fields.groupBy(bucket.alias("size_bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines")
+    )
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation: quality gate -> language gate ->
     exact-dedup keep-first -> per-source kept/dropped stats. The shape of
@@ -562,6 +614,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": _q_text_lang_id,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "emb_near_dup": _q_emb_near_dup,
+        "sessionize": _q_sessionize,
+        "topk_uris": _q_topk_uris,
+        "size_histogram": _q_size_histogram,
         "curation_pipeline": _q_curation_pipeline,
         "multimodal_meta": _q_multimodal_meta,
         "ann_lsh": _q_ann_lsh,
@@ -884,6 +939,35 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE ROUND(list_dot_product(a.v, b.v)
   / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+"""
+
+_ORACLE["sessionize"] = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN LAG(ts) OVER w IS NULL
+           OR ts - LAG(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id,
+    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+  MIN(event_id) AS first_event, MAX(event_id) AS last_event
+FROM s GROUP BY 1, 2
+"""
+
+_ORACLE["topk_uris"] = f"""
+SELECT {CLF_FIELDS['request_uri']} AS request_uri, COUNT(*) AS hits
+FROM events WHERE {_CLF_MATCHED}
+GROUP BY 1 ORDER BY hits DESC, request_uri ASC LIMIT 10
+"""
+
+_ORACLE["size_histogram"] = f"""
+SELECT CAST(FLOOR(log2(CAST(FLOOR(value * 100) AS BIGINT) + 1)) AS INT) AS size_bucket,
+  COUNT(*) AS n_lines
+FROM events WHERE {_CLF_MATCHED} GROUP BY 1
 """
 
 _ORACLE["curation_pipeline"] = rf"""
