@@ -1,0 +1,96 @@
+"""applyInPandasWithState sessionizer: state carries across micro-batches."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from access_log_parser_spark.streaming.stateful import (
+    SESSION_OUTPUT_SCHEMA,
+    make_sessionizer,
+    sessionize_stream,
+)
+
+
+class FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def run_batches(batches, gap=1800):
+    fn = make_sessionizer(gap)
+    state = FakeState()
+    out = []
+    for b in batches:
+        pdf = pd.DataFrame(b, columns=["event_id", "ts_epoch"])
+        for res in fn((7,), iter([pdf]), state):
+            out.extend(map(tuple, res.itertuples(index=False)))
+    return out, state._v
+
+
+def test_sessionizer_logic_single_batch():
+    out, st = run_batches([[(1, 0), (2, 100), (3, 5000)]])
+    # events 1,2 in session 1; event 3 opens session 2 (gap > 1800)
+    assert (7, 1, 2, 1, 2) in out
+    assert (7, 2, 1, 3, 3) in out
+    assert st[1] == 2  # session counter persisted
+
+
+def test_sessionizer_state_across_batches():
+    out1, _ = run_batches([[(1, 0)]])
+    # same state object continues in batch 2
+    fn = make_sessionizer(1800)
+    state = FakeState()
+    for b in ([[(1, 0)]], [[(2, 100), (3, 9000)]]):
+        pdf = pd.DataFrame(b[0], columns=["event_id", "ts_epoch"])
+        rows = []
+        for res in fn((7,), iter([pdf]), state):
+            rows.extend(map(tuple, res.itertuples(index=False)))
+    # batch 2: event 2 continues session 1 (n_events=2), event 3 opens s2
+    assert (7, 1, 2, 1, 2) in rows
+    assert (7, 2, 1, 3, 3) in rows
+
+
+def test_sessionize_stream_end_to_end(spark, tmp_path):
+    src = str(tmp_path / "events")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    ev = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00"), (1, 11, "2024-01-01 00:10:00"),
+         (1, 12, "2024-01-01 02:00:00"), (2, 20, "2024-01-01 00:00:00")],
+        "user_id long, event_id long, ts string",
+    ).select("user_id", "event_id", F.to_timestamp("ts").alias("ts"))
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    # update-mode stateful output -> file sink via foreachBatch
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sessionize_stream(stream, gap_seconds=1800)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["session_no"], r["n_events"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert (1, 1, 2) in got       # events 10,11 in one session
+    assert (1, 2, 1) in got       # event 12 after 2h gap
+    assert (2, 1, 1) in got
