@@ -545,6 +545,21 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(docs, "doc_id", "payload")
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: deterministic centroids (vec_id < 3), nprobe=1
+    cell probe, exact rounded-cosine re-rank."""
+    from access_log_parser_spark.operators.similarity import ivf_ann
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return ivf_ann(emb, emb.filter(F.col("vec_id") < 5), cents, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (no SQL oracle: recall<1 by design;
     rows-only check). Deterministic hyperplanes, stable output."""
@@ -619,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "size_histogram": _q_size_histogram,
         "curation_pipeline": _q_curation_pipeline,
         "multimodal_meta": _q_multimodal_meta,
+        "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
         "stream_windowed_counts": _q_stream_windowed_counts,
     }
@@ -927,6 +943,29 @@ WITH q AS (
 ), ranked AS (
   SELECT query_id, neighbor_id,
     ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+_ORACLE["ann_ivf"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 3
+), assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+    (SELECT cid FROM cents
+     ORDER BY list_dot_product(cv, e.embedding::DOUBLE[]) DESC, cid DESC LIMIT 1) AS cell
+  FROM embeddings e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, cell FROM assigned WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.qv, a.v)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5

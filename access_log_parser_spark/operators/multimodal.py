@@ -17,7 +17,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -85,6 +87,69 @@ def decode_media(
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
         run, MEDIA_META_SCHEMA
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, id_col: str, bin_col: str, width: int = 224, height: int = 224
+) -> DataFrame:
+    """Resize stage plumbing: binary in -> (dims, binary) out, one
+    mapInPandas pass. The stub 'resize' truncates/pads the payload
+    deterministically; a real deployment swaps in PIL's resize while the
+    schema, batching and partition shape stay identical."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height // 64  # fake byte budget
+        for pdf in batches:
+            rows = []
+            for mid, data in zip(pdf[id_col], pdf[bin_col]):
+                raw = bytes(data)
+                resized = (raw * (target // max(len(raw), 1) + 1))[:target]
+                rows.append((int(mid), width, height, bytearray(resized)))
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "payload"]
+            )
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(run, RESIZE_SCHEMA)
+
+
+FEATURE_DIM = 16
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Feature-extraction stage plumbing: binary -> fixed-dim float vector
+    (Arrow-batched). The stub derives 16 deterministic floats from the md5
+    digest (unit-normalized); a real model (CLIP et al.) replaces the stub
+    body; downstream ANN/dedup operators consume the vector unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for mid, data in zip(pdf[id_col], pdf[bin_col]):
+                h = hashlib.md5(bytes(data)).digest()
+                v = [(h[i] - 127.5) / 127.5 for i in range(FEATURE_DIM)]
+                norm = sum(x * x for x in v) ** 0.5 or 1.0
+                ids.append(int(mid))
+                vecs.append([x / norm for x in v])
+            yield pd.DataFrame({"media_id": ids, "features": vecs})
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(run, FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, id_col: str, bin_col: str, every_n: int = 10) -> DataFrame:

@@ -104,6 +104,69 @@ def lsh_buckets(
     )
 
 
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (inverted-file cell).
+
+    Centroids are a small driver-side list -> the argmax unrolls to a
+    greatest-of-structs Catalyst expression, no join, no Python. A real
+    deployment trains centroids with k-means (MLlib); for determinism here
+    callers typically use a fixed sample of the corpus as centroids."""
+    v = _as_double(F.col(vec_col))
+    scored = [
+        F.struct(
+            _dot(v, F.array(*[F.lit(float(x)) for x in cvec])).alias("score"),
+            F.lit(cid).alias("cell"),
+        )
+        for cid, cvec in centroids
+    ]
+    best = F.array_max(F.array(*scored))
+    return emb.select(
+        F.col(id_col).alias("id"), v.alias("v"), best["cell"].alias("cell")
+    )
+
+
+def ivf_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate NN: probe only the query's cell (nprobe=1), exact
+    cosine re-rank within it. The cell join shuffles on a small integer
+    key; corpus cells are the bucketing unit a production index would
+    persist partitioned-by-cell for pruned scans."""
+    c = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
+        "id", "neighbor_id"
+    ).withColumnRenamed("v", "cv")
+    q = ivf_assign(queries, centroids, id_col, vec_col).withColumnRenamed(
+        "id", "query_id"
+    ).withColumnRenamed("v", "qv")
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
+        SIM_ROUND,
+    )
+    scored = (
+        c.join(q, on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_ann(
     corpus: DataFrame,
     queries: DataFrame,

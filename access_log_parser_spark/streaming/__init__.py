@@ -1,3 +1,10 @@
+from .stateful import make_sessionizer, sessionize_stream
 from .stream import routed_stream, run_stream_once, windowed_status_counts
 
-__all__ = ["routed_stream", "run_stream_once", "windowed_status_counts"]
+__all__ = [
+    "make_sessionizer",
+    "sessionize_stream",
+    "routed_stream",
+    "run_stream_once",
+    "windowed_status_counts",
+]

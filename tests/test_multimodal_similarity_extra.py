@@ -1,0 +1,67 @@
+"""Resize/feature-extract stubs and IVF ANN."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from access_log_parser_spark.operators import multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return spark.createDataFrame(
+        [(1, bytearray(b"img-one-bytes")), (2, bytearray(b"img-two"))],
+        "media_id long, payload binary",
+    )
+
+
+def test_resize_stub_shape(spark, media):
+    out = {r["media_id"]: r for r in
+           multimodal.resize_media(media, "media_id", "payload", 64, 64).collect()}
+    assert out[1]["width"] == 64 and out[1]["height"] == 64
+    assert len(bytes(out[1]["payload"])) == 64 * 64 // 64
+    # deterministic
+    again = multimodal.resize_media(media, "media_id", "payload", 64, 64).collect()
+    assert {r["media_id"]: bytes(r["payload"]) for r in again} == {
+        k: bytes(v["payload"]) for k, v in out.items()
+    }
+
+
+def test_feature_extract_stub(spark, media):
+    out = {r["media_id"]: r["features"] for r in
+           multimodal.extract_features(media, "media_id", "payload").collect()}
+    v = np.array(out[1])
+    assert v.shape == (multimodal.FEATURE_DIM,)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-5  # unit-normalized
+    assert out[1] != out[2]
+
+
+def test_ivf_ann_finds_planted_neighbor(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(20, 8).astype(np.float32)
+    base[1] = base[0] + 0.01 * rng.randn(8).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    # deterministic centroids: first 3 corpus vectors
+    cents = [(i, [float(x) for x in base[i]]) for i in range(3)]
+    out = similarity.ivf_ann(df, df.filter(F.col("vec_id") == 0), cents, k=3)
+    ids = [r["neighbor_id"] for r in out.orderBy("rank").collect()]
+    assert 1 in ids  # near-identical vector shares the cell
+
+
+def test_ivf_assign_partitions_corpus(spark):
+    rng = np.random.RandomState(3)
+    base = rng.randn(30, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = [(i, [float(x) for x in base[i]]) for i in range(4)]
+    cells = similarity.ivf_assign(df, cents)
+    assert cells.count() == 30
+    assert cells.select("cell").distinct().count() <= 4
+    # each centroid lands in its own cell
+    own = {r["id"]: r["cell"] for r in cells.filter(F.col("id") < 4).collect()}
+    assert all(own[i] == i for i in range(4))
