@@ -49,6 +49,7 @@ class Result:
     source: str = ""
     zip_entries: list[str] = field(default_factory=list)
     errors: list[ParseError] = field(default_factory=list)
+    input_type: str = "string"  # stream/string/file/gzip/zip
 
     def counters(self) -> tuple[int, int, int, int, int]:
         return (self.total, self.matched, self.unmatched, self.excluded, self.skipped)
@@ -56,23 +57,53 @@ class Result:
     def check_invariant(self) -> bool:
         return self.total == self.matched + self.unmatched + self.excluded + self.skipped
 
-    def report(self, top: int = 10) -> str:
-        """Human-readable summary (stand-in for Result.String(),
-        parser_result.go:40-100; layout is ours, content is the same)."""
-        lines = [
-            "/* SUMMARY */",
-            f"Total: {self.total}  Matched: {self.matched}  Unmatched: {self.unmatched}"
-            f"  Excluded: {self.excluded}  Skipped: {self.skipped}",
-            f"ElapsedTime: {self.elapsed_time:.6f}s  Source: {self.source or '-'}",
-        ]
+    def to_json(self) -> str:
+        """Go ``json.Marshal(result)``-compatible serialization: camelCase
+        keys per the struct tags (parser_result.go:17-36), ElapsedTime in
+        nanoseconds, zipEntries/entry omitted when empty."""
+        import json
+
+        out: dict = {
+            "total": self.total,
+            "matched": self.matched,
+            "unmatched": self.unmatched,
+            "excluded": self.excluded,
+            "skipped": self.skipped,
+            "elapsedTime": round(self.elapsed_time * 1_000_000_000),
+            "source": self.source,
+        }
         if self.zip_entries:
-            lines.append(f"ZipEntries: {', '.join(self.zip_entries)}")
-        if self.errors:
-            lines.append(f"/* UNMATCH LINES (top {top}) */")
-            for e in sorted(self.errors, key=lambda e: (e.entry, e.line_number))[:top]:
-                src = f"{e.entry}:" if e.entry else ""
-                lines.append(f"{src}{e.line_number}: {e.line}")
-        return "\n".join(lines)
+            out["zipEntries"] = list(self.zip_entries)
+        errs = []
+        for e in self.errors:
+            d: dict = {}
+            if e.entry:
+                d["entry"] = e.entry
+            d["lineNumber"] = e.line_number
+            d["line"] = e.line
+            errs.append(d)
+        out["errors"] = errs
+        return json.dumps(out, separators=(",", ":"), ensure_ascii=False)
+
+    def report(self, top: int = 10) -> str:
+        """Byte-faithful Result.String() (parser_result.go:40-100; golden
+        layouts in parser_result_test.go) — mintab-style tables, Go
+        duration formatting, fold widths, top-N truncation notice."""
+        from .functions.textreport import render_result
+
+        return render_result(
+            self.total,
+            self.matched,
+            self.unmatched,
+            self.excluded,
+            self.skipped,
+            self.elapsed_time,
+            self.source,
+            self.zip_entries,
+            [(e.entry, e.line_number, e.line) for e in self.errors],
+            self.input_type,
+            top=top,
+        )
 
 
 def _counter_aggs() -> list:

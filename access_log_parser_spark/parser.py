@@ -64,13 +64,19 @@ class BaseParser:
         return out, result
 
     def parse_string(self, s: str) -> tuple[list[str], Result]:
-        return self._run(lines_from_string(self.spark, s))
+        out, r = self._run(lines_from_string(self.spark, s))
+        r.input_type = "string"
+        return out, r
 
     def parse_file(self, path: str) -> tuple[list[str], Result]:
-        return self._run(lines_from_files(self.spark, path), source=basename(path))
+        out, r = self._run(lines_from_files(self.spark, path), source=basename(path))
+        r.input_type = "file"
+        return out, r
 
     def parse_gzip(self, path: str) -> tuple[list[str], Result]:
-        return self._run(lines_from_gzip(self.spark, path), source=basename(path))
+        out, r = self._run(lines_from_gzip(self.spark, path), source=basename(path))
+        r.input_type = "gzip"
+        return out, r
 
     def parse_zip_entries(
         self, zip_path: str, glob_pattern: str = "*"
@@ -96,6 +102,7 @@ class BaseParser:
             .orderBy("source", "line_no")
             .collect()
         ]
+        agg.input_type = "zip"
         agg.zip_entries = [
             r["source"] for r in lines.select("source").distinct().orderBy("source").collect()
         ]
