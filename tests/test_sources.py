@@ -73,3 +73,35 @@ def test_multi_file_glob(spark, datadir):
     # directory scan: one source per file
     out, r = new_s3_parser(spark).parse_file(str(datadir / "*.log"))
     assert r.counters() == (5, 5, 0, 0, 0)
+
+
+def test_parse_ltsv_gzip_roundtrip(spark, tmp_path):
+    # LTSV corpus through the gzip scan (reference testdata matrix:
+    # ltsv x .gz), counters + golden output preserved
+    import gzip as gz
+
+    import golden_ltsv as gl
+    from access_log_parser_spark import LTSVParser
+
+    p = tmp_path / "ltsv.log.gz"
+    with gz.open(p, "wt") as f:
+        f.write(gl.CONTAINS_UNMATCH_INPUT + "\n")
+    out, r = LTSVParser(spark).parse_gzip(str(p))
+    assert r.counters() == (5, 4, 1, 0, 0)
+    assert r.input_type == "gzip"
+    assert len(out) == 4
+
+
+def test_ip_prefix_enrich(spark):
+    from access_log_parser_spark.enrich import ip_prefix_enrich
+
+    facts = spark.createDataFrame(
+        [(1, "10.1.0.5"), (2, "10.2.0.9"), (3, "172.16.0.1")],
+        "id long, remote_ip string",
+    )
+    geo = spark.createDataFrame(
+        [("10.1.0", "US"), ("10.2.0", "DE")], "ip_prefix string, country string"
+    )
+    out = {r["id"]: r["country"] for r in
+           ip_prefix_enrich(facts, geo).collect()}
+    assert out == {1: "US", 2: "DE", 3: None}
