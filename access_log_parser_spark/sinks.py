@@ -70,6 +70,25 @@ def errors_table(spark, out_dir: str) -> DataFrame:
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on a join key so
+    repeated joins/aggregations on that key are co-located: Spark reads
+    matching buckets on both sides and skips the shuffle entirely — the
+    pre-partitioning strategy for dimension/fact tables that are joined
+    every run at 100 TB. Requires a catalog table (``saveAsTable``)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 # --- snapshot/manifest bookkeeping (Iceberg-snapshot stand-in) ---
 
 def manifest_dir(out_dir: str) -> str:
