@@ -284,6 +284,44 @@ def _q_tpch_q3_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q6_selective(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highly selective filter + global aggregate (pushdown showcase)."""
+    li = _load(spark, sf_dir, "lineitem")
+    rev = F.floor(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(rev).alias("revenue_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        )
+    )
+
+
+def _q_tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table join chain (region-nation-customer-orders-lineitem) with
+    broadcast dims and a grouped integer-exact revenue."""
+    r = _load(spark, sf_dir, "region")
+    n = _load(spark, sf_dir, "nation")
+    c = _load(spark, sf_dir, "customer")
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    rev = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.sum(rev).alias("revenue_c"))
+    )
+
+
 def _q_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-join star query with broadcast dims."""
     c = _load(spark, sf_dir, "customer")
@@ -614,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "counters_by_source": _q_counters_by_source,
         "tpch_q1": _q_tpch_q1,
         "tpch_q3_top10": _q_tpch_q3_top10,
+        "tpch_q6_selective": _q_tpch_q6_selective,
+        "tpch_q5_region_revenue": _q_tpch_q5_region_revenue,
         "orders_per_nation": _q_orders_per_nation,
         "anti_join_reconcile": _q_anti_join_reconcile,
         "skew_two_phase": _q_skew_two_phase,
@@ -770,6 +810,25 @@ SELECT l_orderkey,
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderstatus = 'O'
 GROUP BY 1 ORDER BY revenue_c DESC, l_orderkey ASC LIMIT 10
+"""
+
+_ORACLE["tpch_q6_selective"] = """
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+  COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+_ORACLE["tpch_q5_region_revenue"] = """
+SELECT r_name,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY 1
 """
 
 _ORACLE["orders_per_nation"] = """
