@@ -9,6 +9,7 @@ enrichment, aggregation, skew handling and resume are Catalyst-native.
 from .decoders import EXCLUDED, MATCHED, SKIPPED, UNMATCHED
 from .engine import extract_fields, extract_ltsv, fast_parse_routed, parse_routed
 from .filters import FilterError, filters_to_column
+from .grok import compile_grok, grok_parser, grok_to_regex
 from .handlers import HANDLERS
 from .metrics import Result, collect_result, counters_by_sink, counters_by_source
 from .options import Option
@@ -39,6 +40,9 @@ __all__ = [
     "parse_routed",
     "FilterError",
     "filters_to_column",
+    "compile_grok",
+    "grok_parser",
+    "grok_to_regex",
     "HANDLERS",
     "Result",
     "collect_result",
