@@ -32,10 +32,10 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token count + regex (BPE-ish) token count per doc."""
     return df.select(
         "doc_id",
-        F.size(tokens(F.col(text_col))).alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.col(text_col), F.lit(WORD_REGEX), 0)).alias(
-            "re_tokens"
-        ),
+        F.size(tokens(F.col(text_col))).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(WORD_REGEX), 0))
+        .cast("long")
+        .alias("re_tokens"),
     )
 
 
@@ -64,11 +64,11 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
-        n_chars.alias("n_chars"),
-        n_tokens.alias("n_tokens"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
         mean_len.alias("mean_token_len"),
         punct_ratio.alias("punct_ratio"),
-        hits.alias("stopword_hits"),
+        hits.cast("long").alias("stopword_hits"),
         score.alias("quality"),
     )
 
@@ -92,7 +92,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.select(
         "doc_id",
         best["lang"].alias("pred_lang"),
-        best["hits"].alias("pred_hits"),
+        best["hits"].cast("long").alias("pred_hits"),
     )
 
 
