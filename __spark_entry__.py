@@ -89,6 +89,89 @@ TABLES = [
 ]
 
 
+def _n(expr: str) -> str:
+    return f"CAST({expr} AS STRING)"
+
+
+# ALB line (31 space-separated fields per patterns.ALB); every 10th garbage
+_ALB_FIELDS = [
+    "'http'",
+    "'2024-01-01T00:00:00.000000Z'",
+    f"concat('app/lb', {_n('event_id % 3')}, '/abc')",
+    f"concat('192.0.2.', {_n('user_id % 200')}, ':', {_n('1024 + event_id % 1000')})",
+    f"concat('10.0.1.', {_n('event_id % 50')}, ':80')",
+    f"concat('0.00', {_n('event_id % 10')})",
+    "'0.012'",
+    "'0.000'",
+    _n("200 + (event_id % 4) * 100"),
+    "'200'",
+    _n("100 + event_id % 900"),
+    _n("CAST(FLOOR(value * 100) AS BIGINT)"),
+    f"""concat('"GET /', event_type, '/', {_n('event_id')}, ' HTTP/1.1"')""",
+    f"""concat('"ua/', {_n('event_id % 7')}, '"')""",
+    "'ECDHE-RSA-AES128-GCM-SHA256'",
+    "'TLSv1.2'",
+    f"concat('arn:tg/t', {_n('event_id % 5')})",
+    "'\"Root=1-abcdef\"'",
+    f"""concat('"example-', {_n('event_id % 11')}, '.com"')""",
+    "'\"arn:cert\"'",
+    _n("event_id % 4"),
+    "'2024-01-01T00:00:00.000000Z'",
+    "'\"forward\"'",
+    "'\"-\"'",
+    "'\"-\"'",
+    f"""concat('"10.0.1.', {_n('event_id % 50')}, ':80"')""",
+    "'\"200\"'",
+    "'\"-\"'",
+    "'\"-\"'",
+]
+ALB_LINE = (
+    "CASE WHEN event_id % 10 = 0 THEN concat('GARBAGE-', CAST(event_id AS STRING)) "
+    "ELSE concat_ws(' ', " + ", ".join(_ALB_FIELDS) + ") END"
+)
+
+# CloudFront line (33 tab-separated fields per patterns.CLOUDFRONT)
+_CF_FIELDS = [
+    "'2024-01-01'",
+    "'00:00:01'",
+    f"concat('LAX', {_n('event_id % 3')})",
+    _n("CAST(FLOOR(value * 100) AS BIGINT)"),
+    f"concat('192.0.2.', {_n('user_id % 200')})",
+    "'GET'",
+    f"concat('d', {_n('event_id % 5')}, '.cloudfront.net')",
+    f"concat('/', event_type, '/', {_n('event_id')})",
+    _n("200 + (event_id % 4) * 100"),
+    "'-'",
+    f"concat('ua/', {_n('event_id % 7')})",
+    "'-'",
+    "'-'",
+    "'Hit'",
+    f"concat('req', {_n('event_id')})",
+    "'example.com'",
+    "'https'",
+    _n("100 + event_id % 900"),
+    "'0.001'",
+    "'-'",
+    "'TLSv1.2'",
+    "'ECDHE-RSA-AES128-GCM-SHA256'",
+    "'Hit'",
+    "'HTTP/2.0'",
+    "'-'",
+    "'-'",
+    _n("10000 + event_id % 5000"),
+    "'0.001'",
+    "'Hit'",
+    "'text/html'",
+    _n("CAST(FLOOR(value * 100) AS BIGINT)"),
+    "'-'",
+    "'-'",
+]
+CF_LINE = (
+    "CASE WHEN event_id % 10 = 0 THEN concat('GARBAGE-', CAST(event_id AS STRING)) "
+    "ELSE concat_ws(chr(9), " + ", ".join(_CF_FIELDS) + ") END"
+)
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -147,6 +230,76 @@ def _q_parse_ltsv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lv.labels").alias("label"),
         F.col("lv.values").alias("value"),
     )
+
+
+def _q_parse_alb_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALB preset (patterns.ALB <- parser_regex.go:186-200): 31-field
+    space-separated decode with quoted sub-fields."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, ALB_LINE)
+    out = extract_fields(lines, "alb", passthrough=["event_id"])
+    return out.select(
+        "event_id", "pattern_id", "elb_status_code", "sent_bytes",
+        "request_uri", "domain_name", "target_status_code_list",
+    )
+
+
+def _q_parse_cloudfront_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CloudFront preset (patterns.CLOUDFRONT <- parser_regex.go:168-182):
+    33-field tab-separated decode."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, CF_LINE)
+    out = extract_fields(lines, "cloudfront", passthrough=["event_id"])
+    return out.select(
+        "event_id", "pattern_id", "x_edge_location", "sc_status",
+        "cs_uri_stem", "sc_bytes", "cs_protocol_version",
+    )
+
+
+def _q_serialize_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeyValuePairLineHandler output (handler.go:59-75): k="v" space-joined."""
+    from access_log_parser_spark import Option, parse_routed
+
+    ev = _load(spark, sf_dir, "events")
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("source"),
+        F.lit(1).cast("long").alias("line_no"),
+        F.expr(LTSV_LINE).alias("raw"),
+    )
+    routed = parse_routed(lines, "ltsv", Option(line_handler="kv"))
+    return routed.select("source", "out_line")
+
+
+def _q_serialize_ltsv_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTSVLineHandler output (handler.go:78-96): k:v tab-joined."""
+    from access_log_parser_spark import Option, parse_routed
+
+    ev = _load(spark, sf_dir, "events")
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("source"),
+        F.lit(1).cast("long").alias("line_no"),
+        F.expr(LTSV_LINE).alias("raw"),
+    )
+    routed = parse_routed(lines, "ltsv", Option(line_handler="ltsv"))
+    return routed.select("source", "out_line")
+
+
+def _q_serialize_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TSVLineHandler output (handler.go:99-123): values tab-joined with a
+    header line on the first matched row per source (every row here: each
+    line is its own source)."""
+    from access_log_parser_spark import Option, parse_routed
+
+    ev = _load(spark, sf_dir, "events")
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("source"),
+        F.lit(1).cast("long").alias("line_no"),
+        F.expr(LTSV_LINE).alias("raw"),
+    )
+    routed = parse_routed(lines, "ltsv", Option(line_handler="tsv"))
+    return routed.select("source", "out_line")
 
 
 def _q_route_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,6 +725,56 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-20 tokens by frequency (map-side partial agg ->
+    one token-keyed shuffle -> TakeOrdered)."""
+    from access_log_parser_spark.operators.text_quality import vocab_topk
+
+    return vocab_topk(_load(spark, sf_dir, "documents"), k=20).select(
+        "token", F.col("freq").cast("bigint").alias("freq")
+    )
+
+
+def _q_idf_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token document frequency + smoothed IDF (distinct-per-doc
+    explode, broadcast corpus size)."""
+    from access_log_parser_spark.operators.text_quality import doc_frequency_idf
+
+    return doc_frequency_idf(_load(spark, sf_dir, "documents"), min_df=5)
+
+
+def _q_sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-addressed 1/20 sample: stable under
+    repartitioning and engine-portable (md5 bucket, no RNG)."""
+    from access_log_parser_spark.operators.sampling import hash_mod_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return hash_mod_sample(docs, "doc_id", buckets=20).select("doc_id", "source")
+
+
+def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-per-source stratified sample (md5-ordered window)."""
+    from access_log_parser_spark.operators.sampling import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "source", "doc_id", 5).select("source", "doc_id")
+
+
+def _q_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed train/holdout split: disjoint + exhaustive by
+    construction; per-split doc counts."""
+    from access_log_parser_spark.operators.sampling import split_train_holdout
+
+    docs = _load(spark, sf_dir, "documents")
+    train, holdout = split_train_holdout(docs, "doc_id")
+    tagged = train.select(F.lit("train").alias("split"), "doc_id").unionAll(
+        holdout.select(F.lit("holdout").alias("split"), "doc_id")
+    )
+    return tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (bytes + digest) over text payload cast to
     binary — the JVM-side pre-filter of the media decode path."""
@@ -643,9 +846,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_clf_fields": _q_parse_clf_fields,
         "parse_s3_fallbacks": _q_parse_s3_fallbacks,
         "parse_ltsv": _q_parse_ltsv,
+        "parse_alb_fields": _q_parse_alb_fields,
+        "parse_cloudfront_fields": _q_parse_cloudfront_fields,
         "route_counts": _q_route_counts,
         "filter_dsl": _q_filter_dsl,
         "serialize_ndjson": _q_serialize_ndjson,
+        "serialize_kv": _q_serialize_kv,
+        "serialize_ltsv_out": _q_serialize_ltsv_out,
+        "serialize_tsv": _q_serialize_tsv,
         "errors_table": _q_errors_table,
         "enrich_broadcast": _q_enrich_broadcast,
         "agg_by_pattern": _q_agg_by_pattern,
@@ -673,6 +881,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_uris": _q_topk_uris,
         "size_histogram": _q_size_histogram,
         "curation_pipeline": _q_curation_pipeline,
+        "vocab_top20": _q_vocab_top20,
+        "idf_tokens": _q_idf_tokens,
+        "sample_hash_mod": _q_sample_hash_mod,
+        "sample_stratified": _q_sample_stratified,
+        "train_holdout_counts": _q_train_holdout_counts,
         "multimodal_meta": _q_multimodal_meta,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
@@ -727,6 +940,58 @@ SELECT event_id, 2, 'status', CAST(200 + (event_id % 4) * 100 AS STRING) FROM e
 UNION ALL
 SELECT event_id, 3, 'size',
        CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) FROM e
+"""
+
+_ORACLE["parse_alb_fields"] = f"""
+SELECT event_id,
+  CASE WHEN {_CLF_MATCHED} THEN 0 ELSE -1 END AS pattern_id,
+  CASE WHEN {_CLF_MATCHED} THEN CAST(200 + (event_id % 4) * 100 AS STRING) END AS elb_status_code,
+  CASE WHEN {_CLF_MATCHED} THEN CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) END AS sent_bytes,
+  CASE WHEN {_CLF_MATCHED} THEN concat('/', event_type, '/', CAST(event_id AS STRING)) END AS request_uri,
+  CASE WHEN {_CLF_MATCHED} THEN concat('example-', CAST(event_id % 11 AS STRING), '.com') END AS domain_name,
+  CASE WHEN {_CLF_MATCHED} THEN '200' END AS target_status_code_list
+FROM events
+"""
+
+_ORACLE["parse_cloudfront_fields"] = f"""
+SELECT event_id,
+  CASE WHEN {_CLF_MATCHED} THEN 0 ELSE -1 END AS pattern_id,
+  CASE WHEN {_CLF_MATCHED} THEN concat('LAX', CAST(event_id % 3 AS STRING)) END AS x_edge_location,
+  CASE WHEN {_CLF_MATCHED} THEN CAST(200 + (event_id % 4) * 100 AS STRING) END AS sc_status,
+  CASE WHEN {_CLF_MATCHED} THEN concat('/', event_type, '/', CAST(event_id AS STRING)) END AS cs_uri_stem,
+  CASE WHEN {_CLF_MATCHED} THEN CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) END AS sc_bytes,
+  CASE WHEN {_CLF_MATCHED} THEN 'HTTP/2.0' END AS cs_protocol_version
+FROM events
+"""
+
+_ORACLE["serialize_kv"] = """
+SELECT CAST(event_id AS STRING) AS source,
+  concat('remote_host="192.0.2.', CAST(user_id % 200 AS STRING),
+   '" request="GET /', event_type, ' HTTP/1.1',
+   '" status="', CAST(200 + (event_id % 4) * 100 AS STRING),
+   '" size="', CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING),
+   '"') AS out_line
+FROM events
+"""
+
+_ORACLE["serialize_ltsv_out"] = """
+SELECT CAST(event_id AS STRING) AS source,
+  concat('remote_host:192.0.2.', CAST(user_id % 200 AS STRING), chr(9),
+   'request:GET /', event_type, ' HTTP/1.1', chr(9),
+   'status:', CAST(200 + (event_id % 4) * 100 AS STRING), chr(9),
+   'size:', CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING)) AS out_line
+FROM events
+"""
+
+_ORACLE["serialize_tsv"] = """
+SELECT CAST(event_id AS STRING) AS source,
+  concat('remote_host', chr(9), 'request', chr(9), 'status', chr(9), 'size',
+   chr(10),
+   '192.0.2.', CAST(user_id % 200 AS STRING), chr(9),
+   'GET /', event_type, ' HTTP/1.1', chr(9),
+   CAST(200 + (event_id % 4) * 100 AS STRING), chr(9),
+   CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING)) AS out_line
+FROM events
 """
 
 # route_counts semantics: skip line_no==1 (event_id<20) BEFORE decode;
@@ -1094,6 +1359,50 @@ WITH feats AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated
 )
 SELECT source, COUNT(*) AS n_kept FROM kept WHERE rn = 1 GROUP BY 1
+"""
+
+_ORACLE["vocab_top20"] = r"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents
+)
+SELECT token, COUNT(*) AS freq FROM toks
+GROUP BY 1 ORDER BY freq DESC, token ASC LIMIT 20
+"""
+
+_ORACLE["idf_tokens"] = r"""
+WITH per_doc AS (
+  SELECT DISTINCT doc_id,
+    UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM documents
+), dfreq AS (
+  SELECT token, COUNT(*) AS doc_freq FROM per_doc GROUP BY 1
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, doc_freq,
+  ROUND(ln((n_docs + 1) / (doc_freq + 1)), 6) AS idf
+FROM dfreq, n WHERE doc_freq >= 5
+"""
+
+_ORACLE["sample_hash_mod"] = """
+SELECT doc_id, source FROM documents
+WHERE CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8) AS BIGINT) % 20 = 0
+"""
+
+_ORACLE["sample_stratified"] = """
+WITH r AS (
+  SELECT source, doc_id,
+    ROW_NUMBER() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
+  FROM documents)
+SELECT source, doc_id FROM r WHERE rn <= 5
+"""
+
+_ORACLE["train_holdout_counts"] = """
+SELECT CASE
+    WHEN CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8) AS BIGINT) % 100 = 0
+    THEN 'holdout' ELSE 'train' END AS split,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY 1
 """
 
 _ORACLE["multimodal_meta"] = """

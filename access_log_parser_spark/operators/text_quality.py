@@ -96,6 +96,49 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus-level top-k tokens by total frequency (deterministic
+    tie-break: token ascending).
+
+    Plan shape at scale: explode -> partial count per partition (map-side
+    combine) -> one shuffle on token -> final count -> TakeOrdered(k) on
+    the driver. The result is k rows regardless of corpus size; the only
+    full-data shuffle is keyed on the token with partial aggregation, so
+    skewed tokens ("the") are pre-reduced map-side.
+    """
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
+def doc_frequency_idf(
+    df: DataFrame, min_df: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Per-token document frequency + smoothed IDF:
+    ``idf = round(ln((N + 1) / (df + 1)), 6)``.
+
+    Tokens are counted once per document (distinct within doc), the
+    standard DF definition. N (corpus size) rides along via a broadcast
+    1-row cross join, so the plan stays a single token-keyed shuffle with
+    map-side partial counts.
+    """
+    per_doc = df.select(
+        F.col("doc_id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token"),
+    )
+    dfreq = per_doc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    out = dfreq.join(F.broadcast(n))
+    idf = F.round(F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 6)
+    return out.filter(F.col("df") >= min_df).select(
+        "token", F.col("df").cast("long").alias("doc_freq"), idf.alias("idf")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text —
     the exact-dedup key, stable across engines."""
