@@ -584,6 +584,24 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash+LSH candidate pairs over a corpus with injected
+    exact duplicates (doc_id + 100000): every doc must pair with its copy
+    (identical signatures agree on all bands), plus any natural band
+    collisions. Full scale path: JVM signatures -> banded self-join."""
+    from access_log_parser_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_jvm,
+    )
+
+    base = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    sigs = minhash_signatures_jvm(base.unionAll(dup))
+    return lsh_candidate_pairs(sigs).select("id_a", "id_b")
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs over an inverted shingle index,
     restricted to doc_id < 200 to bound the oracle's pairwise work."""
@@ -870,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_time_buckets": _q_event_time_buckets,
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_lsh_pairs": _q_dedup_lsh_pairs,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_count": _q_text_token_count,
@@ -1159,6 +1178,39 @@ WITH toks AS (
 )
 SELECT doc_id, {_mh_sql(0, 3, 7919)}, {_mh_sql(7, 17, 63352)}, {_mh_sql(15, 33, 126704)}
 FROM grams GROUP BY doc_id
+"""
+
+# full-width (k=16) signature + 4-band LSH join, same formula as
+# dedup_minhash_lsh (a_i = 2i+3, b_i = 7919*(i+1))
+_MH_ALL = ", ".join(_mh_sql(i, 2 * i + 3, 7919 * (i + 1)) for i in range(16))
+_BAND_SELECTS = "\n  UNION ALL ".join(
+    "SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', {cols})) AS band_key FROM sig".format(
+        b=b,
+        cols=", ".join(f"CAST(mh_{i} AS STRING)" for i in range(4 * b, 4 * b + 4)),
+    )
+    for b in range(4)
+)
+
+_ORACLE["dedup_lsh_pairs"] = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_TEXT} AS norm FROM documents WHERE doc_id < 100
+), corpus AS (
+  SELECT doc_id, norm FROM base
+  UNION ALL SELECT doc_id + 100000, norm FROM base
+), toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM corpus
+), grams AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+), sig AS (
+  SELECT doc_id, {_MH_ALL}
+  FROM grams GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 """
 
 _ORACLE["dedup_ngram_jaccard"] = f"""
