@@ -177,8 +177,17 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _event_lines(spark: SparkSession, sf_dir: str, line_sql: str) -> DataFrame:
-    """events -> (source, line_no, raw [, event_id]) lines DataFrame."""
-    ev = _load(spark, sf_dir, "events")
+    """events -> (source, line_no, raw [, event_id]) lines DataFrame.
+
+    The sf-dir events table is ONE parquet file with one row group, so a
+    plain read is a single input split and the decode UDF would run on one
+    core. Ingest round-robin repartition spreads the batch across the
+    cluster before the (CPU-heavy) decode — at 100 TB the source arrives
+    as many splits and this becomes a no-op-sized shuffle of raw lines.
+    """
+    ev = _load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return ev.select(
         F.col("event_id"),
         F.expr(SRC).alias("source"),
@@ -238,7 +247,11 @@ def _q_parse_alb_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from access_log_parser_spark import extract_fields
 
     lines = _event_lines(spark, sf_dir, ALB_LINE)
-    out = extract_fields(lines, "alb", passthrough=["event_id"])
+    out = extract_fields(
+        lines, "alb", passthrough=["event_id"],
+        fields=["elb_status_code", "sent_bytes", "request_uri",
+                "domain_name", "target_status_code_list"],
+    )
     return out.select(
         "event_id", "pattern_id", "elb_status_code", "sent_bytes",
         "request_uri", "domain_name", "target_status_code_list",
@@ -251,7 +264,11 @@ def _q_parse_cloudfront_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     from access_log_parser_spark import extract_fields
 
     lines = _event_lines(spark, sf_dir, CF_LINE)
-    out = extract_fields(lines, "cloudfront", passthrough=["event_id"])
+    out = extract_fields(
+        lines, "cloudfront", passthrough=["event_id"],
+        fields=["x_edge_location", "sc_status", "cs_uri_stem",
+                "sc_bytes", "cs_protocol_version"],
+    )
     return out.select(
         "event_id", "pattern_id", "x_edge_location", "sc_status",
         "cs_uri_stem", "sc_bytes", "cs_protocol_version",
@@ -262,7 +279,9 @@ def _q_serialize_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KeyValuePairLineHandler output (handler.go:59-75): k="v" space-joined."""
     from access_log_parser_spark import Option, parse_routed
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     lines = ev.select(
         F.col("event_id").cast("string").alias("source"),
         F.lit(1).cast("long").alias("line_no"),
@@ -276,7 +295,9 @@ def _q_serialize_ltsv_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LTSVLineHandler output (handler.go:78-96): k:v tab-joined."""
     from access_log_parser_spark import Option, parse_routed
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     lines = ev.select(
         F.col("event_id").cast("string").alias("source"),
         F.lit(1).cast("long").alias("line_no"),
@@ -292,7 +313,9 @@ def _q_serialize_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     line is its own source)."""
     from access_log_parser_spark import Option, parse_routed
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     lines = ev.select(
         F.col("event_id").cast("string").alias("source"),
         F.lit(1).cast("long").alias("line_no"),
@@ -336,7 +359,9 @@ def _q_serialize_ndjson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Byte-exact NDJSON serialization of LTSV-decoded lines."""
     from access_log_parser_spark import parse_routed
 
-    ev = _load(spark, sf_dir, "events")
+    ev = _load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     lines = ev.select(
         F.col("event_id").cast("string").alias("source"),
         F.lit(1).cast("long").alias("line_no"),

@@ -46,6 +46,8 @@ def regex_decode_batch(
     """
     if not patterns:
         raise NoPatternError
+    from .patterns import fast_twin
+
     n = len(lines)
     pids = [-1] * n
     vals: list[list[str] | None] = [None] * n
@@ -54,9 +56,20 @@ def regex_decode_batch(
         if not pending:
             break
         search = pat.search
+        # tab-separated patterns get a guarded backtracking-free twin
+        # (~67x on CloudFront); see patterns.fast_twin for the soundness
+        # argument — twin and original are exchangeable exactly when the
+        # line's tab count equals the separator count.
+        twin = fast_twin(pat)
+        if twin is not None:
+            fast_search, n_tabs = twin[0].search, twin[1]
         misses = []
         for i in pending:
-            m = search(lines[i])
+            line = lines[i]
+            if twin is not None and line.count("\t") == n_tabs:
+                m = fast_search(line)
+            else:
+                m = search(line)
             if m is not None:
                 pids[i] = pid
                 # Go returns "" for unparticipating groups (matches[1:]);

@@ -260,6 +260,7 @@ def extract_fields(
     passthrough: Sequence[str] = (),
     line_col: str = "raw",
     raw_when_unmatched: bool = False,
+    fields: Sequence[str] | None = None,
 ) -> DataFrame:
     """Structured surface: decode lines into typed string columns.
 
@@ -268,6 +269,13 @@ def extract_fields(
     pattern are NULL; pattern_id = -1 marks unmatched rows). This is the
     column-oriented equivalent of the reference's (labels, values) slices
     (parser_core.go:69) and feeds joins/aggregations without further Python.
+
+    ``fields`` pushes column pruning through the UDF boundary: Catalyst
+    cannot prune inside a black-box ``mapInPandas``, so a downstream
+    ``.select`` of 5 of 33 CloudFront fields would otherwise still pay
+    Python materialization + Arrow transfer for all 33. Selection keeps
+    union (line) order and silently drops unknown names — the reference's
+    ``selectLabels`` semantics (parser_core.go:291-305).
     """
     pattern_strs = _resolve_patterns(fmt)
     if not pattern_strs:
@@ -276,6 +284,9 @@ def extract_fields(
         pat.validate_pattern(p)
     compiled0 = [pat.validate_pattern(p) for p in pattern_strs]
     union = pat.union_schema(compiled0)
+    if fields is not None:
+        wanted = set(fields)
+        union = [n for n in union if n in wanted]
 
     passthrough = list(passthrough)
     out_schema = StructType(

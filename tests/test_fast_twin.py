@@ -1,0 +1,102 @@
+"""fast_twin: the guarded backtracking-free rewrite for tab-separated
+patterns (patterns.fast_twin) must be observationally identical to the
+original pattern through the batch decoder, including on adversarial
+lines (extra/missing tabs, quotes inside fields, trailing garbage) where
+the guard forces fallback to the original engine.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from access_log_parser_spark import decoders
+from access_log_parser_spark.patterns import (
+    ALB,
+    APACHE_CLF,
+    CLOUDFRONT,
+    NLB,
+    S3,
+    fast_twin,
+)
+
+
+def _cf_line(n_fields: int = 33, inject: str | None = None) -> str:
+    fields = [
+        "2024-01-01", "00:00:01", "LAX1", "655", "192.0.2.8", "GET",
+        "d0.cloudfront.net", "/x/0", "200", "-", "ua/0", "-", "-", "Hit",
+        "req0", "example.com", "https", "100", "0.001", "-", "TLSv1.2",
+        "ECDHE", "Hit", "HTTP/2.0", "-", "-", "10000", "0.001", "Hit",
+        "text/html", "655", "-", "-",
+    ][:n_fields]
+    if inject is not None:
+        fields[9] = inject  # cs_referer: the [^\"]* backtracking hotspot
+    return "\t".join(fields)
+
+
+ADVERSARIAL = [
+    _cf_line(),                          # well-formed
+    _cf_line(32),                        # one field short
+    _cf_line() + "\textra",              # extra 34th field
+    _cf_line() + " trailing",            # trailing junk, same tab count
+    _cf_line(inject="has space ref"),    # spaces inside referer
+    _cf_line(inject='q"uote'),           # quote inside referer
+    "GARBAGE",                           # no tabs at all
+    "",                                  # empty line
+    "\t".join(["-"] * 33),               # all-dash fields
+    "a\tb",                              # 2 fields
+]
+
+
+def test_cf_twin_exists_and_clf_space_variant_does_not():
+    assert fast_twin(re.compile(CLOUDFRONT[0])) is not None
+    assert fast_twin(re.compile(APACHE_CLF[0])) is None  # space-separated
+    assert fast_twin(re.compile(APACHE_CLF[2])) is not None  # tab variant
+    assert fast_twin(re.compile(ALB[0])) is None
+    assert fast_twin(re.compile(NLB[0])) is None
+    assert fast_twin(re.compile(S3[0])) is None
+
+
+@pytest.mark.parametrize("pattern", [CLOUDFRONT[0], APACHE_CLF[2], APACHE_CLF[3]])
+def test_twin_identical_to_original_on_adversarial_lines(pattern):
+    orig = re.compile(pattern)
+    lines = ADVERSARIAL + [
+        '1.2.3.4\t-\tu\t[12/Mar/2023:10:55:36 +0000]\t"GET / HTTP/1.1"\t200\t1\t"-"\t"ua"',
+        '1.2.3.4\t-\tu\t[12/Mar/2023:10:55:36 +0000]\t"GET / HTTP/1.1"\t200\t1',
+        '1.2.3.4\t-\tu\t[tab\tin brackets]\t"GET / HTTP/1.1"\t200\t1\t"-"\t"ua"',
+    ]
+    pids, vals = decoders.regex_decode_batch(lines, [orig], [["x"]])
+    for line, pid, val in zip(lines, pids, vals):
+        m = orig.search(line)  # plain engine, no twin
+        if m is None:
+            assert pid == -1 and val is None, line
+        else:
+            assert pid == 0, line
+            assert val == ["" if g is None else g for g in m.groups()], line
+
+
+def test_twin_group_values_match_on_matched_corpus():
+    orig = re.compile(CLOUDFRONT[0])
+    twin, n_tabs = fast_twin(orig)
+    assert n_tabs == 32
+    line = _cf_line()
+    assert line.count("\t") == n_tabs
+    assert twin.search(line).groupdict() == orig.search(line).groupdict()
+
+
+def test_twin_is_fast():
+    import time
+
+    orig = re.compile(CLOUDFRONT[0])
+    twin, _ = fast_twin(orig)
+    line = _cf_line()
+    t0 = time.monotonic()
+    for _ in range(500):
+        twin.search(line)
+    fast_t = time.monotonic() - t0
+    t0 = time.monotonic()
+    for _ in range(500):
+        orig.search(line)
+    slow_t = time.monotonic() - t0
+    assert fast_t < slow_t / 5  # conservatively 5x; measured ~67x
