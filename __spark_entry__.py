@@ -172,6 +172,16 @@ CF_LINE = (
 )
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, round-robin repartitioned: the sf-dir table is ONE
+    parquet row group (a single input split), so per-doc-heavy operators
+    (shingling, hashing) would otherwise run on one core. At 100 TB the
+    table arrives as many splits and this shuffle disappears."""
+    return _load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -599,7 +609,7 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully JVM-side (explode + md5 + decimal min-agg, one shuffle)."""
     from access_log_parser_spark.operators.dedup import minhash_signatures_jvm
 
-    docs = _load(spark, sf_dir, "documents")
+    docs = _docs_par(spark, sf_dir)
     sigs = minhash_signatures_jvm(docs)
     return sigs.select(
         "doc_id",
@@ -619,7 +629,7 @@ def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         minhash_signatures_jvm,
     )
 
-    base = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+    base = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 100).select(
         "doc_id", "text"
     )
     dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
@@ -632,7 +642,7 @@ def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     restricted to doc_id < 200 to bound the oracle's pairwise work."""
     from access_log_parser_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 200)
     return ngram_jaccard_pairs(docs, threshold=0.2, n=3)
 
 
@@ -640,7 +650,7 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash fingerprints (md5 token hashes, sign-sum bits)."""
     from access_log_parser_spark.operators.dedup import simhash
 
-    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 200)
     return simhash(docs)
 
 

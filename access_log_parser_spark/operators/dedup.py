@@ -138,20 +138,44 @@ def minhash_signatures_jvm(
     """Zero-Python MinHash: explode distinct shingles, hash JVM-side
     (``conv(substr(md5(g),1,15),16,10)`` == Python ``int(md5[:15],16)``),
     then ONE hash aggregation computes all k signature minima. The
-    (a*h+b) permutation runs in DECIMAL(38,0) because a*h overflows
-    int64; results are bit-identical to :func:`_minhash_py` and the
-    DuckDB oracle. This is the scale path: one shuffle on doc_id with
-    map-side partial mins, no Arrow transfer."""
+    (a*h+b) mod 2^61-1 permutation runs in pure int64 via Mersenne
+    folding (see inline comment) — bit-identical to :func:`_minhash_py`
+    and the DuckDB oracle, no decimal arithmetic. This is the scale
+    path: one shuffle on doc_id with map-side partial mins, no Arrow
+    transfer."""
     sh = df.select(F.col("doc_id"), shingles(F.col(text_col), n).alias("sh"))
     ex = sh.select("doc_id", F.explode("sh").alias("g"))
-    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("decimal(38,0)")
+    # (a*h + b) mod 2^61-1 in pure int64 (no decimal): h < 2^60, a <= 33,
+    # so a*h overflows; split h = h_hi*2^31 + h_lo and fold with
+    # 2^61 === 1 (mod M):  a*h = t*2^31 + a*h_lo  with t = a*h_hi, and
+    # t*2^31 === (t >> 30) + ((t & (2^30-1)) << 31).  Every term stays
+    # below 2^61, the sum below 2*M, so one conditional subtract finishes
+    # the mod. ~7 int64 ops per permutation, all whole-stage codegen.
+    h = F.conv(F.substring(F.md5(F.col("g")), 1, 15), 16, 10).cast("long")
+    # materialize the split halves ONCE per shingle row: aggregate
+    # expressions don't share subexpressions, so referencing md5() inside
+    # all 16 mins would recompute the digest 16x per row
+    hx = ex.select(
+        "doc_id",
+        F.shiftright(h, 31).alias("h_hi"),
+        h.bitwiseAND(F.lit((1 << 31) - 1)).alias("h_lo"),
+    )
+
+    def perm(a: int, b: int):
+        t = F.lit(a) * F.col("h_hi")
+        s = (
+            F.lit(a) * F.col("h_lo")
+            + F.shiftleft(t.bitwiseAND(F.lit((1 << 30) - 1)), 31)
+            + F.shiftright(t, 30)
+            + F.lit(b)
+        )
+        return F.when(s >= MERSENNE, s - MERSENNE).otherwise(s)
+
     aggs = [
-        F.min((F.lit(a).cast("decimal(38,0)") * h + F.lit(b)) % F.lit(MERSENNE))
-        .cast("long")
-        .alias(f"mh_{i}")
+        F.min(perm(a, b)).alias(f"mh_{i}")
         for i, (a, b) in enumerate(zip(_A, _B))
     ]
-    out = ex.groupBy("doc_id").agg(*aggs)
+    out = hx.groupBy("doc_id").agg(*aggs)
     return out.select(
         "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(MINHASH_K)]).alias("sig")
     )
