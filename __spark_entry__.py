@@ -510,6 +510,29 @@ def _q_tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS) + grouped count — TPC-H q4 shape: orders
+    having at least one late lineitem, counted per orderpriority."""
+    o = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    late = li.filter(F.col("l_shipdate") >= "1996-01-01").select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+    )
+
+
+def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation (two-phase expand-dedup): exact distinct users
+    + total events per event type."""
+    ev = _load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
+
+
 def _q_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-join star query with broadcast dims."""
     c = _load(spark, sf_dir, "customer")
@@ -828,6 +851,16 @@ def _q_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_replay_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.dedup_replays_within_watermark: an
+    at-least-once shipper redelivers every event; dropDuplicates on the
+    delivery key restores exactly-once. (The streaming variant with
+    bounded watermark state is tested in test_streaming.)"""
+    ev = _load(spark, sf_dir, "events").select("event_id", "event_type")
+    replayed = ev.unionAll(ev)
+    return replayed.dropDuplicates(["event_id"]).select("event_id", "event_type")
+
+
 def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata (bytes + digest) over text payload cast to
     binary — the JVM-side pre-filter of the media decode path."""
@@ -915,6 +948,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_top10": _q_tpch_q3_top10,
         "tpch_q6_selective": _q_tpch_q6_selective,
         "tpch_q5_region_revenue": _q_tpch_q5_region_revenue,
+        "tpch_q4_semijoin": _q_tpch_q4_semijoin,
+        "distinct_users": _q_distinct_users,
         "orders_per_nation": _q_orders_per_nation,
         "anti_join_reconcile": _q_anti_join_reconcile,
         "skew_two_phase": _q_skew_two_phase,
@@ -940,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_mod": _q_sample_hash_mod,
         "sample_stratified": _q_sample_stratified,
         "train_holdout_counts": _q_train_holdout_counts,
+        "dedup_replay_batch": _q_dedup_replay_batch,
         "multimodal_meta": _q_multimodal_meta,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
@@ -1148,6 +1184,20 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY 1
+"""
+
+_ORACLE["tpch_q4_semijoin"] = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey AND l_shipdate >= '1996-01-01')
+GROUP BY 1
+"""
+
+_ORACLE["distinct_users"] = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+FROM events GROUP BY 1
 """
 
 _ORACLE["orders_per_nation"] = """
@@ -1490,6 +1540,12 @@ SELECT CASE
     THEN 'holdout' ELSE 'train' END AS split,
   COUNT(*) AS n_docs
 FROM documents GROUP BY 1
+"""
+
+_ORACLE["dedup_replay_batch"] = """
+SELECT DISTINCT event_id, event_type
+FROM (SELECT event_id, event_type FROM events
+      UNION ALL SELECT event_id, event_type FROM events)
 """
 
 _ORACLE["multimodal_meta"] = """

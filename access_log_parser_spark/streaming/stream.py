@@ -70,6 +70,28 @@ def run_stream_once(
     )
 
 
+def dedup_replays_within_watermark(
+    lines_with_ts: DataFrame,
+    key_cols: tuple[str, ...] = ("source", "line_no"),
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once dedup of replayed log lines in a stream.
+
+    Log shippers redeliver on retry; at 10^12 docs a full-history distinct
+    is unbounded state. ``dropDuplicatesWithinWatermark`` keeps only the
+    keys seen within the watermark horizon, so state is bounded by the
+    replay window (deliveries of the same line are assumed to arrive
+    within ``watermark`` of each other — the standard at-least-once
+    shipper contract). Batch twin for oracle checks: a plain
+    ``dropDuplicates(key_cols)``.
+    """
+    wm = lines_with_ts.withWatermark(ts_col, watermark)
+    if hasattr(wm, "dropDuplicatesWithinWatermark"):
+        return wm.dropDuplicatesWithinWatermark(list(key_cols))
+    return wm.dropDuplicates(list(key_cols))  # pragma: no cover
+
+
 def windowed_status_counts(
     routed_with_ts: DataFrame,
     window: str = "1 hour",

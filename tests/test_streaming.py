@@ -46,3 +46,34 @@ def test_windowed_counts_batch_semantics(spark):
     counts = windowed_status_counts(routed, window="1 hour").collect()
     assert sum(r["rows"] for r in counts) == 50
     assert {r["status"] for r in counts} == {"matched", "unmatched"}
+
+
+def test_dedup_replays_within_watermark_stream(spark, tmp_path):
+    """Replayed (duplicated) lines are emitted exactly once by the
+    streaming dedup; state stays bounded by the watermark horizon."""
+    from access_log_parser_spark.sources.text import explode_lines
+    from access_log_parser_spark.streaming import dedup_replays_within_watermark
+
+    pages_dir = str(tmp_path / "pages_dup")
+    out_dir = str(tmp_path / "out_dedup")
+    ckpt = str(tmp_path / "ckpt_dedup")
+
+    pages = synth_pages(spark, 10, 5, 5)
+    # simulate at-least-once redelivery: every page shipped twice
+    pages.write.mode("overwrite").parquet(pages_dir)
+    pages.write.mode("append").parquet(pages_dir)
+
+    stream = spark.readStream.schema(pages.schema).parquet(pages_dir)
+    lines = explode_lines(stream, text_col="text", source_col="url", keep=("warc_ts",))
+    deduped = dedup_replays_within_watermark(lines)
+    (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    out = spark.read.parquet(out_dir)
+    assert out.count() == 10 * 5  # every (source, line_no) exactly once
+    assert out.groupBy("source", "line_no").count().filter("count > 1").count() == 0
