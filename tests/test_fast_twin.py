@@ -100,3 +100,29 @@ def test_twin_is_fast():
         orig.search(line)
     slow_t = time.monotonic() - t0
     assert fast_t < slow_t / 5  # conservatively 5x; measured ~67x
+
+
+# --- property-based equivalence ---
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _field = st.text(
+        alphabet=st.sampled_from(list("ab5.-\"' \t[]/:")), min_size=0, max_size=8
+    )
+
+    @given(st.lists(_field, min_size=0, max_size=40), st.sampled_from([0, 1, 2]))
+    @settings(max_examples=300, deadline=None)
+    def test_twin_property_random_lines(parts, which):
+        pattern = [CLOUDFRONT[0], APACHE_CLF[2], APACHE_CLF[3]][which]
+        orig = re.compile(pattern)
+        line = "\t".join(parts)
+        pids, vals = decoders.regex_decode_batch([line], [orig], [["x"]])
+        m = orig.search(line)
+        if m is None:
+            assert pids[0] == -1 and vals[0] is None
+        else:
+            assert pids[0] == 0
+            assert vals[0] == ["" if g is None else g for g in m.groups()]
+except ImportError:  # pragma: no cover
+    pass
