@@ -58,7 +58,20 @@ def extract_fields_jvm(
     for i, cp in enumerate(compiled):
         repl = SEP.join(f"${j}" for j in range(1, cp.groups + 1))
         jp = "(?s)" + to_java_regex(pattern_strs[i]) + ".*$"
-        rewritten.append(F.regexp_replace(raw, jp, repl))
+        base = F.regexp_replace(raw, jp, repl)
+        # Java regex backtracks on tab-spanning negated classes exactly
+        # like Python (patterns.fast_twin docstring); same guarded twin,
+        # guard evaluated per row as a Catalyst CASE
+        twin = pat.fast_twin(cp)
+        if twin is not None:
+            twin_jp = "(?s)" + to_java_regex(twin[0].pattern) + ".*$"
+            tab_count = F.length(raw) - F.length(
+                F.replace(raw, F.lit("\t"), F.lit(""))
+            )
+            base = F.when(
+                tab_count == twin[1], F.regexp_replace(raw, twin_jp, repl)
+            ).otherwise(base)
+        rewritten.append(base)
 
     pid: Column | None = None
     vals: Column | None = None

@@ -89,3 +89,21 @@ def test_pipeline_auto_uses_fast(spark, tmp_path):
     rep = run_pipeline(spark, pages, str(tmp_path / "o"), fmt="s3", engine="auto")
     assert rep.result.counters() == (200, 160, 40, 0, 0)
     assert read_sink(spark, str(tmp_path / "o")).count() == 200
+
+
+def test_jvm_cloudfront_twin_equivalence_adversarial(spark):
+    """JVM decoder's guarded tab-twin must agree with the Python decoder
+    on adversarial CloudFront lines (extra/missing tabs, quotes, spaces)."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.functions.jvm_decode import extract_fields_jvm
+    from tests.test_fast_twin import ADVERSARIAL
+
+    lines = spark.createDataFrame(
+        [(str(i), i + 1, s) for i, s in enumerate(ADVERSARIAL)],
+        ["source", "line_no", "raw"],
+    )
+    py = extract_fields(lines, "cloudfront", passthrough=["source"])
+    jvm = extract_fields_jvm(lines, "cloudfront", passthrough=["source"])
+    a = sorted(map(tuple, py.collect()))
+    b = sorted(map(tuple, jvm.collect()))
+    assert a == b
