@@ -121,19 +121,50 @@ def run_headline() -> tuple[dict, dict]:
     return head, qtimes
 
 
-def _scale_pair(n: int, big: int, frac: int = 1) -> dict:
-    """Same job, same input, local[N] vs local[4N]; min-of-2 per level."""
-    results = {}
-    for cores in (n, big):
-        spark = _session(cores)
-        n_pages = _n_pages(spark) // frac
-        tmp = tempfile.mkdtemp(prefix=f"alp_scale_{cores}_")
-        try:
-            parse_route_job(spark, max(n_pages // 20, 100), os.path.join(tmp, "warm"))
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
-        results[cores] = _best_of(spark, n_pages)
-        spark.stop()
+def _scale_one(cores: int, frac: int) -> None:
+    """Subprocess entry: warm up, run the headline job once at ``cores``,
+    print one JSON result line."""
+    spark = _session(cores)
+    n_pages = _n_pages(spark) // frac
+    tmp = tempfile.mkdtemp(prefix=f"alp_scale_{cores}_")
+    try:
+        parse_route_job(spark, max(n_pages // 20, 100), os.path.join(tmp, "warm"))
+        r = parse_route_job(spark, n_pages, os.path.join(tmp, "run"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    print("SCALE_RESULT " + json.dumps(r))
+
+
+def _scale_pair(n: int, big: int, frac: int = 1, trials: int = 3) -> dict:
+    """Same job, same input, local[N] vs local[4N].
+
+    The sandbox VM throttles ~40% under sustained load, so measuring one
+    level entirely after the other biases whichever ran later. Each trial
+    runs in its own subprocess (one SparkContext per process) and trials
+    are INTERLEAVED (small, big, small, big, ...) with min-per-level, so
+    both levels sample the same throttle regimes."""
+    import subprocess
+
+    results: dict[int, dict | None] = {n: None, big: None}
+    for _ in range(trials):
+        for cores in (n, big):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--scale-one",
+                 str(cores), str(frac)],
+                capture_output=True, text=True, timeout=1800,
+                env={**os.environ, "ALP_BENCH_QUERIES": "0",
+                     "ALP_BENCH_SCALING": "0"},
+            )
+            line = next(
+                (ln for ln in out.stdout.splitlines()
+                 if ln.startswith("SCALE_RESULT ")), None,
+            )
+            if line is None:
+                raise RuntimeError(f"scale subprocess failed: {out.stderr[-2000:]}")
+            r = json.loads(line[len("SCALE_RESULT "):])
+            if results[cores] is None or r["elapsed"] < results[cores]["elapsed"]:
+                results[cores] = r
     t_n, t_4n = results[n]["elapsed"], results[big]["elapsed"]
     return {
         "cores_small": n,
@@ -158,6 +189,9 @@ def run_scaling(cpus: int) -> dict:
 
 
 def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--scale-one":
+        _scale_one(int(sys.argv[2]), int(sys.argv[3]))
+        return
     head, qtimes = run_headline()
     scaling = None
     if os.environ.get("ALP_BENCH_SCALING", "1") != "0":
