@@ -14,7 +14,6 @@ partial -> per-archive final merge (parser_core.go:152-163).
 
 from __future__ import annotations
 
-import fnmatch
 import io
 import zipfile
 from collections.abc import Iterator
@@ -49,8 +48,15 @@ def _scan_lines(data: bytes) -> list[str]:
 def lines_from_zip_entries(
     spark: SparkSession, zip_path: str, glob_pattern: str = "*"
 ) -> DataFrame:
-    """(archive, source=entry, line_no, raw) for glob-matching entries."""
+    """(archive, source=entry, line_no, raw) for glob-matching entries.
 
+    Entry names are matched with Go ``filepath.Match`` semantics
+    (functions/go_glob.py): ``*``/``?`` do not cross ``/`` and a
+    malformed pattern raises (parser_core.go:535-538) — validated
+    driver-side before any task runs."""
+    from ..functions.go_glob import translate
+
+    glob_re = translate(glob_pattern)  # driver-side validation, Go-faithful
     bins = spark.read.format("binaryFile").load(zip_path).select("path", "content")
 
     def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -60,7 +66,7 @@ def lines_from_zip_entries(
                 base = path.rsplit("/", 1)[-1]
                 with zipfile.ZipFile(io.BytesIO(bytes(content))) as zf:
                     for info in zf.infolist():
-                        if not fnmatch.fnmatchcase(info.filename, glob_pattern):
+                        if glob_re.match(info.filename) is None:
                             continue
                         lines = _scan_lines(zf.read(info))
                         rows.extend(
