@@ -58,3 +58,31 @@ def test_randomized_equivalence(spark):
             trial,
             opt,
         )
+
+
+def test_randomized_equivalence_cloudfront(spark):
+    """Same 3-engine sweep over a CloudFront corpus — exercises the
+    tab-separated fast-twin decode (patterns.fast_twin) on all paths,
+    including adversarial lines where the tab-count guard must fall back."""
+    from tests.test_fast_twin import ADVERSARIAL, _cf_line
+
+    rng = random.Random(7)
+    corpus = "\n".join(
+        [_cf_line(), "junk", _cf_line(inject="ref with space"),
+         _cf_line() + "\textra", _cf_line(32), _cf_line(inject='q"uote')]
+        + ADVERSARIAL[-3:]
+    ).replace("\n\n", "\n \n")  # no empty physical lines (scanner drops none)
+    lines = lines_from_string(spark, corpus)
+    for trial in range(4):
+        opt = Option(
+            labels=tuple(rng.sample(["x_edge_location", "sc_status", "cs_uri_stem"],
+                                    rng.randint(0, 2))),
+            skip_lines=tuple(sorted(rng.sample(range(1, 9), rng.randint(0, 2)))),
+            line_number=rng.random() < 0.5,
+            line_handler=rng.choice(HANDLERS),
+        )
+        base = rows(parse_routed(lines, "cloudfront", opt))
+        assert rows(fast_parse_routed(lines, "cloudfront", opt)) == base, (trial, opt)
+        assert rows(
+            fast_parse_routed(lines, "cloudfront", opt, decoder="jvm")
+        ) == base, (trial, opt)
