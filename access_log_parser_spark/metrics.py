@@ -147,6 +147,20 @@ def counters_by_sink(routed: DataFrame) -> DataFrame:
     )
 
 
+def counters_by_partition(routed: DataFrame) -> DataFrame:
+    """Per-PARTITION lineage counters (north_rule: "per-partition lineage
+    + metrics"): which task processed how many rows with which outcomes.
+    ``spark_partition_id()`` is evaluated map-side before the aggregation
+    shuffle, so the breakdown reflects the physical input partitions of
+    the routed stage; the partial/final agg keeps it one tiny shuffle.
+    Invariant: summing over partitions reproduces the global Result."""
+    return (
+        routed.withColumn("partition_id", F.spark_partition_id())
+        .groupBy("partition_id")
+        .agg(*_counter_aggs())
+    )
+
+
 def collect_result(routed: DataFrame, source: str = "", elapsed: float = 0.0) -> Result:
     """Aggregate counters + errors list into a Result (test/driver path)."""
     row = routed.agg(*_counter_aggs()).collect()[0]

@@ -58,6 +58,7 @@ def run_pipeline(
     n_batches: int = 1,
     resume: bool = False,
     engine: str = "auto",
+    partition_lineage: bool = False,
 ) -> PipelineReport:
     """Run the pipeline; ``lookups`` maps name -> (lookup_df, join_key) and
     each lookup is broadcast-joined onto the routed rows (join_key must be
@@ -65,7 +66,12 @@ def run_pipeline(
     explode).
 
     ``engine``: "fast" (JVM serialization, regex presets only), "compat"
-    (reference-exact Python path), or "auto" (fast when eligible)."""
+    (reference-exact Python path), or "auto" (fast when eligible).
+
+    ``partition_lineage=True`` additionally records per-PARTITION counters
+    in each batch manifest (north_rule: per-partition lineage): the routed
+    frame is persisted so the breakdown rides the same parse, at the cost
+    of caching one batch of routed rows."""
     opt = opt or Option()
     use_fast = engine == "fast" or (
         engine == "auto" and fmt != "ltsv" and not callable(opt.line_handler)
@@ -94,22 +100,28 @@ def run_pipeline(
             for _, (lk, key) in lookups.items():
                 routed = routed.join(F.broadcast(lk), on=key, how="left")
 
+        if partition_lineage:
+            routed = routed.persist()
         observed, obs = observe_routed(routed)
         write_routed(observed, out_dir)  # the ONLY action for this batch
         r = result_from_observation(obs)
-        write_manifest(
-            out_dir,
-            batch_id,
-            {
-                "counters": {
-                    "total": r.total,
-                    "matched": r.matched,
-                    "unmatched": r.unmatched,
-                    "excluded": r.excluded,
-                    "skipped": r.skipped,
-                }
-            },
-        )
+        manifest = {
+            "counters": {
+                "total": r.total,
+                "matched": r.matched,
+                "unmatched": r.unmatched,
+                "excluded": r.excluded,
+                "skipped": r.skipped,
+            }
+        }
+        if partition_lineage:
+            from .metrics import counters_by_partition
+
+            manifest["partition_lineage"] = [
+                row.asDict() for row in counters_by_partition(routed).collect()
+            ]
+            routed.unpersist()
+        write_manifest(out_dir, batch_id, manifest)
         total.total += r.total
         total.matched += r.matched
         total.unmatched += r.unmatched

@@ -129,3 +129,38 @@ def test_two_phase_count_matches_plain(spark):
     plain = {r["source"]: r["count"] for r in lines.groupBy("source").count().collect()}
     salted = {r["source"]: r["count"] for r in two_phase_count(lines, "source").collect()}
     assert plain == salted
+
+
+def test_partition_lineage_sums_to_global(spark, tmp_path):
+    """counters_by_partition: summing the per-partition lineage reproduces
+    the global Result; recorded in the batch manifest when enabled."""
+    import json
+    import os
+
+    from access_log_parser_spark.metrics import counters_by_partition
+    from access_log_parser_spark.pages import synth_pages
+    from access_log_parser_spark.pipeline import run_pipeline
+    from access_log_parser_spark.sinks import manifest_dir
+
+    pages = synth_pages(spark, 40, 10, 5)
+    out = str(tmp_path / "lineage_out")
+    report = run_pipeline(spark, pages, out, fmt="s3", partition_lineage=True)
+    assert report.result.total == 400
+
+    manifests = sorted(os.listdir(manifest_dir(out)))
+    assert manifests
+    with open(os.path.join(manifest_dir(out), manifests[0])) as f:
+        m = json.load(f)
+    lineage = m["partition_lineage"]
+    assert len(lineage) >= 1
+    for key in ("total", "matched", "unmatched"):
+        assert sum(p[key] for p in lineage) == m["counters"][key]
+
+    # operator-level invariant on a fresh routed frame
+    from access_log_parser_spark.engine import fast_parse_routed
+    from access_log_parser_spark.pages import pages_to_lines
+
+    routed = fast_parse_routed(pages_to_lines(pages), "s3")
+    rows = counters_by_partition(routed).collect()
+    assert sum(r["total"] for r in rows) == 400
+    assert all(r["total"] == r["matched"] + r["unmatched"] + r["excluded"] + r["skipped"] for r in rows)
