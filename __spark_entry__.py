@@ -851,6 +851,32 @@ def _q_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_length_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact order statistics with a deterministic, engine-
+    portable definition: 'lower median' = value at 1-based rank
+    floor((n-1)/2)+1 ordered by (n_chars, doc_id). Avoids interpolation
+    (quantile_cont/percentile float semantics differ across engines)."""
+    from pyspark.sql import Window
+
+    docs = _load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "source", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == F.floor((F.col("n") - 1) / 2) + 1
+    ).select("source", F.col("n_chars").alias("median_chars"))
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+    )
+    return stats.join(med, "source")
+
+
 def _q_dedup_replay_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.dedup_replays_within_watermark: an
     at-least-once shipper redelivers every event; dropDuplicates on the
@@ -975,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_mod": _q_sample_hash_mod,
         "sample_stratified": _q_sample_stratified,
         "train_holdout_counts": _q_train_holdout_counts,
+        "length_stats_by_source": _q_length_stats_by_source,
         "dedup_replay_batch": _q_dedup_replay_batch,
         "multimodal_meta": _q_multimodal_meta,
         "ann_ivf": _q_ann_ivf,
@@ -1540,6 +1567,24 @@ SELECT CASE
     THEN 'holdout' ELSE 'train' END AS split,
   COUNT(*) AS n_docs
 FROM documents GROUP BY 1
+"""
+
+_ORACLE["length_stats_by_source"] = """
+WITH ranked AS (
+  SELECT source, n_chars,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+    COUNT(*) OVER (PARTITION BY source) AS n
+  FROM documents
+), med AS (
+  SELECT source, n_chars AS median_chars FROM ranked
+  WHERE rn = CAST(FLOOR((n - 1) / 2) AS BIGINT) + 1
+), stats AS (
+  SELECT source, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+         MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1
+)
+SELECT stats.source, n_docs, min_chars, max_chars, sum_chars, median_chars
+FROM stats JOIN med ON stats.source = med.source
 """
 
 _ORACLE["dedup_replay_batch"] = """
