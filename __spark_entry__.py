@@ -877,6 +877,21 @@ def _q_length_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(med, "source")
 
 
+def _q_shard_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: content-addressed md5 bucket of doc_id
+    into 8 shards; per-shard doc counts (the write-side last mile of a
+    curation pipeline — sinks.write_training_shards uses this column as
+    the partitionBy key)."""
+    from access_log_parser_spark.operators.sampling import hash_bucket
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("shard", hash_bucket(F.col("doc_id"), 8))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 def _q_dedup_replay_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.dedup_replays_within_watermark: an
     at-least-once shipper redelivers every event; dropDuplicates on the
@@ -1002,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _q_sample_stratified,
         "train_holdout_counts": _q_train_holdout_counts,
         "length_stats_by_source": _q_length_stats_by_source,
+        "shard_counts": _q_shard_counts,
         "dedup_replay_batch": _q_dedup_replay_batch,
         "multimodal_meta": _q_multimodal_meta,
         "ann_ivf": _q_ann_ivf,
@@ -1585,6 +1601,12 @@ WITH ranked AS (
 )
 SELECT stats.source, n_docs, min_chars, max_chars, sum_chars, median_chars
 FROM stats JOIN med ON stats.source = med.source
+"""
+
+_ORACLE["shard_counts"] = """
+SELECT CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8) AS BIGINT) % 8 AS shard,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY 1
 """
 
 _ORACLE["dedup_replay_batch"] = """

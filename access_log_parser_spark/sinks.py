@@ -119,3 +119,30 @@ def read_manifests(out_dir: str) -> list[dict]:
 
 def processed_batches(out_dir: str) -> set[str]:
     return {m["batch_id"] for m in read_manifests(out_dir)}
+
+
+def write_training_shards(
+    df, out_dir: str, key_col: str, n_shards: int, mode: str = "overwrite"
+):
+    """Write size-balanced training shards: rows are assigned to shards by
+    a content-addressed md5 bucket of ``key_col`` (engine-portable, stable
+    under repartitioning — the same guarantee as operators/sampling.py)
+    and written as one partition directory per shard.
+
+    The repartition ON the shard column co-locates each shard into one
+    task before the write, so every shard is a contiguous file set a
+    trainer can stream independently. Returns the sharded DataFrame for
+    inspection/counting.
+    """
+    from pyspark.sql import functions as F
+
+    from .operators.sampling import hash_bucket
+
+    sharded = df.withColumn("shard", hash_bucket(F.col(key_col), n_shards))
+    (
+        sharded.repartition(n_shards, "shard")
+        .write.partitionBy("shard")
+        .mode(mode)
+        .parquet(out_dir)
+    )
+    return sharded

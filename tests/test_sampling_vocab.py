@@ -111,3 +111,19 @@ def test_vocab_topk_plan_has_partial_agg(docs):
     plan = vocab_topk(docs, k=5)._jdf.queryExecution().executedPlan().toString()
     # partial aggregation before the exchange => map-side combine at scale
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_write_training_shards(spark, tmp_path, docs):
+    import os
+
+    from access_log_parser_spark.sinks import write_training_shards
+
+    out = str(tmp_path / "shards")
+    sharded = write_training_shards(docs, out, key_col="doc_id", n_shards=4)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert dirs == [f"shard={i}" for i in range(4)]
+    back = spark.read.parquet(out)
+    assert back.count() == len(DOCS)
+    # shard assignment matches the python bucket formula and is total
+    got = {(r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()}
+    assert got == {(i, _bucket(i, 4)) for i, _, _ in DOCS}
