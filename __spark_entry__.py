@@ -851,6 +851,53 @@ def _q_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_depth_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic log-analytics funnel (view -> click -> purchase), ordered
+    by event_id per user: users counted at their deepest strictly-ordered
+    stage. Three conditional min-aggregations chained by inequality joins
+    — each stage is a small (per-user) aggregate, no window over the full
+    stream."""
+    ev = (
+        _load(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 500)  # prefix slice: all 4 depths occur
+        .select("user_id", "event_id", "event_type")
+    )
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("event_id").alias("e_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("event_id") > F.col("e_view"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("e_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("event_id") > F.col("e_click"))
+        .groupBy("user_id")
+        .agg(F.min("event_id").alias("e_purchase"))
+    )
+    users = ev.select("user_id").distinct()
+    depth = (
+        users.join(v, "user_id", "left")
+        .join(c.select("user_id", "e_click"), "user_id", "left")
+        .join(p.select("user_id", "e_purchase"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("e_purchase").isNotNull(), 3)
+            .when(F.col("e_click").isNotNull(), 2)
+            .when(F.col("e_view").isNotNull(), 1)
+            .otherwise(0)
+            .alias("depth"),
+        )
+    )
+    return depth.groupBy("depth").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
 def _q_length_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact order statistics with a deterministic, engine-
     portable definition: 'lower median' = value at 1-based rank
@@ -1016,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_mod": _q_sample_hash_mod,
         "sample_stratified": _q_sample_stratified,
         "train_holdout_counts": _q_train_holdout_counts,
+        "funnel_depth_counts": _q_funnel_depth_counts,
         "length_stats_by_source": _q_length_stats_by_source,
         "shard_counts": _q_shard_counts,
         "dedup_replay_batch": _q_dedup_replay_batch,
@@ -1583,6 +1631,31 @@ SELECT CASE
     THEN 'holdout' ELSE 'train' END AS split,
   COUNT(*) AS n_docs
 FROM documents GROUP BY 1
+"""
+
+_ORACLE["funnel_depth_counts"] = """
+WITH ev AS (SELECT * FROM events WHERE event_id < 500),
+v AS (
+  SELECT user_id, MIN(event_id) AS e_view FROM ev
+  WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, MIN(e.event_id) AS e_click
+  FROM ev e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.event_id > v.e_view GROUP BY 1
+), p AS (
+  SELECT e.user_id, MIN(e.event_id) AS e_purchase
+  FROM ev e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.event_id > c.e_click GROUP BY 1
+), users AS (SELECT DISTINCT user_id FROM ev)
+SELECT CASE WHEN p.user_id IS NOT NULL THEN 3
+            WHEN c.user_id IS NOT NULL THEN 2
+            WHEN v.user_id IS NOT NULL THEN 1 ELSE 0 END AS depth,
+  COUNT(*) AS n_users
+FROM users
+LEFT JOIN v ON users.user_id = v.user_id
+LEFT JOIN c ON users.user_id = c.user_id
+LEFT JOIN p ON users.user_id = p.user_id
+GROUP BY 1
 """
 
 _ORACLE["length_stats_by_source"] = """
