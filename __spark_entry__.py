@@ -851,6 +851,26 @@ def _q_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grok-authored format (%{MACRO:name} -> named-group regex) through
+    the standard engine (SURVEY §2.8 authoring surface): a syslog-ish
+    line grokked into (level, ip, status, msg)."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.grok import grok_to_regex
+
+    line_sql = """concat(
+      CASE WHEN event_id % 4 = 0 THEN 'ERROR' ELSE 'INFO' END,
+      ' 192.0.2.', CAST(user_id % 200 AS STRING),
+      ' status=', CAST(200 + (event_id % 4) * 100 AS STRING),
+      ' ', event_type, '-', CAST(event_id AS STRING))""".strip()
+    lines = _event_lines(spark, sf_dir, line_sql)
+    pattern = grok_to_regex(
+        "%{LOGLEVEL:level} %{IPV4:ip} status=%{INT:status} %{GREEDYDATA:msg}"
+    )
+    out = extract_fields(lines, [pattern], passthrough=["event_id"])
+    return out.select("event_id", "pattern_id", "level", "ip", "status", "msg")
+
+
 def _q_funnel_depth_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic log-analytics funnel (view -> click -> purchase), ordered
     by event_id per user: users counted at their deepest strictly-ordered
@@ -1063,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_mod": _q_sample_hash_mod,
         "sample_stratified": _q_sample_stratified,
         "train_holdout_counts": _q_train_holdout_counts,
+        "grok_parse": _q_grok_parse,
         "funnel_depth_counts": _q_funnel_depth_counts,
         "length_stats_by_source": _q_length_stats_by_source,
         "shard_counts": _q_shard_counts,
@@ -1631,6 +1652,15 @@ SELECT CASE
     THEN 'holdout' ELSE 'train' END AS split,
   COUNT(*) AS n_docs
 FROM documents GROUP BY 1
+"""
+
+_ORACLE["grok_parse"] = """
+SELECT event_id, 0 AS pattern_id,
+  CASE WHEN event_id % 4 = 0 THEN 'ERROR' ELSE 'INFO' END AS level,
+  concat('192.0.2.', CAST(user_id % 200 AS STRING)) AS ip,
+  CAST(200 + (event_id % 4) * 100 AS STRING) AS status,
+  concat(event_type, '-', CAST(event_id AS STRING)) AS msg
+FROM events
 """
 
 _ORACLE["funnel_depth_counts"] = """
