@@ -851,6 +851,22 @@ def _q_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events ``props`` column (absent from
+    the reference — SURVEY §2.6; the graft's semi-structured path):
+    extract $.k, bucket it, aggregate."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.select((k % 10).alias("k_bucket"), k.alias("k")).groupBy(
+        "k_bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def _q_grok_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grok-authored format (%{MACRO:name} -> named-group regex) through
     the standard engine (SURVEY §2.8 authoring surface): a syslog-ish
@@ -1083,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_hash_mod": _q_sample_hash_mod,
         "sample_stratified": _q_sample_stratified,
         "train_holdout_counts": _q_train_holdout_counts,
+        "json_props_stats": _q_json_props_stats,
         "grok_parse": _q_grok_parse,
         "funnel_depth_counts": _q_funnel_depth_counts,
         "length_stats_by_source": _q_length_stats_by_source,
@@ -1652,6 +1669,15 @@ SELECT CASE
     THEN 'holdout' ELSE 'train' END AS split,
   COUNT(*) AS n_docs
 FROM documents GROUP BY 1
+"""
+
+_ORACLE["json_props_stats"] = """
+WITH e AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events
+)
+SELECT k % 10 AS k_bucket, COUNT(*) AS n_events,
+  CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k
+FROM e GROUP BY 1
 """
 
 _ORACLE["grok_parse"] = """
