@@ -660,6 +660,28 @@ def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs).select("id_a", "id_b")
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution end-to-end: corpus with TWO injected
+    copies per doc -> JVM MinHash -> LSH candidate pairs -> connected
+    components (iterative min-label propagation; DuckDB twin = recursive
+    CTE transitive closure). Every component must resolve to cluster_id =
+    the original doc_id."""
+    from access_log_parser_spark.operators.dedup import (
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures_jvm,
+    )
+
+    base = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+    corpus = base.unionAll(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).unionAll(base.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    pairs = lsh_candidate_pairs(minhash_signatures_jvm(corpus))
+    return connected_components(corpus.select("doc_id"), pairs)
+
+
 def _q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard near-dup pairs over an inverted shingle index,
     restricted to doc_id < 200 to bound the oracle's pairwise work."""
@@ -1083,6 +1105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
         "text_token_count": _q_text_token_count,
@@ -1425,6 +1448,39 @@ WITH base AS (
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+_ORACLE["dedup_clusters"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {_NORM_TEXT} AS norm FROM documents WHERE doc_id < 50
+), corpus AS (
+  SELECT doc_id, norm FROM base
+  UNION ALL SELECT doc_id + 100000, norm FROM base
+  UNION ALL SELECT doc_id + 200000, norm FROM base
+), toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM corpus
+), grams AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+), sig AS (
+  SELECT doc_id, {_MH_ALL}
+  FROM grams GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+)
+SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY 1
 """
 
 _ORACLE["dedup_ngram_jaccard"] = f"""

@@ -220,6 +220,52 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3) -> Da
     return lsh_candidate_pairs(minhash_signatures(df, text_col, n))
 
 
+def connected_components(
+    ids: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over candidate
+    pairs by iterative min-label propagation. Returns (doc_id, cluster_id)
+    with cluster_id = min doc_id of the component.
+
+    The loop is driver-side but each iteration is one distributed
+    join+aggregate; iterations needed = graph diameter (near-dup clusters
+    are shallow — a handful of hops). Convergence is detected by counting
+    changed labels (one action per iteration). At 10^12 docs the edge
+    list is the LSH candidate set — orders of magnitude smaller than the
+    corpus — and labels shuffle on doc_id each round.
+    """
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    labels = ids.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+                (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
+            )
+        ).localCheckpoint()  # truncate lineage: iterative plan growth
+        changed = updated.filter(F.col("_changed")).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels
+
+
 # --- SimHash ---
 
 def _simhash_py(toks: list[str]) -> int:

@@ -167,3 +167,28 @@ def test_embedding_near_dup_cross_bucket_miss(spark, emb):
     df, _ = emb
     pairs = dedup.embedding_near_dup(df, 0.99, bucket_col="label").collect()
     assert all(r["id_a"] % 2 == r["id_b"] % 2 for r in pairs)
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """Min-label propagation: a 5-node chain (needs multiple iterations),
+    a 2-node pair, and isolated nodes all resolve to component minima."""
+    from access_log_parser_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    # chain 0-1-2-3-4, pair 6-7; 5, 8, 9 isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (6, 7)], ["id_a", "id_b"]
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(ids, pairs).collect()}
+    assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6, 8: 8, 9: 9}
+
+
+def test_connected_components_propagates_against_edge_direction(spark):
+    """Labels must flow both ways: min node at the END of a directed pair
+    list still wins the whole component."""
+    from access_log_parser_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3)], ["doc_id"])
+    pairs = spark.createDataFrame([(3, 2), (2, 1)], ["id_a", "id_b"])
+    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(ids, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1}
