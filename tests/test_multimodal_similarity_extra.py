@@ -65,3 +65,50 @@ def test_ivf_assign_partitions_corpus(spark):
     # each centroid lands in its own cell
     own = {r["id"]: r["cell"] for r in cells.filter(F.col("id") < 4).collect()}
     assert all(own[i] == i for i in range(4))
+
+
+def test_ann_recall_vs_brute_force(spark):
+    """Approximate ANN quality, two honest properties:
+
+    - IVF (nprobe=1 over 3 cells) keeps a meaningful share of the exact
+      top-5 on random data — its probed cell is the query's own cell.
+    - LSH must retrieve PLANTED exact-duplicate vectors (identical sign
+      pattern => same bucket in every table). Random near-orthogonal
+      vectors carry no signal for hyperplane LSH, so no recall floor is
+      asserted for them — planted-dup retrieval is the property.
+    """
+    from pyspark.sql import functions as F
+
+    from access_log_parser_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann,
+        lsh_ann,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    truth = {}
+    for r in cosine_topk(emb, queries, k=5).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    got = {}
+    for r in ivf_ann(emb, queries, cents, k=5).collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    recall = hits / sum(len(v) for v in truth.values())
+    assert recall >= 0.3, ("ivf", recall)
+
+    # plant exact duplicates of the queries under new ids
+    dups = queries.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+    )
+    planted = emb.unionAll(dups)
+    found = {}
+    for r in lsh_ann(planted, queries, k=5, dim=64).collect():
+        found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    n_found = sum(1 for q in range(10) if (q + 100000) in found.get(q, set()))
+    assert n_found == 10, found  # every planted dup retrieved
