@@ -717,6 +717,14 @@ def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(_load(spark, sf_dir, "documents"))
 
 
+def _q_text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language ID (the n-gram-heuristic variant of
+    text_lang_id; same argmax/tie-break, different feature space)."""
+    from access_log_parser_spark.operators.text_quality import lang_id_ngram
+
+    return lang_id_ngram(_load(spark, sf_dir, "documents"))
+
+
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact top-k cosine neighbors for 5 query vectors."""
     from access_log_parser_spark.operators.similarity import cosine_topk
@@ -1111,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": _q_text_token_count,
         "text_quality": _q_text_quality,
         "text_lang_id": _q_text_lang_id,
+        "text_lang_id_ngram": _q_text_lang_id_ngram,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "emb_near_dup": _q_emb_near_dup,
         "sessionize": _q_sessionize,
@@ -1566,6 +1575,44 @@ WITH hits AS (
     len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['fr']})) AS h_fr,
     len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['es']})) AS h_es
   FROM documents
+)
+SELECT doc_id,
+  CASE
+    WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+    WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+    WHEN h_en >= h_de THEN 'en'
+    ELSE 'de' END AS pred_lang,
+  GREATEST(h_en, h_de, h_fr, h_es) AS pred_hits
+FROM hits
+"""
+
+_TRIGRAMS = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of", "of "],
+    "de": ["der", "er ", " de", "ich", "ch ", "ein", " ei", "und", " un", "nd "],
+    "fr": [" le", "le ", "es ", " de", "de ", "ent", "nt ", "que", " qu", "ue "],
+    "es": [" de", "de ", "os ", " la", "la ", "que", " qu", "ue ", "ión", "el "],
+}
+
+
+def _tg_list(lang: str) -> str:
+    return "[" + ", ".join("'" + g.replace("'", "''") + "'" for g in _TRIGRAMS[lang]) + "]"
+
+
+_ORACLE["text_lang_id_ngram"] = f"""
+WITH t AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), grams AS (
+  SELECT doc_id, list_distinct(
+    [substr(t, CAST(i AS INT), 3) FOR i IN generate_series(1, GREATEST(length(t) - 2, 1))]
+  ) AS gs
+  FROM t
+), hits AS (
+  SELECT doc_id,
+    len(list_intersect(gs, {_tg_list('en')})) AS h_en,
+    len(list_intersect(gs, {_tg_list('de')})) AS h_de,
+    len(list_intersect(gs, {_tg_list('fr')})) AS h_fr,
+    len(list_intersect(gs, {_tg_list('es')})) AS h_es
+  FROM grams
 )
 SELECT doc_id,
   CASE

@@ -96,6 +96,50 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# tiny deterministic per-language character-trigram profiles (the n-gram
+# heuristic variant of language ID; a real pipeline broadcasts profiles
+# learned from a corpus)
+TRIGRAM_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", "ng ", " of", "of "],
+    "de": ["der", "er ", " de", "ich", "ch ", "ein", " ei", "und", " un", "nd "],
+    "fr": [" le", "le ", "es ", " de", "de ", "ent", "nt ", "que", " qu", "ue "],
+    "es": [" de", "de ", "os ", " la", "la ", "que", " qu", "ue ", "ión", "el "],
+}
+
+
+def char_trigrams(c: Column) -> Column:
+    """Distinct character 3-grams of lowercased text (JVM-side: sequence
+    of slice offsets -> substrings)."""
+    t = F.lower(c)
+    n = F.length(t)
+    idx = F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: t.substr(i, F.lit(3))))
+
+
+def lang_id_ngram(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Character-n-gram language ID: distinct-trigram overlap with each
+    language profile, argmax with deterministic tie-break (same shape as
+    :func:`lang_id`, different feature space)."""
+    grams = char_trigrams(F.col(text_col))
+    scores = [
+        F.struct(
+            F.size(
+                F.array_intersect(
+                    grams, F.array([F.lit(g) for g in TRIGRAM_PROFILES[lang]])
+                )
+            ).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in sorted(TRIGRAM_PROFILES, reverse=True)
+    ]
+    best = F.array_max(F.array(*scores))
+    return df.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["hits"].cast("long").alias("pred_hits"),
+    )
+
+
 def vocab_topk(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
     """Corpus-level top-k tokens by total frequency (deterministic
     tie-break: token ascending).
