@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -146,3 +147,41 @@ def write_training_shards(
         .parquet(out_dir)
     )
     return sharded
+
+
+def compact_sink(
+    spark,
+    out_dir: str,
+    status: str,
+    pattern_id: int,
+    target_files: int = 1,
+):
+    """Small-file compaction for one (status, pattern_id) sink partition.
+
+    Long-running fan-out pipelines accrete many small parquet files per
+    sink (one per task per batch); at 10^12 rows the file count itself
+    becomes the bottleneck for downstream scans. This rewrites one sink
+    partition to ``target_files`` files with an atomic directory swap:
+    write compacted output to a sibling temp dir, rename the old dir
+    away, rename the new one in, then delete the old — readers never see
+    a partial state, and a crash leaves either the old or the new
+    complete directory. Returns (n_rows, n_files_before, n_files_after).
+    """
+    import glob as _glob
+
+    part_dir = os.path.join(
+        out_dir, "data", f"status={status}", f"pattern_id={pattern_id}"
+    )
+    if not os.path.isdir(part_dir):
+        raise FileNotFoundError(part_dir)
+    before = len(_glob.glob(os.path.join(part_dir, "*.parquet")))
+    df = spark.read.parquet(part_dir)
+    n_rows = df.count()
+    tmp_new = part_dir + f".compact-{uuid.uuid4().hex[:8]}"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_new)
+    tmp_old = part_dir + f".old-{uuid.uuid4().hex[:8]}"
+    os.rename(part_dir, tmp_old)
+    os.rename(tmp_new, part_dir)
+    shutil.rmtree(tmp_old, ignore_errors=True)
+    after = len(_glob.glob(os.path.join(part_dir, "*.parquet")))
+    return n_rows, before, after

@@ -164,3 +164,23 @@ def test_partition_lineage_sums_to_global(spark, tmp_path):
     rows = counters_by_partition(routed).collect()
     assert sum(r["total"] for r in rows) == 400
     assert all(r["total"] == r["matched"] + r["unmatched"] + r["excluded"] + r["skipped"] for r in rows)
+
+
+def test_compact_sink_atomic_rewrite(spark, tmp_path):
+    """Small-file compaction: many per-batch files collapse to one, rows
+    and values unchanged, old directory gone."""
+    from access_log_parser_spark.engine import fast_parse_routed
+    from access_log_parser_spark.pages import pages_to_lines, synth_pages
+    from access_log_parser_spark.sinks import compact_sink, read_sink, write_routed
+
+    out = str(tmp_path / "compact_out")
+    pages = synth_pages(spark, 20, 10, 5)
+    routed = fast_parse_routed(pages_to_lines(pages), "s3")
+    for _ in range(3):  # three appends -> many small files
+        write_routed(routed, out)
+    before_rows = read_sink(spark, out, status="matched", pattern_id=1).count()
+    n_rows, n_before, n_after = compact_sink(spark, out, "matched", 1)
+    assert n_rows == before_rows
+    assert n_after == 1 and n_before > 1
+    after = read_sink(spark, out, status="matched", pattern_id=1)
+    assert after.count() == before_rows
