@@ -34,11 +34,19 @@ def write_routed(
     out_dir: str,
     mode: str = "append",
     coalesce_output: bool = False,
+    sort_within: tuple[str, ...] = (),
 ) -> None:
     """One-pass fan-out: dynamic-partitioned write keyed by (status,
     pattern_id). Every sink table is a partition subtree:
-    ``{out_dir}/data/status=matched/pattern_id=0/...``"""
+    ``{out_dir}/data/status=matched/pattern_id=0/...``
+
+    ``sort_within`` sorts rows inside each task before writing (no
+    shuffle): clustered (source, line_no) runs compress better under
+    parquet RLE/dictionary and give downstream per-source readers
+    locality — the cheap part of a Z-order story."""
     df = routed
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
     if coalesce_output:
         # small local runs: avoid a forest of tiny files
         df = df.coalesce(1)
