@@ -103,7 +103,15 @@ def run_pipeline(
         if partition_lineage:
             routed = routed.persist()
         observed, obs = observe_routed(routed)
-        write_routed(observed, out_dir)  # the ONLY action for this batch
+        # crash-safe resume: the batch writes its OWN partitions with
+        # dynamic overwrite, so re-running a batch that died mid-write
+        # (partial files, no manifest) replaces — never duplicates — them
+        write_routed(
+            observed.withColumn("batch_id", F.lit(batch_id)),
+            out_dir,
+            mode="overwrite",
+            extra_partition_cols=("batch_id",),
+        )  # the ONLY action for this batch
         r = result_from_observation(obs)
         manifest = {
             "counters": {

@@ -35,6 +35,7 @@ def write_routed(
     mode: str = "append",
     coalesce_output: bool = False,
     sort_within: tuple[str, ...] = (),
+    extra_partition_cols: tuple[str, ...] = (),
 ) -> None:
     """One-pass fan-out: dynamic-partitioned write keyed by (status,
     pattern_id). Every sink table is a partition subtree:
@@ -43,7 +44,13 @@ def write_routed(
     ``sort_within`` sorts rows inside each task before writing (no
     shuffle): clustered (source, line_no) runs compress better under
     parquet RLE/dictionary and give downstream per-source readers
-    locality — the cheap part of a Z-order story."""
+    locality — the cheap part of a Z-order story.
+
+    ``extra_partition_cols`` are prepended to the partition keys: the
+    pipeline passes ``("batch_id",)`` with ``mode="overwrite"`` so that
+    re-running a crashed batch (partial files, no manifest) REPLACES
+    exactly that batch's partitions via dynamic partition overwrite —
+    append-mode resume would silently duplicate the partial rows."""
     df = routed
     if sort_within:
         df = df.sortWithinPartitions(*sort_within)
@@ -52,7 +59,8 @@ def write_routed(
         df = df.coalesce(1)
     (
         df.write.mode(mode)
-        .partitionBy(*SINK_PARTITION_KEYS)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*extra_partition_cols, *SINK_PARTITION_KEYS)
         .parquet(os.path.join(out_dir, "data"))
     )
 

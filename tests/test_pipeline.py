@@ -184,3 +184,29 @@ def test_compact_sink_atomic_rewrite(spark, tmp_path):
     assert n_after == 1 and n_before > 1
     after = read_sink(spark, out, status="matched", pattern_id=1)
     assert after.count() == before_rows
+
+
+def test_resume_after_mid_batch_crash_no_duplicates(spark, tmp_path):
+    """A batch that crashed mid-write leaves partial sink files and NO
+    manifest. Resume must re-run it and REPLACE its partitions (dynamic
+    partition overwrite), not append duplicates."""
+    from pyspark.sql import functions as F
+
+    from access_log_parser_spark.pages import synth_pages
+    from access_log_parser_spark.pipeline import run_pipeline
+    from access_log_parser_spark.sinks import manifest_dir, read_sink
+    import os
+
+    pages = synth_pages(spark, 40, 10, 5)
+    out = str(tmp_path / "crash_out")
+    run_pipeline(spark, pages, out, fmt="s3", n_batches=4)
+    full = read_sink(spark, out).count()
+    assert full == 400
+
+    # simulate a crash of batch 2: its data exists (partially or fully)
+    # but its manifest commit marker is gone
+    os.remove(os.path.join(manifest_dir(out), "2.json"))
+    report = run_pipeline(spark, pages, out, fmt="s3", n_batches=4, resume=True)
+    assert report.batches_run == ["2"]
+    assert sorted(report.batches_skipped) == ["0", "1", "3"]
+    assert read_sink(spark, out).count() == full  # no duplicates
