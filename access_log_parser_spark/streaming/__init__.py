@@ -1,3 +1,4 @@
+from .anomaly import make_rate_anomaly, rate_anomaly_stream
 from .stateful import make_sessionizer, sessionize_stream
 from .stream import (
     dedup_replays_within_watermark,
@@ -7,6 +8,8 @@ from .stream import (
 )
 
 __all__ = [
+    "make_rate_anomaly",
+    "rate_anomaly_stream",
     "make_sessionizer",
     "sessionize_stream",
     "dedup_replays_within_watermark",

@@ -94,3 +94,101 @@ def test_sessionize_stream_end_to_end(spark, tmp_path):
     assert (1, 1, 2) in got       # events 10,11 in one session
     assert (1, 2, 1) in got       # event 12 after 2h gap
     assert (2, 1, 1) in got
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_rate_anomaly_logic_unit():
+    """EWMA spike detector: warmup never flags; a 10x spike after stable
+    history flags; recovery to normal rate does not re-flag once EWMA
+    re-adapts."""
+    import pandas as pd
+
+    from access_log_parser_spark.streaming import make_rate_anomaly
+
+    fn = make_rate_anomaly(alpha=0.5, threshold=3.0, warmup=2)
+    state = _FakeState()
+
+    def feed(n):
+        (out,) = list(fn(("srcA",), iter([pd.DataFrame({"x": range(n)})]), state))
+        return bool(out["is_anomaly"][0]), float(out["ewma_before"][0])
+
+    assert feed(100) == (False, 0.0)       # batch 0: warmup
+    assert feed(100)[0] is False           # batch 1: warmup
+    assert feed(100)[0] is False           # stable
+    flagged, ewma = feed(1000)             # 10x spike
+    assert flagged and abs(ewma - 100.0) < 1e-6
+    assert feed(5)[0] is True              # collapse is also anomalous
+
+
+def test_rate_anomaly_stream_end_to_end(spark, tmp_path):
+    """Two micro-batches through a real stream: state carries across
+    batches (second batch sees the first's EWMA)."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from access_log_parser_spark.streaming import rate_anomaly_stream
+
+    schema = StructType(
+        [StructField("source", StringType()), StructField("line_no", LongType())]
+    )
+    src_dir = str(tmp_path / "anom_src")
+    out_dir = str(tmp_path / "anom_out")
+    ckpt = str(tmp_path / "anom_ckpt")
+
+    def write_batch(n, suffix):
+        df = spark.createDataFrame(
+            [("s1", i) for i in range(n)], schema
+        )
+        df.write.mode("append").parquet(src_dir)
+
+    write_batch(50, "a")
+    stream = spark.readStream.schema(schema).parquet(src_dir).select("source", "line_no")
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        rate_anomaly_stream(stream, warmup=0)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    write_batch(50, "b")
+    q2 = (
+        rate_anomaly_stream(stream, warmup=0)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rows = sorted(
+        spark.read.parquet(out_dir).collect(), key=lambda r: r["ewma_before"]
+    )
+    assert len(rows) == 2
+    assert rows[0]["ewma_before"] == 0.0       # first batch: no history
+    assert rows[1]["ewma_before"] == 50.0      # state carried across batches
