@@ -15,9 +15,15 @@ FILTER_POOL = [
     "http_status == 200",
     "http_status != 404",
     "bucket =~ rand",
+    "bucket !~ nosuchsubstring",
+    "bucket =~* RAND",
+    "bucket !~* ZZZZ",
     "bucket ==* AWSRANDOMBUCKET43",
+    "bucket !=* NOTTHISBUCKET",
     "bytes_sent >= 113",
+    "bytes_sent <= 999999",
     "bytes_sent < 250",
+    "bytes_sent > 1",
 ]
 
 
