@@ -251,6 +251,112 @@ def _q_parse_ltsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+VHOST_LINE = (
+    "CASE WHEN event_id % 10 = 0 THEN concat('GARBAGE-', CAST(event_id AS STRING)) "
+    "ELSE concat('vh-', CAST(event_id % 9 AS STRING), '.example.com ', "
+    + CLF_LINE.replace(
+        "CASE WHEN event_id % 10 = 0 THEN concat('GARBAGE-', CAST(event_id AS STRING))\nELSE concat(",
+        "concat(",
+    ).replace("\nEND", "") + ") END"
+)
+
+# NLB line: 22 space-separated fields (patterns.NLB)
+_NLB_FIELDS = [
+    "'tls'", "'2.0'", "'2024-01-01T00:00:00'",
+    f"concat('net/lb', {_n('event_id % 3')}, '/abc')",
+    f"concat('listener', {_n('event_id % 4')})",
+    f"concat('192.0.2.', {_n('user_id % 200')}, ':', {_n('1024 + event_id % 1000')})",
+    f"concat('10.0.1.', {_n('event_id % 50')}, ':443')",
+    f"concat('0.', {_n('event_id % 10')})",
+    "'0.01'",
+    _n("100 + event_id % 900"),
+    _n("CAST(FLOOR(value * 100) AS BIGINT)"),
+    "'-'", "'arn:cert'",
+    f"concat('ser', {_n('event_id % 7')})",
+    "'ECDHE-RSA-AES128-GCM-SHA256'", "'TLSv1.2'", "'secp256r1'",
+    f"concat('example-', {_n('event_id % 11')}, '.com')",
+    "'h2'", "'h2'", "'h2,http/1.1'", "'2024-01-01T00:00:00'",
+]
+NLB_LINE = (
+    "CASE WHEN event_id % 10 = 0 THEN concat('GARBAGE-', CAST(event_id AS STRING)) "
+    "ELSE concat_ws(' ', " + ", ".join(_NLB_FIELDS) + ") END"
+)
+
+# CLB line: 17-field variant (pattern 0) for even ids, 14-field (pattern 1)
+# for odd — exercises the 2-pattern fallback cascade
+_CLB_HEAD_FIELDS = [
+    "'2024-01-01T00:00:00Z'",
+    f"concat('my-lb', {_n('event_id % 3')})",
+    f"concat('192.0.2.', {_n('user_id % 200')}, ':', {_n('1024 + event_id % 1000')})",
+    f"concat('10.0.1.', {_n('event_id % 50')}, ':80')",
+    "'0.00004'", "'0.001'", "'0.00003'",
+    _n("200 + (event_id % 4) * 100"),
+    "'200'",
+    _n("100 + event_id % 900"),
+    _n("CAST(FLOOR(value * 100) AS BIGINT)"),
+    f"""concat('"GET /', event_type, '/', {_n('event_id')}, ' HTTP/1.1"')""",
+]
+_CLB_TAIL = [
+    f"""concat('"ua/', {_n('event_id % 7')}, '"')""",
+    "'ECDHE-RSA-AES128-GCM-SHA256'",
+    "'TLSv1.2'",
+]
+CLB_LINE = (
+    "CASE WHEN event_id % 10 = 0 THEN concat('GARBAGE-', CAST(event_id AS STRING)) "
+    "WHEN event_id % 2 = 0 THEN concat_ws(' ', "
+    + ", ".join(_CLB_HEAD_FIELDS + _CLB_TAIL)
+    + ") ELSE concat_ws(' ', " + ", ".join(_CLB_HEAD_FIELDS) + ") END"
+)
+
+
+def _q_parse_clf_vhost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache CLF + virtual host preset (parser_regex.go:125-142)."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, VHOST_LINE)
+    out = extract_fields(
+        lines, "apache_clf_vhost", passthrough=["event_id"],
+        fields=["virtual_host", "remote_host", "status", "request_uri"],
+    )
+    return out.select(
+        "event_id", "pattern_id", "virtual_host", "remote_host", "status",
+        "request_uri",
+    )
+
+
+def _q_parse_nlb_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NLB preset (parser_regex.go:204-218): 22-field TLS listener log."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, NLB_LINE)
+    out = extract_fields(
+        lines, "nlb", passthrough=["event_id"],
+        fields=["elb", "received_bytes", "sent_bytes", "domain_name",
+                "chosen_cert_serial"],
+    )
+    return out.select(
+        "event_id", "pattern_id", "elb", "received_bytes", "sent_bytes",
+        "domain_name", "chosen_cert_serial",
+    )
+
+
+def _q_parse_clb_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLB preset (parser_regex.go:222-237): 17/14-field two-pattern
+    fallback — first-match-wins across the cascade."""
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, CLB_LINE)
+    out = extract_fields(
+        lines, "clb", passthrough=["event_id"],
+        fields=["elb", "elb_status_code", "sent_bytes", "request_uri",
+                "user_agent", "ssl_protocol"],
+    )
+    return out.select(
+        "event_id", "pattern_id", "elb", "elb_status_code", "sent_bytes",
+        "request_uri", "user_agent", "ssl_protocol",
+    )
+
+
 def _q_parse_alb_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALB preset (patterns.ALB <- parser_regex.go:186-200): 31-field
     space-separated decode with quoted sub-fields."""
@@ -1086,6 +1192,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_clf_fields": _q_parse_clf_fields,
         "parse_s3_fallbacks": _q_parse_s3_fallbacks,
         "parse_ltsv": _q_parse_ltsv,
+        "parse_clf_vhost": _q_parse_clf_vhost,
+        "parse_nlb_fields": _q_parse_nlb_fields,
+        "parse_clb_fields": _q_parse_clb_fields,
         "parse_alb_fields": _q_parse_alb_fields,
         "parse_cloudfront_fields": _q_parse_cloudfront_fields,
         "route_counts": _q_route_counts,
@@ -1191,6 +1300,42 @@ SELECT event_id, 2, 'status', CAST(200 + (event_id % 4) * 100 AS STRING) FROM e
 UNION ALL
 SELECT event_id, 3, 'size',
        CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) FROM e
+"""
+
+_ORACLE["parse_clf_vhost"] = f"""
+SELECT event_id,
+  CASE WHEN {_CLF_MATCHED} THEN 0 ELSE -1 END AS pattern_id,
+  CASE WHEN {_CLF_MATCHED} THEN concat('vh-', CAST(event_id % 9 AS STRING), '.example.com') END AS virtual_host,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['remote_host']} END AS remote_host,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['status']} END AS status,
+  CASE WHEN {_CLF_MATCHED} THEN {CLF_FIELDS['request_uri']} END AS request_uri
+FROM events
+"""
+
+_ORACLE["parse_nlb_fields"] = f"""
+SELECT event_id,
+  CASE WHEN {_CLF_MATCHED} THEN 0 ELSE -1 END AS pattern_id,
+  CASE WHEN {_CLF_MATCHED} THEN concat('net/lb', CAST(event_id % 3 AS STRING), '/abc') END AS elb,
+  CASE WHEN {_CLF_MATCHED} THEN CAST(100 + event_id % 900 AS STRING) END AS received_bytes,
+  CASE WHEN {_CLF_MATCHED} THEN CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) END AS sent_bytes,
+  CASE WHEN {_CLF_MATCHED} THEN concat('example-', CAST(event_id % 11 AS STRING), '.com') END AS domain_name,
+  CASE WHEN {_CLF_MATCHED} THEN concat('ser', CAST(event_id % 7 AS STRING)) END AS chosen_cert_serial
+FROM events
+"""
+
+_ORACLE["parse_clb_fields"] = f"""
+SELECT event_id,
+  CASE WHEN event_id % 10 = 0 THEN -1
+       WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS pattern_id,
+  CASE WHEN {_CLF_MATCHED} THEN concat('my-lb', CAST(event_id % 3 AS STRING)) END AS elb,
+  CASE WHEN {_CLF_MATCHED} THEN CAST(200 + (event_id % 4) * 100 AS STRING) END AS elb_status_code,
+  CASE WHEN {_CLF_MATCHED} THEN CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) END AS sent_bytes,
+  CASE WHEN {_CLF_MATCHED} THEN concat('/', event_type, '/', CAST(event_id AS STRING)) END AS request_uri,
+  CASE WHEN event_id % 10 <> 0 AND event_id % 2 = 0
+       THEN concat('ua/', CAST(event_id % 7 AS STRING)) END AS user_agent,
+  CASE WHEN event_id % 10 <> 0 AND event_id % 2 = 0
+       THEN 'TLSv1.2' END AS ssl_protocol
+FROM events
 """
 
 _ORACLE["parse_alb_fields"] = f"""
