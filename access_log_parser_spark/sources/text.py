@@ -55,9 +55,10 @@ def lines_from_files(spark: SparkSession, path: str) -> DataFrame:
     basename (parser_core.go:114). ``wholetext`` keeps exact per-file line
     numbering; Spark distributes across files (one split per file), which is
     the right granularity for many-file log corpora."""
+    # NB: .option("wholetext", ...) is silently ignored by the Spark 4.1
+    # text reader; only the reader kwarg applies the whole-file mode
     df = (
-        spark.read.option("wholetext", True)
-        .text(path)
+        spark.read.text(path, wholetext=True)
         .select(
             F.element_at(F.split(F.input_file_name(), "/"), -1).alias("source"),
             F.col("value").alias("text"),
