@@ -12,6 +12,7 @@ for golden-file testing — the scale path is :mod:`.pipeline`.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Sequence
 
@@ -30,6 +31,28 @@ from .sources import (
     lines_from_zip_entries,
 )
 from .sources.text import basename
+
+
+EMPTY_PATH_ERROR = "empty path detected"       # parser_core.go:39
+OPEN_FILE_ERROR = "cannot open file"           # parser_core.go:40
+
+
+def _check_path(path: str) -> None:
+    """Driver-side path validation with the reference's error semantics
+    (parser_core.go:487-531): empty path and unopenable file fail fast
+    with the reference's messages instead of a deferred task error.
+    Remote URIs (scheme://) are left to the DataSource."""
+    import glob as _glob
+
+    if path == "":
+        raise ValueError(EMPTY_PATH_ERROR)
+    if "://" in path:
+        return
+    if any(ch in path for ch in "*?["):
+        if not _glob.glob(path):
+            raise FileNotFoundError(f"{OPEN_FILE_ERROR}: {path}")
+    elif not os.path.exists(path):
+        raise FileNotFoundError(f"{OPEN_FILE_ERROR}: {path}")
 
 
 class BaseParser:
@@ -69,11 +92,13 @@ class BaseParser:
         return out, r
 
     def parse_file(self, path: str) -> tuple[list[str], Result]:
+        _check_path(path)
         out, r = self._run(lines_from_files(self.spark, path), source=basename(path))
         r.input_type = "file"
         return out, r
 
     def parse_gzip(self, path: str) -> tuple[list[str], Result]:
+        _check_path(path)
         out, r = self._run(lines_from_gzip(self.spark, path), source=basename(path))
         r.input_type = "gzip"
         return out, r
@@ -83,6 +108,7 @@ class BaseParser:
     ) -> tuple[list[str], Result]:
         """Per-entry parses merged into one Result: counters summed, errors
         tagged with entry name, entry list appended (parser_core.go:140-171)."""
+        _check_path(zip_path)
         start = time.monotonic()
         lines = lines_from_zip_entries(self.spark, zip_path, glob_pattern)
         routed = self.parse_lines(lines.select("source", "line_no", "raw"))

@@ -105,3 +105,21 @@ def test_ip_prefix_enrich(spark):
     out = {r["id"]: r["country"] for r in
            ip_prefix_enrich(facts, geo).collect()}
     assert out == {1: "US", 2: "DE", 3: None}
+
+
+def test_path_error_semantics(spark):
+    """Reference error parity (parser_core.go:39-40, 487-531): empty path
+    and unopenable file fail fast with the reference's messages."""
+    import pytest
+
+    from access_log_parser_spark import new_s3_parser
+
+    p = new_s3_parser(spark)
+    with pytest.raises(ValueError, match="empty path detected"):
+        p.parse_file("")
+    with pytest.raises(FileNotFoundError, match="cannot open file"):
+        p.parse_file("/no/such/file.log")
+    with pytest.raises(ValueError, match="empty path detected"):
+        p.parse_zip_entries("")
+    with pytest.raises(FileNotFoundError, match="cannot open file"):
+        p.parse_gzip("/no/such/*.gz")
