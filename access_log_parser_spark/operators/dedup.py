@@ -28,12 +28,20 @@ from pyspark.sql.types import (
 )
 
 # MinHash parameters (shared with the DuckDB oracle in __spark_entry__)
-MINHASH_K = 16          # signature length
-LSH_BANDS = 4           # bands of 4 rows each
+MINHASH_K = 16          # default signature length
+LSH_BANDS = 4           # default: bands of 4 rows each
 LSH_ROWS = MINHASH_K // LSH_BANDS
 MERSENNE = (1 << 61) - 1
-_A = [2 * i + 1 for i in range(1, MINHASH_K + 1)]   # odd multipliers
-_B = [7919 * (i + 1) for i in range(MINHASH_K)]
+
+
+def _perm_coeffs(k: int) -> list[tuple[int, int]]:
+    # permutation i: a_i = 2i+3 (odd), b_i = 7919*(i+1) — fixed formula so
+    # the DuckDB oracle and both engines agree for ANY k
+    return [(2 * i + 3, 7919 * (i + 1)) for i in range(k)]
+
+
+_A = [a for a, _ in _perm_coeffs(MINHASH_K)]
+_B = [b for _, b in _perm_coeffs(MINHASH_K)]
 
 SIMHASH_BITS = 32
 
@@ -104,16 +112,20 @@ def ngram_jaccard_pairs(
 
 # --- MinHash + LSH ---
 
-def _minhash_py(grams: list[str]) -> list[int]:
+def _minhash_py(grams: list[str], k: int = MINHASH_K) -> list[int]:
     """k minhashes of a shingle set; base hash = first 15 hex chars of md5
     (60 bits, bigint-safe), permuted by (a*h+b) mod 2^61-1."""
     if not grams:
-        return [MERSENNE] * MINHASH_K
+        return [MERSENNE] * k
     hs = [int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16) for g in grams]
-    return [min((a * h + b) % MERSENNE for h in hs) for a, b in zip(_A, _B)]
+    return [
+        min((a * h + b) % MERSENNE for h in hs) for a, b in _perm_coeffs(k)
+    ]
 
 
-def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
     """(doc_id, sig array<long>): shingling JVM-side, hashing in one
     Arrow-batched pass (md5 per shingle is the only Python work)."""
     sh = df.select(F.col("doc_id"), shingles(F.col(text_col), n).alias("sh"))
@@ -126,14 +138,14 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3) -> Dat
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sigs = [_minhash_py(list(g)) for g in pdf["sh"]]
+            sigs = [_minhash_py(list(g), k) for g in pdf["sh"]]
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
 
     return sh.mapInPandas(run, schema)
 
 
 def minhash_signatures_jvm(
-    df: DataFrame, text_col: str = "text", n: int = 3
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = MINHASH_K
 ) -> DataFrame:
     """Zero-Python MinHash: explode distinct shingles, hash JVM-side
     (``conv(substr(md5(g),1,15),16,10)`` == Python ``int(md5[:15],16)``),
@@ -173,18 +185,22 @@ def minhash_signatures_jvm(
 
     aggs = [
         F.min(perm(a, b)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(zip(_A, _B))
+        for i, (a, b) in enumerate(_perm_coeffs(k))
     ]
     out = hx.groupBy("doc_id").agg(*aggs)
     return out.select(
-        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(MINHASH_K)]).alias("sig")
+        "doc_id", F.array(*[F.col(f"mh_{i}") for i in range(k)]).alias("sig")
     )
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_bands: int = LSH_BANDS, rows_per_band: int = LSH_ROWS
+) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_key): docs
     agreeing on ALL rows of any band become candidates. Band key is the
-    md5 of the joined band values (cross-engine reproducible)."""
+    md5 of the joined band values (cross-engine reproducible). Tune
+    (n_bands, rows_per_band) for the similarity s-curve: more bands =
+    higher recall at lower similarity, more candidates to verify."""
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -195,11 +211,13 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
                             ",",
                             *[
                                 F.col("sig")[i].cast("string")
-                                for i in range(b * LSH_ROWS, (b + 1) * LSH_ROWS)
+                                for i in range(
+                                    b * rows_per_band, (b + 1) * rows_per_band
+                                )
                             ],
                         )
                     )
-                    for b in range(LSH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("band_idx", "band_key"),

@@ -192,3 +192,22 @@ def test_connected_components_propagates_against_edge_direction(spark):
     pairs = spark.createDataFrame([(3, 2), (2, 1)], ["id_a", "id_b"])
     out = {r["doc_id"]: r["cluster_id"] for r in connected_components(ids, pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1}
+
+
+def test_minhash_alternate_k_cross_engine(spark):
+    """Parametrized signature length: k=8 must stay bit-identical between
+    the Python and JVM engines (fixed coefficient formula a_i=2i+3,
+    b_i=7919(i+1) holds for any k)."""
+    from access_log_parser_spark.operators.dedup import (
+        minhash_signatures,
+        minhash_signatures_jvm,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    py = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(docs, k=8).collect()}
+    jv = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures_jvm(docs, k=8).collect()}
+    assert py == jv
+    assert all(len(v) == 8 for v in py.values())
