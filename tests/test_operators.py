@@ -211,3 +211,30 @@ def test_minhash_alternate_k_cross_engine(spark):
     jv = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures_jvm(docs, k=8).collect()}
     assert py == jv
     assert all(len(v) == 8 for v in py.values())
+
+
+def test_lsh_sensitivity_s_curve(spark):
+    """LSH s-curve pinned on deterministic docs: a jaccard-0.81 pair MUST
+    become a candidate (collides in 2 of 4 bands with the fixed hash
+    family), a jaccard-0.12 pair must NOT. End-to-end through the JVM
+    signature path + banded join."""
+    from access_log_parser_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures_jvm,
+    )
+
+    base = [f"w{i}" for i in range(40)]
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base)),
+            (2, " ".join(base[:36] + ["x1", "x2", "x3", "x4"])),   # j=0.81
+            (3, " ".join([f"z{i}" for i in range(30)] + base[:10])),  # j=0.12
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_candidate_pairs(minhash_signatures_jvm(docs)).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
