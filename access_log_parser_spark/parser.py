@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import patterns as pat
-from .decoders import MATCHED, NoPatternError, UNMATCHED
+from .decoders import NoPatternError, UNMATCHED
 from .engine import parse_routed
 from .metrics import ParseError, Result, collect_result
 from .options import Option
