@@ -161,15 +161,31 @@ def counters_by_partition(routed: DataFrame) -> DataFrame:
     )
 
 
-def collect_result(routed: DataFrame, source: str = "", elapsed: float = 0.0) -> Result:
-    """Aggregate counters + errors list into a Result (test/driver path)."""
+def collect_result(
+    routed: DataFrame,
+    source: str = "",
+    elapsed: float = 0.0,
+    max_errors: int | None = None,
+) -> Result:
+    """Aggregate counters + errors list into a Result (test/driver path).
+
+    ``max_errors`` bounds the driver-side error collect: the reference
+    accumulates every unmatched line in memory (parser_result.go:32-36),
+    which is fine for its single-file corpora but unbounded at 10^12
+    docs — pass a cap (the report only prints top-10 anyway) and read
+    the full set from the unmatched sink instead. Default None keeps
+    reference parity."""
     row = routed.agg(*_counter_aggs()).collect()[0]
-    errors = [
-        ParseError(entry="", line_number=r["line_no"], line=r["raw"])
-        for r in routed.filter(F.col("status") == UNMATCHED)
+    err_df = (
+        routed.filter(F.col("status") == UNMATCHED)
         .select("source", "line_no", "raw")
         .orderBy("source", "line_no")
-        .collect()
+    )
+    if max_errors is not None:
+        err_df = err_df.limit(max_errors)
+    errors = [
+        ParseError(entry="", line_number=r["line_no"], line=r["raw"])
+        for r in err_df.collect()
     ]
     return Result(
         total=row["total"],
