@@ -972,6 +972,21 @@ def _q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(docs, "source", "doc_id", 5).select("source", "doc_id")
 
 
+def _q_pack_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (streaming bin-fill strategy): documents fill
+    ~5000-char packs within content-addressed shards — the training-
+    example assembly step of a data pipeline. Pure window cumsum; the
+    exact greedy variant is applyInPandas-per-shard (test_packing)."""
+    from access_log_parser_spark.operators.packing import pack_streaming
+    from access_log_parser_spark.operators.sampling import hash_bucket
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id", hash_bucket(F.col("doc_id"), 8).alias("shard"), "n_chars"
+    )
+    out = pack_streaming(docs, budget=5000, shard_col="shard", token_col="n_chars")
+    return out.select("doc_id", "shard", "pack_id")
+
+
 def _q_train_holdout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-addressed train/holdout split: disjoint + exhaustive by
     construction; per-split doc counts."""
@@ -1239,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_tokens": _q_idf_tokens,
         "sample_hash_mod": _q_sample_hash_mod,
         "sample_stratified": _q_sample_stratified,
+        "pack_streaming": _q_pack_streaming,
         "train_holdout_counts": _q_train_holdout_counts,
         "json_props_stats": _q_json_props_stats,
         "grok_parse": _q_grok_parse,
@@ -1909,6 +1925,20 @@ WITH r AS (
       ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rn
   FROM documents)
 SELECT source, doc_id FROM r WHERE rn <= 5
+"""
+
+_ORACLE["pack_streaming"] = """
+WITH d AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(CAST(doc_id AS STRING)), 1, 8) AS BIGINT) % 8 AS shard,
+    n_chars
+  FROM documents
+)
+SELECT doc_id, shard,
+  CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+    PARTITION BY shard ORDER BY doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 5000) AS BIGINT) AS pack_id
+FROM d
 """
 
 _ORACLE["train_holdout_counts"] = """
