@@ -893,6 +893,32 @@ def _q_topk_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_topk_uris_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP top-k: top-3 request URIs within each source via a
+    window rank (deterministic tie-break), the grouped twin of the global
+    TakeOrdered in topk_uris. At scale: one shuffle on source, rank
+    inside partitions, no global sort."""
+    from pyspark.sql import Window
+
+    from access_log_parser_spark import extract_fields
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    fields = extract_fields(
+        lines, "apache_clf", passthrough=["source"], fields=["request_uri"]
+    ).filter(F.col("pattern_id") >= 0)
+    counts = fields.groupBy("source", "request_uri").agg(
+        F.count(F.lit(1)).cast("bigint").alias("hits")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("hits").desc(), F.col("request_uri").asc()
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("source", "request_uri", "hits", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def _q_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Log2-bucketed response-size histogram over matched CLF lines."""
     from access_log_parser_spark import extract_fields
@@ -1248,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": _q_emb_near_dup,
         "sessionize": _q_sessionize,
         "topk_uris": _q_topk_uris,
+        "topk_uris_per_source": _q_topk_uris_per_source,
         "size_histogram": _q_size_histogram,
         "curation_pipeline": _q_curation_pipeline,
         "vocab_top20": _q_vocab_top20,
@@ -1855,6 +1882,21 @@ _ORACLE["topk_uris"] = f"""
 SELECT {CLF_FIELDS['request_uri']} AS request_uri, COUNT(*) AS hits
 FROM events WHERE {_CLF_MATCHED}
 GROUP BY 1 ORDER BY hits DESC, request_uri ASC LIMIT 10
+"""
+
+_ORACLE["topk_uris_per_source"] = f"""
+WITH counts AS (
+  SELECT {SRC} AS source, {CLF_FIELDS['request_uri']} AS request_uri,
+    COUNT(*) AS hits
+  FROM events WHERE {_CLF_MATCHED}
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT source, request_uri, hits,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY hits DESC, request_uri ASC) AS INT) AS rk
+  FROM counts
+)
+SELECT source, request_uri, hits, rk FROM ranked WHERE rk <= 3
 """
 
 _ORACLE["size_histogram"] = f"""
