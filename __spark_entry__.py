@@ -1199,6 +1199,39 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming WITH a SQL oracle: the shared events table is
+    streamed (availableNow file source over a byte-identical copy — the
+    file source requires a directory), aggregated per (hour, event_type)
+    in complete output mode, and must equal the batch SQL aggregation
+    exactly — streaming state and micro-batching change nothing about
+    the result."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="alp_stream_events_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH")
+    agg = stream.groupBy(hour.alias("hour"), F.col("event_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("sum_value_c"),
+    )
+    name = "stream_hourly_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming availableNow over a synthesized pages dir ->
     parse -> fan-out -> read back per-status counts (no SQL oracle:
@@ -1293,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_hourly_counts": _q_stream_hourly_counts,
     }
 
 
@@ -1578,6 +1612,14 @@ WITH tagged AS (
   FROM events)
 SELECT status, pattern_id, COUNT(*) AS n_rows
 FROM tagged GROUP BY ROLLUP(status, pattern_id)
+"""
+
+# the streaming complete-mode aggregation must equal the same batch SQL
+_ORACLE["stream_hourly_counts"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
 """
 
 _ORACLE["event_time_buckets"] = """
