@@ -1232,6 +1232,44 @@ def _q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_parse_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PARSE ENGINE under Structured Streaming, oracle-backed: events
+    streamed (availableNow), CLF lines synthesized per micro-batch, the
+    vectorized decode (mapInPandas works unchanged under streaming) routes
+    them, per-(status, pattern_id) counts in complete mode must equal the
+    closed-form batch expectation."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from access_log_parser_spark.engine import fast_parse_routed
+
+    src = tempfile.mkdtemp(prefix="alp_stream_parse_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    ev = spark.readStream.schema(schema).parquet(src)
+    lines = ev.select(
+        F.expr(SRC).alias("source"),
+        F.expr(LINE_NO).alias("line_no"),
+        F.expr(CLF_LINE).alias("raw"),
+    )
+    routed = fast_parse_routed(lines, "apache_clf")
+    agg = routed.groupBy("status", "pattern_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    name = "stream_parse_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming availableNow over a synthesized pages dir ->
     parse -> fan-out -> read back per-status counts (no SQL oracle:
@@ -1327,6 +1365,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_hourly_counts": _q_stream_hourly_counts,
+        "stream_parse_counts": _q_stream_parse_counts,
     }
 
 
@@ -1612,6 +1651,13 @@ WITH tagged AS (
   FROM events)
 SELECT status, pattern_id, COUNT(*) AS n_rows
 FROM tagged GROUP BY ROLLUP(status, pattern_id)
+"""
+
+_ORACLE["stream_parse_counts"] = """
+SELECT CASE WHEN event_id % 10 = 0 THEN 'unmatched' ELSE 'matched' END AS status,
+  CASE WHEN event_id % 10 = 0 THEN -1 ELSE 0 END AS pattern_id,
+  COUNT(*) AS n_rows
+FROM events GROUP BY 1, 2
 """
 
 # the streaming complete-mode aggregation must equal the same batch SQL
