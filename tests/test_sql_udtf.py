@@ -35,3 +35,16 @@ def test_udtf_matches_engine(spark):
     assert sql_rows[2][0] == -1                    # unmatched
     assert sql_rows[4][0] == 1                     # fallback pattern wins
     assert sql_rows[4][3] is None                  # referer absent in pattern 1
+
+
+def test_ltsv_udtf(spark):
+    from access_log_parser_spark.functions.sql_udtf import register_ltsv_udtf
+
+    register_ltsv_udtf(spark, "parse_ltsv_t")
+    rows = spark.sql(
+        "SELECT t.* FROM VALUES ('a:1\tb:2'), ('bad field') AS v(l), "
+        "LATERAL parse_ltsv_t(v.l) t ORDER BY t.pos"
+    ).collect()
+    assert [(r["pos"], r["label"], r["value"]) for r in rows] == [
+        (-1, None, None), (0, "a", "1"), (1, "b", "2"),
+    ]
