@@ -808,19 +808,19 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from access_log_parser_spark.operators.text_quality import token_count
 
-    return token_count(_load(spark, sf_dir, "documents"))
+    return token_count(_docs_par(spark, sf_dir))
 
 
 def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from access_log_parser_spark.operators.text_quality import quality_score
 
-    return quality_score(_load(spark, sf_dir, "documents"))
+    return quality_score(_docs_par(spark, sf_dir))
 
 
 def _q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from access_log_parser_spark.operators.text_quality import lang_id
 
-    return lang_id(_load(spark, sf_dir, "documents"))
+    return lang_id(_docs_par(spark, sf_dir))
 
 
 def _q_text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -828,7 +828,7 @@ def _q_text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_lang_id; same argmax/tie-break, different feature space)."""
     from access_log_parser_spark.operators.text_quality import lang_id_ngram
 
-    return lang_id_ngram(_load(spark, sf_dir, "documents"))
+    return lang_id_ngram(_docs_par(spark, sf_dir))
 
 
 def _q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2160,9 +2160,66 @@ FROM documents
 """
 
 
+def _lsh_plane_sql(plane: int, dim: int = 64) -> str:
+    """DuckDB twin of similarity._hyperplane_sign: the SAME md5-derived
+    ±1 weights (computed here with the same formula, embedded as a SQL
+    list literal), sign of the dot product as a '0'/'1' bucket bit."""
+    import hashlib
+
+    ws = ", ".join(
+        "1.0" if int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[0], 16) % 2 == 0 else "-1.0"
+        for j in range(dim)
+    )
+    return (
+        f"CASE WHEN list_dot_product(embedding::DOUBLE[], [{ws}]::DOUBLE[]) >= 0 "
+        "THEN '1' ELSE '0' END"
+    )
+
+
+# LSH-bucketed ANN is deterministic end-to-end: bucket = 8 hyperplane sign
+# bits (md5-derived weights, reproduced above), candidates share the
+# query's bucket, exact cosine re-rank with the same 6-dp round +
+# neighbor_id tie-break as ann_cosine_topk. Recall<1 vs brute force is
+# irrelevant here — the oracle computes the SAME approximate algorithm.
+_ORACLE["ann_lsh"] = f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+    concat({", ".join(_lsh_plane_sql(p) for p in range(8))}) AS bucket
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+    list_dot_product(q.qv, c.v)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY ROUND(cos, 6) DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
+
+# Closed-form expectation for the streaming parse->fan-out->read-back
+# pipeline over synth_pages(50, 10, 5): line i of page p is the truncated
+# (unmatchable) golden S3 line iff i % 5 = p % 5 (pages.py), so each
+# 10-line page contributes exactly 2 unmatched + 8 matched rows. The
+# range() mirror below re-derives that formula rather than hardcoding
+# 400/100 so the oracle breaks loudly if the synthesizer changes.
+_ORACLE["stream_windowed_counts"] = """
+WITH lines AS (
+  SELECT p.range AS p, i.range AS i FROM range(50) p, range(10) i
+)
+SELECT CASE WHEN i % 5 = p % 5 THEN 'unmatched' ELSE 'matched' END AS status,
+  COUNT(*) AS n_rows
+FROM lines GROUP BY 1
+"""
+
+
 def oracle_sql() -> dict[str, str]:
-    """ann_lsh and stream_windowed_counts are intentionally absent:
-    LSH recall < 1 (approximate by design) and streaming over
-    engine-synthesized pages are not SQL-expressible on the shared views —
-    the driver records rows-only checks for them."""
+    """Every queries() entry has an oracle row (CLAUDE.md invariant):
+    ann_lsh's oracle reproduces the deterministic bucketing + re-rank in
+    DuckDB, and stream_windowed_counts' oracle is the closed-form
+    expectation of the synthesized stream."""
     return dict(_ORACLE)
