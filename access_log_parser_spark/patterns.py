@@ -160,6 +160,65 @@ def compile_patterns(patterns: list[str]) -> list[re.Pattern]:
 _CLASS_RE = re.compile(r"\[\^?(?:\\.|[^\]\\])*\]")
 
 
+def _tabs_all_mandatory(src: str, in_class: list[bool]) -> bool:
+    """True iff every literal tab outside a character class is MANDATORY:
+    traversed at least once in every successful match. The tab-count
+    guard's soundness argument needs this — a tab inside an optional /
+    min-0-quantified group, inside any scope with an alternation ``|``, or
+    inside a lookaround may be skipped by a successful match, leaving a
+    line tab for a greedy class to span even when ``line.count('\\t') ==
+    n_tabs`` (the unsound case: twin rejects a line the original accepts).
+
+    Single pass with a scope stack: a frame accumulates the tabs seen in
+    its span; at ``)`` the frame's tabs are discarded as unsafe if the
+    frame had a direct ``|``, is a lookaround, or its quantifier allows
+    zero traversals — otherwise they propagate to the parent (an outer
+    scope may still invalidate them).
+    """
+    frames: list[dict] = [{"tabs": 0, "pipe": False, "look": False}]
+    i, n = 0, len(src)
+    unsafe = False
+    while i < n:
+        if in_class[i]:
+            i += 1
+            continue
+        ch = src[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "(":
+            look = src.startswith(("(?=", "(?!", "(?<=", "(?<!"), i)
+            frames.append({"tabs": 0, "pipe": False, "look": look})
+            i += 1
+            continue
+        if ch == ")":
+            if len(frames) == 1:  # unbalanced; be conservative
+                return False
+            fr = frames.pop()
+            j = i + 1
+            min0 = False
+            if j < n and src[j] in "?*":
+                min0 = True
+            elif j < n and src[j] == "{":
+                m = re.match(r"\{(\d*)(?:,\d*)?\}", src[j:])
+                min0 = bool(m) and (m.group(1) == "" or int(m.group(1)) == 0)
+            if fr["tabs"]:
+                if fr["pipe"] or fr["look"] or min0:
+                    unsafe = True
+                else:
+                    frames[-1]["tabs"] += fr["tabs"]
+            i += 1
+            continue
+        if ch == "|":
+            frames[-1]["pipe"] = True
+        elif ch == "\t":
+            frames[-1]["tabs"] += 1
+        i += 1
+    if frames[-1]["pipe"] and frames[-1]["tabs"]:
+        unsafe = True
+    return not unsafe
+
+
 def fast_twin(pattern: re.Pattern) -> tuple[re.Pattern, int] | None:
     """Derive a backtracking-free twin for a tab-separated pattern.
 
@@ -175,7 +234,12 @@ def fast_twin(pattern: re.Pattern) -> tuple[re.Pattern, int] | None:
     n_separator_tabs`` and fall back to the original otherwise.
 
     Returns None when the pattern has no tab separators, already excludes
-    tabs everywhere, or has a tab inside a character class (guard unsound).
+    tabs everywhere, has a tab inside a character class, or has any
+    NON-MANDATORY literal tab — one inside an optional/min-0 group, an
+    alternation scope, or a lookaround (see :func:`_tabs_all_mandatory`:
+    a skippable pattern tab breaks the "every line tab is consumed by a
+    separator literal" step of the exchangeability argument, so the twin
+    could reject lines the original accepts).
     """
     src = pattern.pattern
     classes = list(_CLASS_RE.finditer(src))
@@ -187,6 +251,8 @@ def fast_twin(pattern: re.Pattern) -> tuple[re.Pattern, int] | None:
             in_class[i] = True
     n_tabs = sum(1 for i, ch in enumerate(src) if ch == "\t" and not in_class[i])
     if n_tabs == 0:
+        return None
+    if not _tabs_all_mandatory(src, in_class):
         return None
     # widen every negated class to also exclude tab
     out, changed = [], False

@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Commit protocol: v2 moves task outputs into place at task commit
+        # instead of a serial driver-side rename pass at job commit — the
+        # standard setting for object-store/cloud deployments, and it keeps
+        # job-commit cost independent of task count (the serial rename is
+        # O(files) on the driver, which anti-scales with executor count).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
+        .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -76,6 +76,50 @@ def test_twin_identical_to_original_on_adversarial_lines(pattern):
             assert val == ["" if g is None else g for g in m.groups()], line
 
 
+def test_non_mandatory_tab_patterns_get_no_twin():
+    """A literal tab that a successful match may SKIP makes the tab-count
+    guard unsound (the skipped pattern tab leaves a line tab for a greedy
+    class to span even when counts agree) — such patterns must not derive
+    a twin. Regression for the optional-group case: the original matches
+    'hdr\\tfoo\\tbar' with b='foo\\tbar' but a narrowed twin would not."""
+    # NOTE: patterns below embed REAL tab characters ("\t" in a non-raw
+    # string) — fast_twin only counts literal tab chars in the source
+    # (a 2-char "\\t" escape already derives no twin, which is safe).
+    optional = re.compile('^(?P<a>\\S+)\t(?:x\t)?(?P<b>[^"]*)$')
+    assert fast_twin(optional) is None
+    line = "hdr\tfoo\tbar"
+    pids, vals = decoders.regex_decode_batch([line], [optional], [["a", "b"]])
+    assert pids[0] == 0 and vals[0] == ["hdr", "foo\tbar"]
+
+    # tab inside an alternation branch: skippable via the other branch
+    assert fast_twin(re.compile('^(?P<a>\\S+)(?:\tx|y)(?P<b>[^"]*)$')) is None
+    # top-level alternation with tabs on one side
+    assert fast_twin(re.compile('(?P<a>\\S+)\tz(?P<b>[^"]*)|w')) is None
+    # tab inside a min-0 counted repetition
+    assert fast_twin(re.compile('^(?P<a>\\S+)(?:\tq){0,3}(?P<b>[^"]*)$')) is None
+    # tab inside a lookahead never consumes
+    assert fast_twin(re.compile('^(?=x\t)(?P<a>[^"]*)\t(?P<b>\\S+)$')) is None
+    # ... but a min-1 group keeps the mandatoriness argument intact
+    assert fast_twin(re.compile('^(?P<a>\\S+)(?:\t(?P<b>[^"]*))$')) is not None
+    # ... and an optional group WITHOUT a tab inside stays twin-eligible
+    assert fast_twin(re.compile('^(?P<a>\\S+)\t(?:x)?(?P<b>[^"]*)$')) is not None
+
+
+def test_optional_tab_pattern_identical_through_batch_decoder():
+    """End-to-end: the decoder must route the ADVICE repro line through
+    the plain engine and return the original's group values."""
+    pat = re.compile('^(?P<a>\\S+)\t(?:x\t)?(?P<b>[^"]*)$')
+    lines = ["hdr\tfoo\tbar", "hdr\tx\tval", "hdr\tonly", "no-tabs"]
+    pids, vals = decoders.regex_decode_batch(lines, [pat], [["a", "b"]])
+    for line, pid, val in zip(lines, pids, vals):
+        m = pat.search(line)
+        if m is None:
+            assert pid == -1 and val is None, line
+        else:
+            assert pid == 0, line
+            assert val == ["" if g is None else g for g in m.groups()], line
+
+
 def test_twin_group_values_match_on_matched_corpus():
     orig = re.compile(CLOUDFRONT[0])
     twin, n_tabs = fast_twin(orig)
