@@ -239,7 +239,10 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3) -> Da
 
 
 def connected_components(
-    ids: DataFrame, pairs: DataFrame, max_iter: int = 20
+    ids: DataFrame,
+    pairs: DataFrame,
+    max_iter: int = 20,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over candidate
     pairs by iterative min-label propagation. Returns (doc_id, cluster_id)
@@ -251,22 +254,40 @@ def connected_components(
     changed labels (one action per iteration). At 10^12 docs the edge
     list is the LSH candidate set — orders of magnitude smaller than the
     corpus — and labels shuffle on doc_id each round.
+
+    Lineage is truncated every round. Default is ``localCheckpoint``
+    (executor block storage — fast but NOT executor-loss-safe); pass
+    ``checkpoint_dir`` on a real cluster to use reliable ``checkpoint``
+    into that (HDFS/object-store) directory so an executor loss replays
+    from the checkpoint instead of killing the job. Labels are identical
+    either way.
+
+    If the loop hits ``max_iter`` with labels still changing (component
+    diameter > max_iter), a RuntimeWarning is raised: the returned
+    clusters may still be split and the caller should re-run with a
+    higher ``max_iter``.
     """
+    import warnings
+
+    if checkpoint_dir is not None:
+        ids.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        _ckpt = lambda df: df.checkpoint()  # noqa: E731
+    else:
+        _ckpt = lambda df: df.localCheckpoint()  # noqa: E731
     edges = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     )
-    labels = ids.select(
-        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
+    labels = _ckpt(ids.select(F.col("doc_id"), F.col("doc_id").alias("cluster_id")))
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        updated = (
+        updated = _ckpt(
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -276,11 +297,19 @@ def connected_components(
                 ).alias("cluster_id"),
                 (F.col("nbr_min") < F.col("cluster_id")).alias("_changed"),
             )
-        ).localCheckpoint()  # truncate lineage: iterative plan growth
+        )
         changed = updated.filter(F.col("_changed")).count()
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    if changed > 0:
+        warnings.warn(
+            f"connected_components did not converge in {max_iter} iterations "
+            f"({changed} labels still changing): clusters may be split; "
+            "re-run with a higher max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 
@@ -362,16 +391,33 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_col: str | None = "label",
+    dim: int | None = None,
 ) -> DataFrame:
     """Pairs with cosine >= threshold. Buckets (e.g. a cluster/label
     column) bound the pairwise work; within-bucket pairs are verified with
-    an exact JVM-side cosine (zip_with + aggregate, no Python)."""
+    an exact JVM-side cosine (zip_with + aggregate, no Python).
+
+    ``bucket_col=None`` no longer degenerates to an all-pairs cross
+    product (O(n²) — fatal at corpus scale): candidates are bucketed by
+    random-hyperplane LSH over the vectors themselves
+    (similarity.lsh_buckets, ``dim`` must match the embedding width).
+    That path is APPROXIMATE — recall < 1 for pairs that straddle a
+    hyperplane — so pass an explicit semantic bucket column when exact
+    within-bucket recall is required."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base = emb.select(
-        F.col(id_col).alias("id"),
-        v.alias("v"),
-        (F.lit(0) if bucket_col is None else F.col(bucket_col)).alias("bkt"),
-    )
+    if bucket_col is None:
+        from .similarity import lsh_buckets
+
+        if dim is None:
+            # one-row driver probe: hyperplane weights are a static list,
+            # so the vector width must be known before planning
+            dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+        base = lsh_buckets(emb, n_planes=8, dim=dim, id_col=id_col, vec_col=vec_col)
+        base = base.select("id", "v", F.col("bucket").alias("bkt"))
+    else:
+        base = emb.select(
+            F.col(id_col).alias("id"), v.alias("v"), F.col(bucket_col).alias("bkt")
+        )
     a = base.alias("a")
     b = base.alias("b")
     dot = F.aggregate(

@@ -49,10 +49,26 @@ def _check_path(path: str) -> None:
     if "://" in path:
         return
     if any(ch in path for ch in "*?["):
-        if not _glob.glob(path):
+        # a literal name containing a glob metachar (e.g. "access[1].log")
+        # produces an empty glob — accept it if the file itself exists
+        if not _glob.glob(path) and not os.path.exists(path):
             raise FileNotFoundError(f"{OPEN_FILE_ERROR}: {path}")
     elif not os.path.exists(path):
         raise FileNotFoundError(f"{OPEN_FILE_ERROR}: {path}")
+
+
+def _reader_path(path: str) -> str:
+    """Escape Hadoop-glob metachars when ``path`` names a literal existing
+    file that the glob layer would otherwise expand to nothing (e.g.
+    ``access[1].log``) — the reference opens such files fine (os.Open is
+    glob-free), so the Spark reader must too."""
+    import glob as _glob
+
+    if "://" in path or not any(ch in path for ch in "*?[{"):
+        return path
+    if _glob.glob(path) or not os.path.exists(path):
+        return path
+    return "".join("\\" + ch if ch in "*?[]{}\\" else ch for ch in path)
 
 
 class BaseParser:
@@ -93,13 +109,17 @@ class BaseParser:
 
     def parse_file(self, path: str) -> tuple[list[str], Result]:
         _check_path(path)
-        out, r = self._run(lines_from_files(self.spark, path), source=basename(path))
+        out, r = self._run(
+            lines_from_files(self.spark, _reader_path(path)), source=basename(path)
+        )
         r.input_type = "file"
         return out, r
 
     def parse_gzip(self, path: str) -> tuple[list[str], Result]:
         _check_path(path)
-        out, r = self._run(lines_from_gzip(self.spark, path), source=basename(path))
+        out, r = self._run(
+            lines_from_gzip(self.spark, _reader_path(path)), source=basename(path)
+        )
         r.input_type = "gzip"
         return out, r
 

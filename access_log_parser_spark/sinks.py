@@ -172,32 +172,49 @@ def compact_sink(
     pattern_id: int,
     target_files: int = 1,
 ):
-    """Small-file compaction for one (status, pattern_id) sink partition.
+    """Small-file compaction for one (status, pattern_id) sink.
 
     Long-running fan-out pipelines accrete many small parquet files per
     sink (one per task per batch); at 10^12 rows the file count itself
-    becomes the bottleneck for downstream scans. This rewrites one sink
-    partition to ``target_files`` files with an atomic directory swap:
-    write compacted output to a sibling temp dir, rename the old dir
-    away, rename the new one in, then delete the old — readers never see
-    a partial state, and a crash leaves either the old or the new
-    complete directory. Returns (n_rows, n_files_before, n_files_after).
+    becomes the bottleneck for downstream scans. Handles both sink
+    layouts: the plain ``data/status=…/pattern_id=…`` tree and the
+    pipeline's ``data/batch_id=…/status=…/pattern_id=…`` tree
+    (``extra_partition_cols``) — every matching partition directory is
+    rewritten to ``target_files`` files.
+
+    Swap semantics (local filesystem only — ``os.rename``): compacted
+    output is written to a sibling temp dir, the old dir renamed away,
+    the new one renamed in. A CRASH at any point leaves either the old
+    or the new directory complete (never mixed), but a CONCURRENT reader
+    can observe the partition briefly missing between the two renames —
+    run compaction in a maintenance window, or use the Iceberg writer
+    path on a real deployment where the table format gives atomic
+    snapshot swaps. Returns (n_rows, n_files_before, n_files_after)
+    summed over the matched partitions.
     """
     import glob as _glob
 
-    part_dir = os.path.join(
-        out_dir, "data", f"status={status}", f"pattern_id={pattern_id}"
-    )
-    if not os.path.isdir(part_dir):
-        raise FileNotFoundError(part_dir)
-    before = len(_glob.glob(os.path.join(part_dir, "*.parquet")))
-    df = spark.read.parquet(part_dir)
-    n_rows = df.count()
-    tmp_new = part_dir + f".compact-{uuid.uuid4().hex[:8]}"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp_new)
-    tmp_old = part_dir + f".old-{uuid.uuid4().hex[:8]}"
-    os.rename(part_dir, tmp_old)
-    os.rename(tmp_new, part_dir)
-    shutil.rmtree(tmp_old, ignore_errors=True)
-    after = len(_glob.glob(os.path.join(part_dir, "*.parquet")))
+    candidates = [
+        os.path.join(out_dir, "data", f"status={status}", f"pattern_id={pattern_id}"),
+        os.path.join(
+            out_dir, "data", "batch_id=*", f"status={status}", f"pattern_id={pattern_id}"
+        ),
+    ]
+    part_dirs = [
+        d for pat in candidates for d in sorted(_glob.glob(pat)) if os.path.isdir(d)
+    ]
+    if not part_dirs:
+        raise FileNotFoundError(candidates[0])
+    n_rows = before = after = 0
+    for part_dir in part_dirs:
+        before += len(_glob.glob(os.path.join(part_dir, "*.parquet")))
+        df = spark.read.parquet(part_dir)
+        n_rows += df.count()
+        tmp_new = part_dir + f".compact-{uuid.uuid4().hex[:8]}"
+        df.coalesce(target_files).write.mode("overwrite").parquet(tmp_new)
+        tmp_old = part_dir + f".old-{uuid.uuid4().hex[:8]}"
+        os.rename(part_dir, tmp_old)
+        os.rename(tmp_new, part_dir)
+        shutil.rmtree(tmp_old, ignore_errors=True)
+        after += len(_glob.glob(os.path.join(part_dir, "*.parquet")))
     return n_rows, before, after

@@ -169,6 +169,59 @@ def test_embedding_near_dup_cross_bucket_miss(spark, emb):
     assert all(r["id_a"] % 2 == r["id_b"] % 2 for r in pairs)
 
 
+def test_embedding_near_dup_no_cross_product_without_bucket(spark, emb):
+    """bucket_col=None must NOT degenerate to an all-pairs cross product:
+    the fallback buckets by hyperplane LSH, so the physical plan joins on
+    the bucket key (no CartesianProduct / BroadcastNestedLoopJoin)."""
+    df, _ = emb
+    out = dedup.embedding_near_dup(df, 0.99, bucket_col=None)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
+    """checkpoint_dir (reliable, executor-loss-safe) must yield labels
+    identical to the localCheckpoint default."""
+    from access_log_parser_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], ["id_a", "id_b"])
+    local = {r["doc_id"]: r["cluster_id"] for r in connected_components(ids, pairs).collect()}
+    durable = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            ids, pairs, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert local == durable == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+
+
+def test_connected_components_warns_when_not_converged(spark):
+    """A component whose diameter exceeds max_iter must warn instead of
+    silently returning split clusters."""
+    import warnings
+
+    from access_log_parser_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = connected_components(ids, chain, max_iter=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught)
+    # and a sufficient max_iter does not warn
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        full = {r["doc_id"]: r["cluster_id"]
+                for r in connected_components(ids, chain).collect()}
+    assert not [w for w in caught if "did not converge" in str(w.message)]
+    assert full == {i: 0 for i in range(6)}
+    assert len(out) == 6
+
+
 def test_connected_components_chain_and_isolated(spark):
     """Min-label propagation: a 5-node chain (needs multiple iterations),
     a 2-node pair, and isolated nodes all resolve to component minima."""

@@ -186,6 +186,26 @@ def test_compact_sink_atomic_rewrite(spark, tmp_path):
     assert after.count() == before_rows
 
 
+def test_compact_sink_handles_pipeline_batch_layout(spark, tmp_path):
+    """run_pipeline writes data/batch_id=…/status=…/pattern_id=… — the
+    compactor must find and rewrite those partitions too (regression:
+    it previously raised FileNotFoundError on its own documented use
+    case)."""
+    from access_log_parser_spark.pages import synth_pages
+    from access_log_parser_spark.pipeline import run_pipeline
+    from access_log_parser_spark.sinks import compact_sink, read_sink
+
+    out = str(tmp_path / "pipe_compact")
+    pages = synth_pages(spark, 40, 10, 5)
+    run_pipeline(spark, pages, out, fmt="s3", n_batches=4)
+    before_rows = read_sink(spark, out, status="matched", pattern_id=1).count()
+    assert before_rows > 0
+    n_rows, n_before, n_after = compact_sink(spark, out, "matched", 1)
+    assert n_rows == before_rows
+    assert n_before >= n_after  # one file per batch partition after
+    assert read_sink(spark, out, status="matched", pattern_id=1).count() == before_rows
+
+
 def test_resume_after_mid_batch_crash_no_duplicates(spark, tmp_path):
     """A batch that crashed mid-write leaves partial sink files and NO
     manifest. Resume must re-run it and REPLACE its partitions (dynamic

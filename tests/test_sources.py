@@ -33,6 +33,21 @@ def test_parse_file(spark, datadir):
     assert r.source == "sample_s3_all_match.log"
 
 
+def test_parse_file_literal_glob_metachar_name(spark, datadir, tmp_path):
+    """A literal filename containing a glob metachar (e.g. access[1].log)
+    must parse like any other file: _check_path falls back to existence
+    and the Hadoop glob layer gets an escaped path (regression: it raised
+    'cannot open file' for an existing file)."""
+    import shutil
+
+    p = tmp_path / "access[1].log"
+    shutil.copy(str(datadir / "sample_s3_all_match.log"), str(p))
+    out, r = new_s3_parser(spark).parse_file(str(p))
+    assert out == g.ALL_MATCH_DATA
+    assert r.counters() == (5, 5, 0, 0, 0)
+    assert r.source == "access[1].log"
+
+
 def test_parse_gzip(spark, datadir):
     out, r = new_s3_parser(spark).parse_gzip(
         str(datadir / "sample_s3_all_match.log.gz")
