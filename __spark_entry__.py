@@ -423,6 +423,47 @@ def _q_serialize_ltsv_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     return routed.select("source", "out_line")
 
 
+def _q_serialize_pretty_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PrettyJSONLineHandler output (handler.go:37-56): indented
+    multi-line objects, still one record per input line."""
+    from access_log_parser_spark import Option, parse_routed
+
+    ev = _load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("source"),
+        F.lit(1).cast("long").alias("line_no"),
+        F.expr(LTSV_LINE).alias("raw"),
+    )
+    routed = parse_routed(lines, "ltsv", Option(line_handler="pretty_json"))
+    return routed.select("source", "out_line")
+
+
+def _custom_pipe_handler(labels, values, is_first=False):
+    """Custom LineHandler injection (reference: any handler.LineHandler
+    func can be set on Parser options — example_test.go custom handler):
+    label=value pairs joined by '|'."""
+    n = len(labels)
+    return "|".join(f"{labels[i]}={v}" for i, v in enumerate(values) if i < n)
+
+
+def _q_serialize_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-injected Python LineHandler through the full engine path."""
+    from access_log_parser_spark import Option, parse_routed
+
+    ev = _load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    lines = ev.select(
+        F.col("event_id").cast("string").alias("source"),
+        F.lit(1).cast("long").alias("line_no"),
+        F.expr(LTSV_LINE).alias("raw"),
+    )
+    routed = parse_routed(lines, "ltsv", Option(line_handler=_custom_pipe_handler))
+    return routed.select("source", "out_line")
+
+
 def _q_serialize_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TSVLineHandler output (handler.go:99-123): values tab-joined with a
     header line on the first matched row per source (every row here: each
@@ -1173,6 +1214,37 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(docs, "doc_id", "payload")
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (strict mode — no stub allowed): valid PNG /
+    JPEG payloads are synthesized from doc_id with closed-form dimensions
+    (JVM expressions: unhex/lpad/hex build the container headers), and
+    operators.multimodal.parse_image_header must read the exact
+    width/height/format back out of the magic bytes."""
+    from access_log_parser_spark.operators.multimodal import decode_media
+
+    docs = _docs_par(spark, sf_dir).select("doc_id")
+    w = (F.lit(16) + F.col("doc_id") % 600).cast("long")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 600).cast("long")
+    be4 = lambda c: F.unhex(F.lpad(F.hex(c), 8, "0"))  # noqa: E731
+    be2 = lambda c: F.unhex(F.lpad(F.hex(c), 4, "0"))  # noqa: E731
+    png = F.concat(
+        F.lit(bytes.fromhex("89504E470D0A1A0A0000000D49484452")),
+        be4(w), be4(h),
+        F.lit(bytes.fromhex("080600000000000000")),
+    )
+    jpg = F.concat(
+        F.lit(bytes.fromhex("FFD8FFC0001108")),
+        be2(h), be2(w),
+        F.lit(bytes.fromhex("03000000000000000000FFD9")),
+    )
+    payload = F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpg)
+    meta = decode_media(
+        docs.select("doc_id", payload.alias("payload")),
+        "doc_id", "payload", strict=True,
+    )
+    return meta.select("media_id", "n_bytes", "width", "height", "format")
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: deterministic centroids (vec_id < 3), nprobe=1
     cell probe, exact rounded-cosine re-rank."""
@@ -1314,6 +1386,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serialize_ndjson": _q_serialize_ndjson,
         "serialize_kv": _q_serialize_kv,
         "serialize_ltsv_out": _q_serialize_ltsv_out,
+        "serialize_pretty_json": _q_serialize_pretty_json,
+        "serialize_custom": _q_serialize_custom,
         "serialize_tsv": _q_serialize_tsv,
         "errors_table": _q_errors_table,
         "enrich_broadcast": _q_enrich_broadcast,
@@ -1361,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_counts": _q_shard_counts,
         "dedup_replay_batch": _q_dedup_replay_batch,
         "multimodal_meta": _q_multimodal_meta,
+        "multimodal_decode": _q_multimodal_decode,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
         "stream_windowed_counts": _q_stream_windowed_counts,
@@ -1473,6 +1548,26 @@ SELECT event_id,
   CASE WHEN {_CLF_MATCHED} THEN concat('/', event_type, '/', CAST(event_id AS STRING)) END AS cs_uri_stem,
   CASE WHEN {_CLF_MATCHED} THEN CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING) END AS sc_bytes,
   CASE WHEN {_CLF_MATCHED} THEN 'HTTP/2.0' END AS cs_protocol_version
+FROM events
+"""
+
+_ORACLE["serialize_pretty_json"] = """
+SELECT CAST(event_id AS STRING) AS source,
+  concat('{', chr(10),
+   '  "remote_host": "192.0.2.', CAST(user_id % 200 AS STRING), '",', chr(10),
+   '  "request": "GET /', event_type, ' HTTP/1.1",', chr(10),
+   '  "status": "', CAST(200 + (event_id % 4) * 100 AS STRING), '",', chr(10),
+   '  "size": "', CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING), '"', chr(10),
+   '}') AS out_line
+FROM events
+"""
+
+_ORACLE["serialize_custom"] = """
+SELECT CAST(event_id AS STRING) AS source,
+  concat('remote_host=192.0.2.', CAST(user_id % 200 AS STRING),
+   '|request=GET /', event_type, ' HTTP/1.1',
+   '|status=', CAST(200 + (event_id % 4) * 100 AS STRING),
+   '|size=', CAST(CAST(FLOOR(value * 100) AS BIGINT) AS STRING)) AS out_line
 FROM events
 """
 
@@ -2157,6 +2252,29 @@ SELECT doc_id AS media_id,
   octet_length(encode(text)) AS n_bytes,
   md5(text) AS digest
 FROM documents
+"""
+
+
+# The DuckDB twin constructs byte-identical PNG/JPEG containers and
+# reads the dims back arithmetically (this duckdb build lacks md5(BLOB),
+# so the digest column is checked by the pytest suite instead).
+_ORACLE["multimodal_decode"] = """
+WITH d AS (
+  SELECT doc_id, 16 + doc_id % 600 AS w, 16 + (doc_id * 7) % 600 AS h
+  FROM documents
+)
+SELECT doc_id AS media_id,
+  CASE WHEN doc_id % 2 = 0
+    THEN octet_length(unhex('89504E470D0A1A0A0000000D49484452')
+         || unhex(lpad(to_hex(w), 8, '0')) || unhex(lpad(to_hex(h), 8, '0'))
+         || unhex('080600000000000000'))
+    ELSE octet_length(unhex('FFD8FFC0001108')
+         || unhex(lpad(to_hex(h), 4, '0')) || unhex(lpad(to_hex(w), 4, '0'))
+         || unhex('03000000000000000000FFD9'))
+  END AS n_bytes,
+  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+FROM d
 """
 
 

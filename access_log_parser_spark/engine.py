@@ -44,7 +44,7 @@ from pyspark.sql.types import (
 from . import decoders, patterns as pat
 from .decoders import EXCLUDED, MATCHED, SKIPPED, UNMATCHED
 from .filters import apply_filters, compile_filters
-from .handlers import MATCHED_PREFIX, UNMATCHED_PREFIX
+from .handlers import prefix_strings
 from .options import Option
 
 LINE_SCHEMA = StructType(
@@ -234,11 +234,13 @@ def parse_routed(
     if opt.prefix:
         # applyPrefix (parser_core.go:323-334), multi-line aware for matched
         # output; unmatched raws get the single-line UNMATCHED prefix
-        # (parser_core.go:203-205). Non-tty path: no ANSI color.
+        # (parser_core.go:203-205). ANSI-colored pair on a tty
+        # (parser_core.go:186-189) or when Option(color=True).
+        mpref, upref = prefix_strings(opt.resolve_color())
         prefixed = F.array_join(
             F.transform(
                 F.split(F.col("out_line"), "\n"),
-                lambda x: F.concat(F.lit(MATCHED_PREFIX), x),
+                lambda x: F.concat(F.lit(mpref), x),
             ),
             "\n",
         )
@@ -247,7 +249,7 @@ def parse_routed(
             F.when(F.col("status") == MATCHED, prefixed)
             .when(
                 (F.col("status") == UNMATCHED) & F.col("out_line").isNotNull(),
-                F.concat(F.lit(UNMATCHED_PREFIX), F.col("out_line")),
+                F.concat(F.lit(upref), F.col("out_line")),
             )
             .otherwise(F.col("out_line")),
         )
@@ -438,10 +440,11 @@ def fast_parse_routed(
     routed = routed.drop("tsv_header")
 
     if opt.prefix:
+        mpref, upref = prefix_strings(opt.resolve_color())
         prefixed = F.array_join(
             F.transform(
                 F.split(F.col("out_line"), "\n"),
-                lambda x: F.concat(F.lit(MATCHED_PREFIX), x),
+                lambda x: F.concat(F.lit(mpref), x),
             ),
             "\n",
         )
@@ -450,7 +453,7 @@ def fast_parse_routed(
             F.when(F.col("status") == MATCHED, prefixed)
             .when(
                 (F.col("status") == UNMATCHED) & F.col("out_line").isNotNull(),
-                F.concat(F.lit(UNMATCHED_PREFIX), F.col("out_line")),
+                F.concat(F.lit(upref), F.col("out_line")),
             )
             .otherwise(F.col("out_line")),
         )

@@ -101,3 +101,15 @@ def apply_prefix(line: str, prefix: str) -> str:
 
 MATCHED_PREFIX = "[ PROCESSED ] "
 UNMATCHED_PREFIX = "[ UNMATCHED ] "
+
+# tty path (parser_core.go:187-188): bold green / bold red around the
+# prefix, reset after — byte-for-byte the reference's escape sequences
+ANSI_MATCHED_PREFIX = "\033[1;32m" + MATCHED_PREFIX + "\033[0m"
+ANSI_UNMATCHED_PREFIX = "\033[1;31m" + UNMATCHED_PREFIX + "\033[0m"
+
+
+def prefix_strings(color: bool) -> tuple[str, str]:
+    """(matched, unmatched) prefix pair for the tty/no-tty paths."""
+    if color:
+        return ANSI_MATCHED_PREFIX, ANSI_UNMATCHED_PREFIX
+    return MATCHED_PREFIX, UNMATCHED_PREFIX

@@ -1,17 +1,33 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing (schema, batching, partition shape) is real and
-tested; the actual media decode is STUBBED — the container has no
-image/audio libraries — behind a deterministic fake (or
-NotImplementedError for the strict variant). Swap `_decode_image_stub`
-for a real decoder (PIL/ffmpeg) on a production cluster; the mapInPandas
-contract does not change.
+tested. Decode resolution order per payload:
+
+1. PIL, if importable (not in this sandbox — gated behind a try-import);
+2. :func:`parse_image_header` — pure-Python magic-byte parsing that
+   reads width/height/format from PNG, JPEG, GIF and WebP (VP8/VP8L/
+   VP8X) container headers without any library and without decoding
+   pixel data — exactly what a 100-TB metadata pass wants anyway;
+3. the deterministic md5 fake (``_decode_image_stub``) for unknown
+   payloads, or a raised error when ``strict=True``.
+
+Full pixel decode (resize bodies, model features, video frames) stays
+stubbed: those need PIL/ffmpeg binaries this container lacks; the
+mapInPandas contract (schema, batching, partition shape) is the real,
+tested part and does not change when the body is swapped.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image as _PIL_Image  # type: ignore
+    import io as _io
+except ImportError:
+    _PIL_Image = None
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -49,33 +65,101 @@ def binary_metadata(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     )
 
 
+def parse_image_header(data: bytes) -> tuple[int, int, str] | None:
+    """Read (width, height, format) from image container headers with no
+    library and no pixel decode. Supports PNG, JPEG (any SOFn), GIF and
+    the three WebP flavors. Returns None when the payload is not a
+    recognized image."""
+    n = len(data)
+    # PNG: 8-byte magic, IHDR dims at offsets 16/20 (big-endian u32)
+    if n >= 24 and data[:8] == b"\x89PNG\r\n\x1a\n":
+        w, h = struct.unpack(">II", data[16:24])
+        return w, h, "png"
+    # GIF: 6-byte magic, logical-screen dims at 6/8 (little-endian u16)
+    if n >= 10 and data[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", data[6:10])
+        return w, h, "gif"
+    # JPEG: walk marker segments to the first SOFn frame header
+    if n >= 4 and data[:2] == b"\xff\xd8":
+        i = 2
+        while i + 9 <= n:
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            if i + 4 > n:
+                break
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if i + 9 <= n:
+                    h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                    return w, h, "jpeg"
+                break
+            i += 2 + seg_len
+        return None
+    # WebP: RIFF container, dims depend on the first chunk type
+    if n >= 30 and data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        chunk = data[12:16]
+        if chunk == b"VP8 ":  # lossy: sync code then 14-bit dims
+            if data[23:26] == b"\x9d\x01\x2a":
+                w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+                h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+                return w, h, "webp"
+        elif chunk == b"VP8L":  # lossless: packed 14-bit dims - 1
+            if data[20] == 0x2F:
+                bits = struct.unpack("<I", data[21:25])[0]
+                return (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1, "webp"
+        elif chunk == b"VP8X":  # extended: 24-bit canvas dims - 1
+            w = int.from_bytes(data[24:27], "little") + 1
+            h = int.from_bytes(data[27:30], "little") + 1
+            return w, h, "webp"
+        return None
+    return None
+
+
 def _decode_image_stub(data: bytes) -> tuple[int, int, str]:
-    """Deterministic fake decode: width/height/format derived from the md5
-    digest. A real deployment replaces this body with PIL/libvips; the
-    signature (bytes -> (w, h, fmt)) is the decode contract."""
+    """Deterministic fake decode for UNRECOGNIZED payloads: width/height/
+    format derived from the md5 digest, so the pipeline shape is testable
+    on arbitrary bytes. Recognized image headers never reach this."""
     h = hashlib.md5(data).digest()
     return 16 + h[0] % 240, 16 + h[1] % 240, ("jpeg", "png", "webp")[h[2] % 3]
+
+
+def _decode_one(raw: bytes, strict: bool) -> tuple[int, int, str]:
+    if _PIL_Image is not None:  # pragma: no cover - library not in sandbox
+        try:
+            with _PIL_Image.open(_io.BytesIO(raw)) as im:
+                return im.width, im.height, (im.format or "unknown").lower()
+        except Exception:
+            pass  # fall through to the header parser
+    parsed = parse_image_header(raw)
+    if parsed is not None:
+        return parsed
+    if strict:
+        raise ValueError(
+            "media decode failed: payload is not a recognized image and no "
+            "media library (PIL/ffmpeg) is installed in this container"
+        )
+    return _decode_image_stub(raw)
 
 
 def decode_media(
     df: DataFrame, id_col: str, bin_col: str, strict: bool = False
 ) -> DataFrame:
     """Arrow-batched decode stage: one mapInPandas pass, binary column in,
-    typed metadata struct out. ``strict=True`` raises NotImplementedError
-    (no media libs in this sandbox) instead of using the fake decode."""
+    typed metadata struct out. Real header-derived dimensions for
+    recognized formats (see :func:`parse_image_header`); unknown payloads
+    use the deterministic fake, or raise when ``strict=True``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if strict:
-            raise NotImplementedError(
-                "media decode requires image/audio libraries not present in "
-                "this container; deploy with PIL/ffmpeg and replace "
-                "_decode_image_stub"
-            )
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(data)
-                w, hgt, fmt = _decode_image_stub(raw)
+                w, hgt, fmt = _decode_one(raw, strict)
                 rows.append(
                     (int(mid), len(raw), hashlib.md5(raw).hexdigest(), w, hgt, fmt)
                 )

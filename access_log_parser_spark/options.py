@@ -17,6 +17,7 @@ class Option:
     unmatch_lines: bool = False           # emit unmatched raw lines to output
     line_number: bool = False             # prepend "no" label
     line_handler: LineHandler | str = "json"  # serializer (default JSONLineHandler)
+    color: bool | None = None             # ANSI prefixes: None = auto (tty)
 
     def __post_init__(self) -> None:
         # allow lists for ergonomics
@@ -29,3 +30,16 @@ class Option:
         if callable(self.line_handler):
             return self.line_handler
         return HANDLERS[self.line_handler]
+
+    def resolve_color(self) -> bool:
+        """The reference colors prefixes when stdout is a terminal
+        (parser_core.go:186-189, isatty.IsTerminal); ``color`` overrides
+        the auto-detection either way."""
+        if self.color is not None:
+            return self.color
+        import sys
+
+        try:
+            return sys.stdout.isatty()
+        except Exception:
+            return False

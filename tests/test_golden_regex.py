@@ -98,6 +98,30 @@ def test_unmatch_lines_with_prefix(spark):
     assert counters(r) == (5, 4, 1, 0, 0)
 
 
+def test_prefix_ansi_color_path(spark):
+    """tty color path (parser_core.go:186-189): bold-green PROCESSED /
+    bold-red UNMATCHED wrapped in reset — byte-identical escapes; and the
+    multi-line record colors every physical line."""
+    p = new_s3_parser(spark, Option(unmatch_lines=True, prefix=True, color=True))
+    out, r = p.parse_string(g.CONTAINS_UNMATCH_INPUT)
+    assert out[0] == "\033[1;32m[ PROCESSED ] \033[0m" + g.CONTAINS_UNMATCH_DATA[0]
+    assert out[3] == "\033[1;31m[ UNMATCHED ] \033[0m" + g.L4_TRUNC
+    assert counters(r) == (5, 4, 1, 0, 0)
+
+    p2 = new_s3_parser(
+        spark,
+        Option(line_handler="pretty_json", labels=["bucket"], prefix=True, color=True),
+    )
+    out2, _ = p2.parse_string(g.L5)
+    m = "\033[1;32m[ PROCESSED ] \033[0m"
+    assert out2 == [f'{m}{{\n{m}  "bucket": "awsrandombucket77"\n{m}}}']
+
+    # color=False forces the plain path even if stdout were a tty
+    p3 = new_s3_parser(spark, Option(prefix=True, color=False))
+    out3, _ = p3.parse_string(g.L5)
+    assert out3[0].startswith("[ PROCESSED ] ")
+
+
 def test_labels_selection_keeps_line_order(spark):
     # selectLabels keeps original line order, not target order
     p = new_s3_parser(spark, Option(labels=["method", "bucket"]))

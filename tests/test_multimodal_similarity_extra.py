@@ -112,3 +112,76 @@ def test_ann_recall_vs_brute_force(spark):
         found.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     n_found = sum(1 for q in range(10) if (q + 100000) in found.get(q, set()))
     assert n_found == 10, found  # every planted dup retrieved
+
+
+# --- real image-header decode (magic bytes, no libraries) ---
+
+def _png(w, h):
+    import struct
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x06\x00\x00\x00" + b"\x00" * 4)
+
+
+def _jpeg(w, h):
+    import struct
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00" * 9
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _gif(w, h):
+    import struct
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _webp_vp8(w, h):
+    import struct
+    body = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h) + b"\x00" * 8
+    return b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP" + b"VP8 " + struct.pack("<I", len(body)) + body
+
+
+def _webp_vp8l(w, h):
+    import struct
+    bits = (w - 1) | ((h - 1) << 14)
+    body = b"\x2f" + struct.pack("<I", bits) + b"\x00" * 8
+    return b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP" + b"VP8L" + struct.pack("<I", len(body)) + body
+
+
+def _webp_vp8x(w, h):
+    import struct
+    body = (b"\x00" * 4 + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+            + b"\x00" * 8)
+    return b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP" + b"VP8X" + struct.pack("<I", len(body)) + body
+
+
+@pytest.mark.parametrize(
+    "maker,fmt",
+    [(_png, "png"), (_jpeg, "jpeg"), (_gif, "gif"),
+     (_webp_vp8, "webp"), (_webp_vp8l, "webp"), (_webp_vp8x, "webp")],
+)
+def test_parse_image_header_formats(maker, fmt):
+    assert multimodal.parse_image_header(maker(640, 480)) == (640, 480, fmt)
+    assert multimodal.parse_image_header(maker(1, 1)) == (1, 1, fmt)
+
+
+def test_parse_image_header_rejects_garbage_and_truncation():
+    assert multimodal.parse_image_header(b"not an image at all") is None
+    assert multimodal.parse_image_header(b"") is None
+    assert multimodal.parse_image_header(_png(9, 9)[:12]) is None
+    # JPEG with no SOF marker (EOI right after SOI)
+    assert multimodal.parse_image_header(b"\xff\xd8\xff\xd9") is None
+
+
+def test_decode_media_real_headers_strict(spark):
+    """strict=True succeeds on recognized headers (real dims, no stub) and
+    fails only on unrecognized payloads."""
+    df = spark.createDataFrame(
+        [(1, bytearray(_png(320, 200))), (2, bytearray(_jpeg(64, 48))),
+         (3, bytearray(_webp_vp8l(100, 50)))],
+        "media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           multimodal.decode_media(df, "media_id", "payload", strict=True).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["format"]) == (320, 200, "png")
+    assert (out[2]["width"], out[2]["height"], out[2]["format"]) == (64, 48, "jpeg")
+    assert (out[3]["width"], out[3]["height"], out[3]["format"]) == (100, 50, "webp")
