@@ -1214,6 +1214,95 @@ def _q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_metadata(docs, "doc_id", "payload")
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents with synthesized PII appended (the
+    corpus itself is clean): emails / IPv4s / intl phone numbers, counts
+    from the pre-redaction text. Pure JVM regexp chain."""
+    from access_log_parser_spark.operators.webtext import pii_redact
+
+    docs = _docs_par(spark, sf_dir)
+    pii = F.expr(
+        "CASE CAST(doc_id % 3 AS INT) "
+        "WHEN 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now') "
+        "WHEN 1 THEN concat(' from 192.0.2.', CAST(doc_id % 256 AS STRING), ' today') "
+        "ELSE concat(' call +49151', CAST(1000000 + doc_id AS STRING)) END"
+    )
+    seeded = docs.select(
+        "doc_id", F.concat(F.col("text"), pii).alias("text")
+    )
+    return pii_redact(seeded)
+
+
+def _q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition ratios over the real document texts —
+    within-row HOFs only (no explode, no shuffle)."""
+    from access_log_parser_spark.operators.webtext import repetition_signals
+
+    return repetition_signals(_docs_par(spark, sf_dir))
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide exact paragraph dedup: 50 synthetic pages x 4
+    paragraphs, where pages 0-49 draw paragraphs from docs 0-99 twice
+    over (para source = doc_id % 100), so every paragraph re-occurrence
+    must be dropped at all but its first (page_id, pos) position."""
+    from access_log_parser_spark.operators.webtext import paragraph_dedup
+
+    d = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        (F.col("doc_id") % 50).alias("page_id"),
+        (F.col("doc_id") / 50).cast("int").alias("pos"),
+        (F.col("doc_id") % 100).alias("src"),
+    )
+    texts = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("src"), F.col("text").alias("para")
+    )
+    pages = (
+        d.join(F.broadcast(texts), "src")
+        .groupBy("page_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                    lambda s: s["para"],
+                ),
+                "\n",
+            ).alias("text")
+        )
+    )
+    return paragraph_dedup(pages, id_col="page_id").withColumnRenamed(
+        "doc_id", "page_id"
+    )
+
+
+def _q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist filtering with subdomain (suffix) semantics via
+    suffix-explode + broadcast equi-join — never a LIKE nested loop."""
+    from access_log_parser_spark.operators.webtext import host_suffix_filter
+
+    docs = _docs_par(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://sub"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".dom"), (F.col("doc_id") % 13).cast("string"),
+        F.lit(".com/p/"), F.col("doc_id").cast("string"),
+    )
+    pages = docs.select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [("dom3.com",), ("sub2.dom5.com",), ("dom11.com",)], ["domain"]
+    )
+    return host_suffix_filter(pages, blocked).select("doc_id", "url")
+
+
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct word 3-grams of docs 0-9
+    (broadcast) counted against each corpus doc (doc_id 100-299)."""
+    from access_log_parser_spark.operators.webtext import contamination_flags
+
+    docs = _docs_par(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 300))
+    return contamination_flags(corpus, bench, n=3)
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode (strict mode — no stub allowed): valid PNG /
     JPEG payloads are synthesized from doc_id with closed-form dimensions
@@ -1436,6 +1525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_replay_batch": _q_dedup_replay_batch,
         "multimodal_meta": _q_multimodal_meta,
         "multimodal_decode": _q_multimodal_decode,
+        "pii_redact": _q_pii_redact,
+        "text_repetition": _q_text_repetition,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "url_host_filter": _q_url_host_filter,
+        "contamination": _q_contamination,
         "ann_ivf": _q_ann_ivf,
         "ann_lsh": _q_ann_lsh,
         "stream_windowed_counts": _q_stream_windowed_counts,
@@ -2254,6 +2348,102 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+
+from access_log_parser_spark.operators.webtext import (  # noqa: E402
+    EMAIL_RE as _EMAIL_RE,
+    IPV4_RE as _IPV4_RE,
+    PHONE_RE as _PHONE_RE,
+)
+
+_PII_SEED = """
+  text || CASE CAST(doc_id % 3 AS INT)
+    WHEN 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now')
+    WHEN 1 THEN concat(' from 192.0.2.', CAST(doc_id % 256 AS STRING), ' today')
+    ELSE concat(' call +49151', CAST(1000000 + doc_id AS STRING)) END
+"""
+
+_ORACLE["pii_redact"] = f"""
+WITH seeded AS (SELECT doc_id, {_PII_SEED} AS text FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_IPV4_RE}', '<IP>', 'g'),
+      '{_PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_IPV4_RE}')) AS INT) AS n_ips,
+  CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS INT) AS n_phones
+FROM seeded
+"""
+
+_ORACLE["text_repetition"] = f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents),
+g AS (
+  SELECT doc_id, t,
+    CASE WHEN len(t) >= 2 THEN
+      list_transform(generate_series(1, len(t) - 1), i -> concat(t[i], ' ', t[i+1]))
+    ELSE []::VARCHAR[] END AS g2,
+    CASE WHEN len(t) >= 3 THEN
+      list_transform(generate_series(1, len(t) - 2), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))
+    ELSE []::VARCHAR[] END AS g3
+  FROM toks)
+SELECT doc_id,
+  CAST(len(t) AS INT) AS n_tokens,
+  CASE WHEN len(t) = 0 THEN 0.0 ELSE
+    ROUND(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) END AS dup_word_frac,
+  CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+    ROUND(1 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) END AS dup_2gram_frac,
+  CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+    ROUND(1 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) END AS dup_3gram_frac,
+  ROUND(CAST(list_max(list_transform(list_distinct(t),
+        w -> len(list_filter(t, x -> x = w)))) AS DOUBLE)
+        / GREATEST(len(t), 1), 6) AS top_word_frac
+FROM g
+"""
+
+_ORACLE["paragraph_dedup"] = """
+WITH d AS (
+  SELECT doc_id % 50 AS page_id, CAST(FLOOR(doc_id / 50) AS INT) AS pos,
+         doc_id % 100 AS src
+  FROM documents WHERE doc_id < 200),
+paras AS (
+  SELECT d.page_id, d.pos, doc.text AS para
+  FROM d JOIN documents doc ON doc.doc_id = d.src),
+kept AS (
+  SELECT page_id, pos, para,
+    ROW_NUMBER() OVER (PARTITION BY md5(para) ORDER BY page_id, pos) AS rn
+  FROM paras),
+rebuilt AS (
+  SELECT page_id, string_agg(para, chr(10) ORDER BY pos) AS text
+  FROM kept WHERE rn = 1 GROUP BY page_id),
+ids AS (SELECT DISTINCT doc_id % 50 AS page_id FROM documents WHERE doc_id < 200)
+SELECT ids.page_id, COALESCE(rebuilt.text, '') AS text
+FROM ids LEFT JOIN rebuilt ON ids.page_id = rebuilt.page_id
+"""
+
+_ORACLE["url_host_filter"] = """
+WITH p AS (
+  SELECT doc_id,
+    concat('https://sub', CAST(doc_id % 7 AS STRING), '.dom',
+           CAST(doc_id % 13 AS STRING), '.com/p/', CAST(doc_id AS STRING)) AS url,
+    concat('sub', CAST(doc_id % 7 AS STRING), '.dom',
+           CAST(doc_id % 13 AS STRING), '.com') AS host
+  FROM documents)
+SELECT doc_id, url FROM p
+WHERE NOT (host = 'dom3.com' OR host LIKE '%.dom3.com'
+        OR host = 'sub2.dom5.com' OR host LIKE '%.sub2.dom5.com'
+        OR host = 'dom11.com' OR host LIKE '%.dom11.com')
+"""
+
+_ORACLE["contamination"] = f"""
+WITH toks AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id >= 100 AND doc_id < 300)
+SELECT corpus.doc_id, COUNT(*) AS n_contaminated_grams
+FROM corpus JOIN bench USING (g) GROUP BY 1
+"""
 
 # The DuckDB twin constructs byte-identical PNG/JPEG containers and
 # reads the dims back arithmetically (this duckdb build lacks md5(BLOB),

@@ -1,0 +1,222 @@
+"""Web-text curation operators for LLM training-data pipelines.
+
+The reference parses web-served access logs; the 100-TB deployment in
+BASELINE.json processes the *pages themselves* (Common-Crawl-style). This
+module adds the curation stages such a pipeline runs between parse and
+training-shard write — all JVM-side Catalyst expressions or equi-joins,
+no Python in the hot path, every operator oracle-backed via the driver
+contract:
+
+- :func:`pii_redact` — regex scrubbing of emails / IPv4s / intl phone
+  numbers (expression-only, one projection).
+- :func:`repetition_signals` — Gopher-style within-document repetition
+  ratios (duplicate word / n-gram fractions, top-word fraction) computed
+  with array higher-order functions per row: NO explode, NO shuffle.
+- :func:`paragraph_dedup` / :func:`paragraph_dedup_exploded` —
+  RefinedWeb-style corpus-wide exact paragraph dedup: explode, keep the
+  globally-first occurrence of each paragraph digest, reassemble
+  documents in order. One shuffle on the digest + one on doc_id.
+- :func:`host_suffix_filter` — URL blocklist filtering with registrable-
+  suffix semantics via suffix explosion + broadcast EQUI-join (never a
+  LIKE-based nested-loop join).
+- :func:`contamination_flags` — benchmark n-gram overlap (decontamination
+  check): distinct benchmark shingles broadcast against corpus shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import normalized, shingles
+
+# Cross-engine-safe patterns (Java regex AND RE2/DuckDB agree): no
+# backreferences, no lookaround, explicit character classes.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Scrub common PII: emails -> <EMAIL>, IPv4 -> <IP>, international
+    phone numbers (+digits) -> <PHONE>. Counts use the pre-redaction
+    text. Pure expression chain — scales as a projection."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias("n_phones"),
+    )
+
+
+def _grams(toks, n: int):
+    """All word n-grams (non-distinct, in order) of a token array."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.when(F.size(toks) >= n, F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition ratios, all within-row (array HOFs — no
+    explode, no shuffle, embarrassing parallelism at any corpus size):
+
+    - ``dup_word_frac``   1 - |distinct words| / |words|
+    - ``dup_2gram_frac``  1 - |distinct 2-grams| / |2-grams|
+    - ``dup_3gram_frac``  1 - |distinct 3-grams| / |3-grams|
+    - ``top_word_frac``   occurrences of the most frequent word / |words|
+
+    Ratios are rounded to 6 dp for cross-engine comparability. The
+    top-word scan is O(distinct·n) per row — fine for web documents,
+    which quality pipelines cap at a few thousand tokens anyway.
+    """
+    toks = F.split(normalized(F.col(text_col)), " ")
+    nt = F.size(toks)
+
+    def frac_dup(arr):
+        # empty gram list (doc shorter than n) counts as no repetition
+        return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
+            F.round(
+                1.0 - F.size(F.array_distinct(arr)).cast("double")
+                / F.size(arr).cast("double"),
+                6,
+            )
+        )
+
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda x: x == w)),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        nt.alias("n_tokens"),
+        frac_dup(toks).alias("dup_word_frac"),
+        frac_dup(_grams(toks, 2)).alias("dup_2gram_frac"),
+        frac_dup(_grams(toks, 3)).alias("dup_3gram_frac"),
+        F.round(
+            top_count.cast("double") / F.greatest(nt, F.lit(1)).cast("double"), 6
+        ).alias("top_word_frac"),
+    )
+
+
+def paragraph_dedup_exploded(paras: DataFrame) -> DataFrame:
+    """Corpus-wide exact paragraph dedup over an exploded
+    (doc_id, pos, para) frame: each distinct paragraph digest survives
+    only at its globally-first occurrence (ordered by doc_id, then pos —
+    deterministic, engine-independent). Returns the surviving rows.
+
+    The window partitions by the md5 digest: one shuffle on the digest,
+    bounded state per key — the 100-TB plan. (The raw paragraph string
+    rides along only to be re-emitted; the comparison key is the hash.)
+    """
+    digest = F.md5(F.col("para"))
+    w = Window.partitionBy(digest).orderBy(F.col("doc_id"), F.col("pos"))
+    return (
+        paras.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sep: str = "\n"
+) -> DataFrame:
+    """Split documents into paragraphs on ``sep``, drop every paragraph
+    whose exact text already occurred earlier in the corpus (first
+    occurrence wins, RefinedWeb-style), and reassemble the survivors in
+    original order. Documents whose paragraphs were all duplicates come
+    back with empty text. Two shuffles: digest window + doc_id regroup."""
+    paras = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+    )
+    kept = paragraph_dedup_exploded(paras)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("text")
+    )
+    # docs whose every paragraph was a duplicate drop out of the groupBy;
+    # re-attach them with empty text so the output covers all inputs
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return ids.join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+
+
+def host_of(url_col) -> F.Column:
+    """scheme://host[/...] -> host (cross-engine regexp_extract)."""
+    return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1)
+
+
+def host_suffix_filter(
+    df: DataFrame, blocked: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Drop rows whose URL host matches a blocklist entry exactly OR is a
+    subdomain of one (``a.b.c`` is blocked by ``b.c`` and ``a.b.c``).
+
+    Scale shape: the host explodes into its dot-suffixes (``a.b.c`` ->
+    [a.b.c, b.c, c] — bounded by label count, ~4), which equi-join
+    against the broadcast blocklist; a LIKE '%.domain' condition would
+    force a nested-loop join instead. ``blocked`` has one ``domain``
+    column. Returns the surviving rows unchanged."""
+    host = host_of(F.col(url_col))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    exploded = df.select(F.col(url_col), F.explode(suffixes).alias("_suffix"))
+    blocked_urls = (
+        exploded.join(
+            F.broadcast(blocked.withColumnRenamed("domain", "_suffix")), "_suffix"
+        )
+        .select(F.col(url_col))
+        .distinct()
+    )
+    return df.join(blocked_urls, on=url_col, how="left_anti")
+
+
+def contamination_flags(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-overlap decontamination check: count, per corpus doc,
+    the distinct word n-grams it shares with ANY benchmark document.
+    Benchmark shingles are distinct-ed then broadcast (benchmarks are
+    tiny next to a training corpus); corpus-side work is one explode and
+    a map-side hash join — no shuffle of the corpus."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles(F.col(text_col), n)).alias("gram")
+        ).distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_grams"))
+    )

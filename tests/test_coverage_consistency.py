@@ -33,6 +33,8 @@ def test_every_oracle_has_a_query():
 
     qs, oracles = set(entry.queries()), set(entry.oracle_sql())
     assert oracles <= qs, f"orphan oracles: {sorted(oracles - qs)}"
-    rows_only = qs - oracles
-    # intentionally rows-only: approximate / streaming-synthesized
-    assert rows_only == {"ann_lsh", "stream_windowed_counts"}, rows_only
+    # CLAUDE.md invariant: EVERY query is oracle-backed (since round 2 the
+    # former rows-only pair gained oracles: ann_lsh reproduces the
+    # deterministic bucketing in SQL, stream_windowed_counts has the
+    # closed-form synth_pages expectation)
+    assert qs == oracles, f"rows-only queries remain: {sorted(qs - oracles)}"

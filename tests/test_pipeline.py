@@ -186,6 +186,36 @@ def test_compact_sink_atomic_rewrite(spark, tmp_path):
     assert after.count() == before_rows
 
 
+def test_iceberg_writer_seam_dispatch(spark, tmp_path, monkeypatch):
+    """With the Iceberg runtime present (probe monkeypatched True) the
+    fan-out goes through the DataFrameWriterV2 branch; without it the
+    parquet layout is written regardless of iceberg_table. The real
+    probe must be False in this jar-less sandbox."""
+    from access_log_parser_spark import sinks
+    from access_log_parser_spark.engine import fast_parse_routed
+    from access_log_parser_spark.pages import pages_to_lines, synth_pages
+
+    routed = fast_parse_routed(pages_to_lines(synth_pages(spark, 5, 4, 2)), "s3")
+    assert sinks.iceberg_available(spark) is False
+
+    calls = {}
+    monkeypatch.setattr(sinks, "iceberg_available", lambda s: True)
+    monkeypatch.setattr(
+        sinks,
+        "_write_routed_iceberg",
+        lambda df, table, mode, extra: calls.update(table=table, mode=mode, extra=extra),
+    )
+    out = tmp_path / "ice"
+    sinks.write_routed(routed, str(out), mode="overwrite", iceberg_table="cat.db.logs")
+    assert calls == {"table": "cat.db.logs", "mode": "overwrite", "extra": ()}
+    assert not out.exists()  # nothing written to the parquet layout
+
+    monkeypatch.setattr(sinks, "iceberg_available", lambda s: False)
+    out2 = tmp_path / "pq"
+    sinks.write_routed(routed, str(out2), mode="overwrite", iceberg_table="cat.db.logs")
+    assert (out2 / "data").exists()
+
+
 def test_compact_sink_handles_pipeline_batch_layout(spark, tmp_path):
     """run_pipeline writes data/batch_id=…/status=…/pattern_id=… — the
     compactor must find and rewrite those partitions too (regression:

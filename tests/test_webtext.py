@@ -1,0 +1,131 @@
+"""Web-text curation operators (operators/webtext.py): PII scrubbing,
+Gopher repetition signals, corpus-wide paragraph dedup, URL blocklist
+filtering, benchmark decontamination."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from access_log_parser_spark.operators import webtext
+
+
+def test_pii_redact(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at john.doe+x@example.co.uk or call +4915112345678"),
+            (1, "server 10.0.255.3 and 192.168.1.1 are down"),
+            (2, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in webtext.pii_redact(df).collect()}
+    assert out[0]["clean_text"] == "mail me at <EMAIL> or call <PHONE>"
+    assert (out[0]["n_emails"], out[0]["n_phones"], out[0]["n_ips"]) == (1, 1, 0)
+    assert out[1]["clean_text"] == "server <IP> and <IP> are down"
+    assert out[1]["n_ips"] == 2
+    assert out[2]["clean_text"] == "nothing sensitive here"
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (0, 0, 0)
+
+
+def test_repetition_signals(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a a b"),
+            (1, "x y z w"),                  # no repetition at all
+            (2, "spam spam spam spam"),      # total repetition
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in webtext.repetition_signals(df).collect()}
+    r0 = out[0]
+    assert r0["n_tokens"] == 3
+    assert r0["dup_word_frac"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    assert r0["dup_2gram_frac"] == 0.0        # "a a", "a b" distinct
+    assert r0["top_word_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out[1]["dup_word_frac"] == 0.0
+    assert out[1]["top_word_frac"] == 0.25
+    r2 = out[2]
+    assert r2["dup_word_frac"] == 0.75
+    assert r2["dup_2gram_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert r2["top_word_frac"] == 1.0
+
+
+def test_repetition_signals_short_doc_no_grams(spark):
+    df = spark.createDataFrame([(0, "solo")], "doc_id long, text string")
+    r = webtext.repetition_signals(df).collect()[0]
+    assert r["n_tokens"] == 1
+    assert r["dup_2gram_frac"] == 0.0 and r["dup_3gram_frac"] == 0.0
+    assert r["top_word_frac"] == 1.0
+
+
+def test_paragraph_dedup_first_occurrence_wins(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "alpha\nbeta\ngamma"),
+            (1, "beta\ndelta"),        # beta already seen in doc 0
+            (2, "alpha\nbeta"),        # entirely duplicates -> empty text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in webtext.paragraph_dedup(df).collect()}
+    assert out[0] == "alpha\nbeta\ngamma"
+    assert out[1] == "delta"
+    assert out[2] == ""
+
+
+def test_paragraph_dedup_keeps_within_doc_order(spark):
+    df = spark.createDataFrame(
+        [(0, "z\na\nm"), (1, "q\nz\nb")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["text"] for r in webtext.paragraph_dedup(df).collect()}
+    assert out[0] == "z\na\nm"      # original order, NOT sorted by text
+    assert out[1] == "q\nb"
+
+
+def test_host_suffix_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "https://ads.tracker.com/x"),
+            (1, "https://tracker.com/y"),
+            (2, "https://nottracker.com/z"),   # suffix match is label-wise
+            (3, "http://sub.good.org/a"),
+            (4, "https://evil.example.net/b"),
+        ],
+        "doc_id long, url string",
+    )
+    blocked = spark.createDataFrame(
+        [("tracker.com",), ("evil.example.net",)], ["domain"]
+    )
+    kept = sorted(
+        r["doc_id"] for r in webtext.host_suffix_filter(df, blocked).collect()
+    )
+    assert kept == [2, 3]
+    # and the plan is an equi-join, not a nested loop
+    plan = (
+        webtext.host_suffix_filter(df, blocked)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_contamination_flags(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "he said the quick brown fox jumps far away"),  # shares grams
+            (1, "completely unrelated text about spark plans"),
+            (2, "the quick brown fox jumps over the lazy dog indeed"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_contaminated_grams"]
+        for r in webtext.contamination_flags(corpus, bench, n=5).collect()
+    }
+    assert 1 not in out              # clean doc absent from the flag table
+    assert out[0] == 1               # "the quick brown fox jumps"
+    assert out[2] == 5               # all five 5-grams of the benchmark line
