@@ -776,11 +776,13 @@ def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (k=16, md5-based, 2^61-1 modulus): first/last
     signature components per doc — the LSH input contract. Computed
-    fully JVM-side (explode + md5 + decimal min-agg, one shuffle)."""
-    from access_log_parser_spark.operators.dedup import minhash_signatures_jvm
+    fully JVM-side with array HOFs per row (array_min over the permuted
+    shingle-hash array): ZERO shuffles, bit-identical to the explode+agg
+    path and the Python engine (tests pin all three)."""
+    from access_log_parser_spark.operators.dedup import minhash_signatures_hof
 
     docs = _docs_par(spark, sf_dir)
-    sigs = minhash_signatures_jvm(docs)
+    sigs = minhash_signatures_hof(docs)
     return sigs.select(
         "doc_id",
         F.col("sig")[0].alias("mh_0"),
@@ -796,14 +798,14 @@ def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     collisions. Full scale path: JVM signatures -> banded self-join."""
     from access_log_parser_spark.operators.dedup import (
         lsh_candidate_pairs,
-        minhash_signatures_jvm,
+        minhash_signatures_hof,
     )
 
     base = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 100).select(
         "doc_id", "text"
     )
     dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
-    sigs = minhash_signatures_jvm(base.unionAll(dup))
+    sigs = minhash_signatures_hof(base.unionAll(dup))
     return lsh_candidate_pairs(sigs).select("id_a", "id_b")
 
 
@@ -816,7 +818,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from access_log_parser_spark.operators.dedup import (
         connected_components,
         lsh_candidate_pairs,
-        minhash_signatures_jvm,
+        minhash_signatures_hof,
     )
 
     base = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 50).select(
@@ -825,7 +827,7 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionAll(
         base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     ).unionAll(base.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
-    pairs = lsh_candidate_pairs(minhash_signatures_jvm(corpus))
+    pairs = lsh_candidate_pairs(minhash_signatures_hof(corpus))
     return connected_components(corpus.select("doc_id"), pairs)
 
 

@@ -193,6 +193,52 @@ def minhash_signatures_jvm(
     )
 
 
+def minhash_signatures_hof(
+    df: DataFrame, text_col: str = "text", n: int = 3, k: int = MINHASH_K
+) -> DataFrame:
+    """MinHash with NO shuffle at all: the k minima are computed within
+    each row by array higher-order functions (``array_min`` over a
+    ``transform`` of the shingle-hash array) instead of explode +
+    groupBy. Bit-identical to :func:`minhash_signatures_jvm` and
+    :func:`_minhash_py` (same md5 base hash, same Mersenne-folded int64
+    permutation); tests pin the equivalence.
+
+    The md5 halves are materialized ONCE per row in an intermediate
+    projection — CollapseProject does not inline a non-trivial alias
+    referenced k times, so the digests are not recomputed per
+    permutation. Plan shape: scan -> two projections, one stage,
+    embarrassing parallelism; prefer this whenever downstream banding
+    does not need the exploded form anyway."""
+    sh = df.select(F.col("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    hs = sh.select(
+        "doc_id",
+        F.transform(
+            F.col("sh"),
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        ).alias("hs"),
+    )
+
+    def perm_min(a: int, b: int):
+        def one(h):
+            # same Mersenne fold as minhash_signatures_jvm, with the
+            # (cheap) half-split inlined per element
+            t = F.lit(a) * F.shiftright(h, 31)
+            s = (
+                F.lit(a) * h.bitwiseAND(F.lit((1 << 31) - 1))
+                + F.shiftleft(t.bitwiseAND(F.lit((1 << 30) - 1)), 31)
+                + F.shiftright(t, 30)
+                + F.lit(b)
+            )
+            return F.when(s >= MERSENNE, s - MERSENNE).otherwise(s)
+
+        return F.array_min(F.transform(F.col("hs"), one))
+
+    return hs.select(
+        "doc_id",
+        F.array(*[perm_min(a, b) for a, b in _perm_coeffs(k)]).alias("sig"),
+    )
+
+
 def lsh_candidate_pairs(
     sigs: DataFrame, n_bands: int = LSH_BANDS, rows_per_band: int = LSH_ROWS
 ) -> DataFrame:
@@ -238,11 +284,34 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3) -> Da
     return lsh_candidate_pairs(minhash_signatures(df, text_col, n))
 
 
+def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Driver-side union-find with min-root semantics: every node in the
+    edge list maps to the MINIMUM node id of its component (the same
+    labels min-propagation converges to)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
 def connected_components(
     ids: DataFrame,
     pairs: DataFrame,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
+    collect_threshold: int = 5_000_000,
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over candidate
     pairs by iterative min-label propagation. Returns (doc_id, cluster_id)
@@ -266,8 +335,46 @@ def connected_components(
     diameter > max_iter), a RuntimeWarning is raised: the returned
     clusters may still be split and the caller should re-run with a
     higher ``max_iter``.
+
+    ADAPTIVE SHORT-CIRCUIT: after LSH, the candidate edge list is orders
+    of magnitude smaller than the corpus (only near-duplicates produce
+    edges). When it fits the driver (``<= collect_threshold`` edges,
+    ~160 MB at the default), the components are resolved with ONE
+    distributed action (collect the edges) + an in-memory union-find +
+    one broadcast join back onto the ids — replacing diameter-many
+    join/aggregate rounds. Labels are identical (min-root union-find ==
+    converged min-label propagation; tests pin it). Pass
+    ``collect_threshold=0`` to force the iterative path.
     """
     import warnings
+
+    if collect_threshold > 0:
+        # persist: the edge list is reused either by the collect below or
+        # by EVERY iteration of the propagation loop (whose labels are
+        # checkpointed, but whose edge lineage would otherwise recompute
+        # the whole LSH pipeline per round)
+        pairs = pairs.persist()
+        if pairs.count() <= collect_threshold:
+            edge_rows = pairs.select("id_a", "id_b").collect()
+            pairs.unpersist()
+            mapping = _union_find_labels([(r[0], r[1]) for r in edge_rows])
+            spark = ids.sparkSession
+            if mapping:
+                map_df = spark.createDataFrame(
+                    list(mapping.items()), ["doc_id", "_uf_cluster"]
+                )
+            else:
+                map_df = spark.createDataFrame([], "doc_id long, _uf_cluster long")
+            return (
+                ids.select("doc_id")
+                .join(F.broadcast(map_df), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce(F.col("_uf_cluster"), F.col("doc_id")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
 
     if checkpoint_dir is not None:
         ids.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -302,6 +409,8 @@ def connected_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
+    if collect_threshold > 0:
+        pairs.unpersist()  # labels are checkpointed; edge cache done
     if changed > 0:
         warnings.warn(
             f"connected_components did not converge in {max_iter} iterations "

@@ -54,11 +54,18 @@ def test_minhash_lsh_pairs(spark, docs):
 
 
 def test_minhash_jvm_bit_identical(spark, docs):
-    from access_log_parser_spark.operators.dedup import minhash_signatures_jvm
+    from access_log_parser_spark.operators.dedup import (
+        minhash_signatures_hof,
+        minhash_signatures_jvm,
+    )
 
     py = {r["doc_id"]: r["sig"] for r in dedup.minhash_signatures(docs).collect()}
     jvm = {r["doc_id"]: r["sig"] for r in minhash_signatures_jvm(docs).collect()}
-    assert py == jvm
+    hof = {r["doc_id"]: r["sig"] for r in minhash_signatures_hof(docs).collect()}
+    assert py == jvm == hof
+    # the HOF path's whole point: no exchange anywhere in its plan
+    plan = minhash_signatures_hof(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
 
 
 def test_minhash_python_matches_duckdb_formula():
@@ -187,14 +194,21 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
 
     ids = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
     pairs = spark.createDataFrame([(0, 1), (1, 2), (5, 6)], ["id_a", "id_b"])
-    local = {r["doc_id"]: r["cluster_id"] for r in connected_components(ids, pairs).collect()}
+    want = {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+    # all three execution paths must agree: driver union-find (default),
+    # iterative localCheckpoint, iterative reliable checkpoint
+    uf = {r["doc_id"]: r["cluster_id"] for r in connected_components(ids, pairs).collect()}
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(ids, pairs, collect_threshold=0).collect()
+    }
     durable = {
         r["doc_id"]: r["cluster_id"]
         for r in connected_components(
-            ids, pairs, checkpoint_dir=str(tmp_path / "ckpt")
+            ids, pairs, checkpoint_dir=str(tmp_path / "ckpt"), collect_threshold=0
         ).collect()
     }
-    assert local == durable == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 5, 6: 5, 7: 7}
+    assert uf == local == durable == want
 
 
 def test_connected_components_warns_when_not_converged(spark):
@@ -210,21 +224,26 @@ def test_connected_components_warns_when_not_converged(spark):
     )
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        out = connected_components(ids, chain, max_iter=1).collect()
+        out = connected_components(
+            ids, chain, max_iter=1, collect_threshold=0
+        ).collect()
     assert any("did not converge" in str(w.message) for w in caught)
     # and a sufficient max_iter does not warn
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
         full = {r["doc_id"]: r["cluster_id"]
-                for r in connected_components(ids, chain).collect()}
+                for r in connected_components(
+                    ids, chain, collect_threshold=0).collect()}
     assert not [w for w in caught if "did not converge" in str(w.message)]
     assert full == {i: 0 for i in range(6)}
     assert len(out) == 6
 
 
-def test_connected_components_chain_and_isolated(spark):
+@pytest.mark.parametrize("threshold", [0, 5_000_000])
+def test_connected_components_chain_and_isolated(spark, threshold):
     """Min-label propagation: a 5-node chain (needs multiple iterations),
-    a 2-node pair, and isolated nodes all resolve to component minima."""
+    a 2-node pair, and isolated nodes all resolve to component minima —
+    on BOTH the iterative (threshold=0) and union-find paths."""
     from access_log_parser_spark.operators.dedup import connected_components
 
     ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
@@ -232,7 +251,12 @@ def test_connected_components_chain_and_isolated(spark):
     pairs = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 3), (3, 4), (6, 7)], ["id_a", "id_b"]
     )
-    out = {r["doc_id"]: r["cluster_id"] for r in connected_components(ids, pairs).collect()}
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(
+            ids, pairs, collect_threshold=threshold
+        ).collect()
+    }
     assert out == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 6, 7: 6, 8: 8, 9: 9}
 
 
