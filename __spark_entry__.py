@@ -827,7 +827,9 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionAll(
         base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
     ).unionAll(base.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
-    pairs = lsh_candidate_pairs(minhash_signatures_hof(corpus))
+    # distinct=False: union-find dedups repeated edges itself, so the
+    # banding pipeline skips its final dedup shuffle
+    pairs = lsh_candidate_pairs(minhash_signatures_hof(corpus), distinct=False)
     return connected_components(corpus.select("doc_id"), pairs)
 
 

@@ -240,13 +240,21 @@ def minhash_signatures_hof(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_bands: int = LSH_BANDS, rows_per_band: int = LSH_ROWS
+    sigs: DataFrame,
+    n_bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
+    distinct: bool = True,
 ) -> DataFrame:
     """Band the signatures and self-join on (band_idx, band_key): docs
     agreeing on ALL rows of any band become candidates. Band key is the
     md5 of the joined band values (cross-engine reproducible). Tune
     (n_bands, rows_per_band) for the similarity s-curve: more bands =
-    higher recall at lower similarity, more candidates to verify."""
+    higher recall at lower similarity, more candidates to verify.
+
+    ``distinct=False`` skips the final dedup SHUFFLE and may emit a pair
+    once per agreeing band — pass it when the consumer dedups anyway
+    (connected_components' union-find is idempotent over repeated
+    edges)."""
     bands = sigs.select(
         "doc_id",
         F.posexplode(
@@ -270,14 +278,14 @@ def lsh_candidate_pairs(
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    out = (
         a.join(b, on=["band_idx", "band_key"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -348,15 +356,13 @@ def connected_components(
     """
     import warnings
 
+    _persisted = None
     if collect_threshold > 0:
-        # persist: the edge list is reused either by the collect below or
-        # by EVERY iteration of the propagation loop (whose labels are
-        # checkpointed, but whose edge lineage would otherwise recompute
-        # the whole LSH pipeline per round)
-        pairs = pairs.persist()
-        if pairs.count() <= collect_threshold:
-            edge_rows = pairs.select("id_a", "id_b").collect()
-            pairs.unpersist()
+        # ONE action decides and fetches: limit(threshold+1) caps driver
+        # memory; exactly threshold+1 rows back means the edge list is too
+        # big and the iterative path takes over
+        edge_rows = pairs.select("id_a", "id_b").limit(collect_threshold + 1).collect()
+        if len(edge_rows) <= collect_threshold:
             mapping = _union_find_labels([(r[0], r[1]) for r in edge_rows])
             spark = ids.sparkSession
             if mapping:
@@ -375,6 +381,10 @@ def connected_components(
                     ),
                 )
             )
+        # edge list too large to collect: persist it for the loop (whose
+        # labels are checkpointed, but whose edge lineage would otherwise
+        # recompute the whole LSH pipeline every round)
+        _persisted = pairs = pairs.persist()
 
     if checkpoint_dir is not None:
         ids.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -409,8 +419,8 @@ def connected_components(
         labels = updated.drop("_changed")
         if changed == 0:
             break
-    if collect_threshold > 0:
-        pairs.unpersist()  # labels are checkpointed; edge cache done
+    if _persisted is not None:
+        _persisted.unpersist()  # labels are checkpointed; edge cache done
     if changed > 0:
         warnings.warn(
             f"connected_components did not converge in {max_iter} iterations "

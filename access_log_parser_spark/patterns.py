@@ -136,12 +136,60 @@ class PatternError(ValueError):
     pass
 
 
+# Constructs Go's RE2 cannot compile but Python's `re` accepts: the
+# reference (regexp.Compile, parser_regex.go:75) would reject a pattern
+# using these, so accepting them here would let user patterns silently
+# mean something the reference cannot express. Scanned outside character
+# classes.
+_RE2_UNSUPPORTED = (
+    ("(?=", "lookahead"),
+    ("(?!", "negative lookahead"),
+    ("(?<=", "lookbehind"),
+    ("(?<!", "negative lookbehind"),
+    ("(?P=", "backreference"),
+)
+
+
+def _re2_incompatibility(src: str) -> str | None:
+    """Name of the first RE2-unsupported construct in ``src``, or None."""
+    in_class = [False] * len(src)
+    for m in _CLASS_RE.finditer(src):
+        for i in range(m.start(), m.end()):
+            in_class[i] = True
+    i = 0
+    while i < len(src):
+        if in_class[i]:
+            i += 1
+            continue
+        ch = src[i]
+        if ch == "\\":
+            nxt = src[i + 1] if i + 1 < len(src) else ""
+            if nxt.isdigit() and nxt != "0":
+                return "backreference"
+            i += 2
+            continue
+        for tok, name in _RE2_UNSUPPORTED:
+            if src.startswith(tok, i):
+                return name
+        i += 1
+    return None
+
+
 def validate_pattern(pattern: str) -> re.Pattern:
     """Compile + validate one pattern (parser_regex.go:74-89 semantics).
 
-    Rejects: non-compiling patterns, patterns with no capture group, and
-    patterns with any unnamed capture group.
+    Rejects: non-compiling patterns, patterns with no capture group,
+    patterns with any unnamed capture group, and patterns using regex
+    constructs Go's RE2 cannot compile (lookaround, backreferences) —
+    the reference's ``regexp.Compile`` errors on those, so parity
+    requires rejecting them even though Python's ``re`` would accept.
     """
+    incompat = _re2_incompatibility(pattern)
+    if incompat is not None:
+        raise PatternError(
+            f"{REGEX_PATTERN_ERROR}: {incompat} is not supported by the "
+            "reference's RE2 dialect"
+        )
     try:
         ptn = re.compile(pattern)
     except re.error as e:

@@ -51,6 +51,24 @@ def test_non_named_group_rejected():
         pat.validate_pattern("(?P<field1>[!-~]+) ([!-~]+) (?P<field3>[!-~]+)")
 
 
+def test_re2_unsupported_constructs_rejected():
+    """The reference's regexp.Compile (RE2) cannot express lookaround or
+    backreferences, so user patterns using them must fail fast here too
+    instead of silently meaning something the reference cannot run."""
+    for bad, name in [
+        (r"(?P<a>x)(?=y)", "lookahead"),
+        (r"(?P<a>x)(?!y)", "negative lookahead"),
+        (r"(?<=y)(?P<a>x)", "lookbehind"),
+        (r"(?<!y)(?P<a>x)", "negative lookbehind"),
+        (r"(?P<a>x)\1", "backreference"),
+        (r"(?P<a>x)(?P=a)", "backreference"),
+    ]:
+        with pytest.raises(pat.PatternError, match=name):
+            pat.validate_pattern(bad)
+    # inside a character class these are literal chars, not constructs
+    assert pat.validate_pattern(r"(?P<a>[(?=!]+)") is not None
+
+
 def test_union_schema_order():
     compiled = [pat.validate_pattern(p) for p in pat.PRESETS["s3"]]
     union = pat.union_schema(compiled)
