@@ -1008,6 +1008,35 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation composite built from the webtext
+    stages, end-to-end in ONE plan: Gopher repetition gate
+    (dup_word_frac <= 0.55) -> benchmark decontamination (drop docs
+    sharing >= 2 distinct 3-grams with the doc_id<10 'benchmark') ->
+    per-language kept-doc and token budget."""
+    from access_log_parser_spark.operators.webtext import (
+        contamination_flags,
+        repetition_signals,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    bench = docs.filter(F.col("doc_id") < 10)
+    rep = repetition_signals(corpus).select("doc_id", "n_tokens", "dup_word_frac")
+    cont = contamination_flags(corpus, bench, n=3)
+    gated = (
+        corpus.select("doc_id", "lang")
+        .join(rep, "doc_id")
+        .filter(F.col("dup_word_frac") <= 0.55)
+        .join(cont, "doc_id", "left")
+        .filter(F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) < 2)
+    )
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
+
+
 def _q_vocab_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level top-20 tokens by frequency (map-side partial agg ->
     one token-keyed shuffle -> TakeOrdered)."""
@@ -1353,6 +1382,22 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2: each query probes its TWO nearest cells (query-
+    side-only fan-out via a sorted-struct slice + bounded explode), so
+    recall rises without touching corpus-side cost."""
+    from access_log_parser_spark.operators.similarity import ivf_ann
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return ivf_ann(emb, emb.filter(F.col("vec_id") < 5), cents, k=5, nprobe=2).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed approximate NN (no SQL oracle: recall<1 by design;
     rows-only check). Deterministic hyperplanes, stable output."""
@@ -1515,6 +1560,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_uris_per_source": _q_topk_uris_per_source,
         "size_histogram": _q_size_histogram,
         "curation_pipeline": _q_curation_pipeline,
+        "curation_v2": _q_curation_v2,
         "vocab_top20": _q_vocab_top20,
         "idf_tokens": _q_idf_tokens,
         "sample_hash_mod": _q_sample_hash_mod,
@@ -1535,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_filter": _q_url_host_filter,
         "contamination": _q_contamination,
         "ann_ivf": _q_ann_ivf,
+        "ann_ivf_nprobe": _q_ann_ivf_nprobe,
         "ann_lsh": _q_ann_lsh,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_hourly_counts": _q_stream_hourly_counts,
@@ -2438,6 +2485,29 @@ WHERE NOT (host = 'dom3.com' OR host LIKE '%.dom3.com'
         OR host = 'dom11.com' OR host LIKE '%.dom11.com')
 """
 
+_ORACLE["curation_v2"] = f"""
+WITH toks AS (SELECT doc_id, lang, string_split({_NORM_TEXT}, ' ') AS t FROM documents),
+rep AS (
+  SELECT doc_id, lang, len(t) AS n_tokens,
+    CASE WHEN len(t) = 0 THEN 0.0 ELSE
+      ROUND(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) END AS dw
+  FROM toks),
+grams AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10),
+cont AS (
+  SELECT grams.doc_id, COUNT(*) AS n
+  FROM grams JOIN bench USING (g) WHERE grams.doc_id >= 10 GROUP BY 1),
+gated AS (
+  SELECT rep.doc_id, rep.lang, rep.n_tokens
+  FROM rep LEFT JOIN cont ON rep.doc_id = cont.doc_id
+  WHERE rep.doc_id >= 10 AND rep.dw <= 0.55 AND COALESCE(cont.n, 0) < 2)
+SELECT lang, COUNT(*) AS n_kept,
+  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM gated GROUP BY 1
+"""
+
 _ORACLE["contamination"] = f"""
 WITH toks AS (SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM documents),
 grams AS (
@@ -2487,6 +2557,38 @@ def _lsh_plane_sql(plane: int, dim: int = 64) -> str:
         "THEN '1' ELSE '0' END"
     )
 
+
+# nprobe=2 twin: corpus side keeps the single-cell argmax (tie -> larger
+# cid, matching Spark's array_max-of-struct), query side takes the top-2
+# cells by dot product with tie -> SMALLER cid (matching the ascending
+# (neg_score, cell) array_sort slice).
+_ORACLE["ann_ivf_nprobe"] = """
+WITH cents AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id < 3
+), assigned AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+    (SELECT cid FROM cents
+     ORDER BY list_dot_product(cv, e.embedding::DOUBLE[]) DESC, cid DESC LIMIT 1) AS cell
+  FROM embeddings e
+), qprobe AS (
+  SELECT e.vec_id AS query_id, e.embedding::DOUBLE[] AS qv, c.cid AS cell,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY list_dot_product(c.cv, e.embedding::DOUBLE[]) DESC, c.cid ASC) AS pr
+  FROM embeddings e, cents c WHERE e.vec_id < 5
+), q AS (
+  SELECT query_id, qv, cell FROM qprobe WHERE pr <= 2
+), scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+    ROUND(list_dot_product(q.qv, a.v)
+      / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cos
+  FROM q JOIN assigned a ON q.cell = a.cell AND a.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5
+"""
 
 # LSH-bucketed ANN is deterministic end-to-end: bucket = 8 hyperplane sign
 # bits (md5-derived weights, reproduced above), candidates share the

@@ -130,6 +130,34 @@ def ivf_assign(
     )
 
 
+def ivf_assign_multi(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids: one output
+    row per (vector, probed cell). Like :func:`ivf_assign`, the argmax —
+    here arg-top-nprobe — unrolls to a sorted array-of-structs Catalyst
+    expression (scores descending, centroid id ascending on ties), then
+    a bounded explode: no join, no Python, fan-out exactly nprobe."""
+    v = _as_double(F.col(vec_col))
+    scored = [
+        F.struct(
+            (-_dot(v, F.array(*[F.lit(float(x)) for x in cvec]))).alias("neg"),
+            F.lit(cid).alias("cell"),
+        )
+        for cid, cvec in centroids
+    ]
+    top = F.slice(F.array_sort(F.array(*scored)), 1, nprobe)
+    return emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.explode(F.transform(top, lambda s: s["cell"])).alias("cell"),
+    )
+
+
 def ivf_ann(
     corpus: DataFrame,
     queries: DataFrame,
@@ -137,17 +165,23 @@ def ivf_ann(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF approximate NN: probe only the query's cell (nprobe=1), exact
-    cosine re-rank within it. The cell join shuffles on a small integer
-    key; corpus cells are the bucketing unit a production index would
-    persist partitioned-by-cell for pruned scans."""
+    """IVF approximate NN: probe the query's ``nprobe`` nearest cells,
+    exact cosine re-rank within the probed candidates. The cell join
+    shuffles on a small integer key; corpus cells are the bucketing unit
+    a production index would persist partitioned-by-cell for pruned
+    scans. Raising ``nprobe`` trades candidates scanned for recall —
+    only the QUERY side fans out (corpus rows stay single-cell), so
+    corpus-side cost is unchanged."""
     c = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
         "id", "neighbor_id"
     ).withColumnRenamed("v", "cv")
-    q = ivf_assign(queries, centroids, id_col, vec_col).withColumnRenamed(
-        "id", "query_id"
-    ).withColumnRenamed("v", "qv")
+    if nprobe <= 1:
+        q = ivf_assign(queries, centroids, id_col, vec_col)
+    else:
+        q = ivf_assign_multi(queries, centroids, nprobe, id_col, vec_col)
+    q = q.withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv")
     cos = F.round(
         _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
         SIM_ROUND,

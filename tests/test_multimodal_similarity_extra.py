@@ -114,6 +114,38 @@ def test_ann_recall_vs_brute_force(spark):
     assert n_found == 10, found  # every planted dup retrieved
 
 
+def test_ivf_nprobe_probes_extra_cells(spark):
+    """nprobe=2 must recover a neighbor whose cell differs from the
+    query's primary cell, and fan out ONLY the query side."""
+    import math
+
+    # centroids along two axes; query sits between them, its true
+    # neighbor lives in the second-best cell
+    dim = 4
+    def vec(*xs):
+        return [float(x) for x in xs] + [0.0] * (dim - len(xs))
+    rows = [
+        (0, vec(1.0, 0.0)),          # centroid/corpus in cell 0
+        (1, vec(0.0, 1.0)),          # centroid/corpus in cell 1
+        (10, vec(0.9, 0.45)),        # query: cell 0 primary, cell 1 second
+        (11, vec(0.1, 0.99)),        # near-neighbor of the query, cell 1
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    cents = [(0, vec(1.0, 0.0)), (1, vec(0.0, 1.0))]
+    q = df.filter(df.vec_id == 10)
+    got1 = {r["neighbor_id"] for r in
+            similarity.ivf_ann(df, q, cents, k=3, nprobe=1).collect()}
+    got2 = {r["neighbor_id"] for r in
+            similarity.ivf_ann(df, q, cents, k=3, nprobe=2).collect()}
+    assert 11 not in got1          # cell-1 resident invisible at nprobe=1
+    assert {0, 1, 11} == got2      # visible once the second cell is probed
+    # assignment fan-out is bounded: |queries| x nprobe rows
+    multi = similarity.ivf_assign_multi(q, cents, nprobe=2)
+    assert multi.count() == 2
+
+
 # --- real image-header decode (magic bytes, no libraries) ---
 
 def _png(w, h):
