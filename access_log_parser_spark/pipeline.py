@@ -141,3 +141,81 @@ def run_pipeline(
         result=total, batches_run=todo, batches_skipped=skipped,
         elapsed=total.elapsed_time,
     )
+
+
+def curate_corpus(
+    pages: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    quality_min: float = 0.3,
+    rep_max: float = 0.9,
+    shard_dir: str | None = None,
+    n_shards: int = 8,
+    collect_stats: bool = True,
+) -> tuple[DataFrame, dict]:
+    """Training-data curation pass over a pages corpus — the stage a
+    100-TB deployment runs between the routed sinks and the trainer:
+
+    1. quality gate  (text_quality.quality_score >= quality_min)
+    2. repetition gate (webtext dup_word_frac <= rep_max)
+    3. PII scrubbing (webtext.pii_redact -> clean_text)
+    4. corpus-wide exact paragraph dedup (first occurrence wins)
+    5. whole-doc exact dedup keep-first
+    6. optional content-addressed training shards (sinks)
+
+    Returns (curated_df(doc_id, url, text), stats). ``doc_id`` is the
+    64-bit xxhash of the url — deterministic, join-stable, no driver
+    sequence. Stage counts in ``stats`` cost one action each; pass
+    ``collect_stats=False`` to keep the whole pass lazy.
+    """
+    from pyspark.sql import Window
+
+    from .operators.text_quality import quality_score
+    from .operators.webtext import paragraph_dedup, pii_redact, repetition_signals
+
+    docs = pages.select(
+        F.xxhash64(F.col(url_col)).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        F.col(text_col).alias("text"),
+    )
+    stats: dict[str, int] = {}
+    if collect_stats:
+        stats["input"] = docs.count()
+
+    q = quality_score(docs).select("doc_id", "quality")
+    docs = docs.join(q, "doc_id").filter(F.col("quality") >= quality_min).drop("quality")
+    if collect_stats:
+        stats["after_quality"] = docs.count()
+
+    rep = repetition_signals(docs).select("doc_id", "dup_word_frac")
+    docs = (
+        docs.join(rep, "doc_id")
+        .filter(F.col("dup_word_frac") <= rep_max)
+        .drop("dup_word_frac")
+    )
+    if collect_stats:
+        stats["after_repetition"] = docs.count()
+
+    clean = pii_redact(docs).select("doc_id", F.col("clean_text").alias("text"))
+    docs = docs.drop("text").join(clean, "doc_id")
+
+    deduped = paragraph_dedup(docs)  # (doc_id, text), order-preserving
+    docs = docs.select("doc_id", "url").join(deduped, "doc_id").filter(
+        F.length("text") > 0
+    )
+    if collect_stats:
+        stats["after_paragraph_dedup"] = docs.count()
+
+    keep = (
+        F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id")) == 1
+    )
+    docs = docs.withColumn("_keep", keep).filter("_keep").drop("_keep")
+    if collect_stats:
+        stats["after_exact_dedup"] = docs.count()
+
+    if shard_dir is not None:
+        from .sinks import write_training_shards
+
+        write_training_shards(docs, shard_dir, key_col="doc_id", n_shards=n_shards)
+        stats["shards"] = n_shards
+    return docs, stats

@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=1)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--curate", action="store_true",
+        help="after routing, run the training-data curation pass "
+             "(quality -> repetition -> PII scrub -> paragraph + exact "
+             "dedup -> shards) over the pages corpus",
+    )
     args = ap.parse_args()
 
     from access_log_parser_spark import Option
@@ -67,22 +73,31 @@ def main() -> None:
         lookups={"lang": (lang_map, "lang")},
         n_batches=args.batches, resume=args.resume,
     )
-    print(
-        json.dumps(
-            {
-                "counters": dict(
-                    zip(
-                        ("total", "matched", "unmatched", "excluded", "skipped"),
-                        report.result.counters(),
-                    )
-                ),
-                "batches_run": report.batches_run,
-                "batches_skipped": report.batches_skipped,
-                "elapsed_sec": round(report.elapsed, 3),
-                "invariant_ok": report.result.check_invariant(),
-            }
+    out = {
+        "counters": dict(
+            zip(
+                ("total", "matched", "unmatched", "excluded", "skipped"),
+                report.result.counters(),
+            )
+        ),
+        "batches_run": report.batches_run,
+        "batches_skipped": report.batches_skipped,
+        "elapsed_sec": round(report.elapsed, 3),
+        "invariant_ok": report.result.check_invariant(),
+    }
+    if args.curate:
+        from access_log_parser_spark.pipeline import curate_corpus
+
+        # the synthetic pages' text is log lines, not prose: the
+        # prose-tuned quality/repetition gates would drop everything, so
+        # the demo disables them and exercises PII scrub + both dedups +
+        # sharding; real crawl corpora use the API defaults
+        _, stats = curate_corpus(
+            pages, quality_min=0.0, rep_max=1.0,
+            shard_dir=args.out + "/curated_shards",
         )
-    )
+        out["curation"] = stats
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -186,6 +186,44 @@ def test_compact_sink_atomic_rewrite(spark, tmp_path):
     assert after.count() == before_rows
 
 
+def test_curate_corpus_stage_counts_monotone(spark, tmp_path):
+    """The curation pass must be monotone non-increasing across stages,
+    dedup must collapse the injected duplicate page, and shards must hold
+    exactly the surviving docs."""
+    from pyspark.sql import functions as F
+
+    from access_log_parser_spark.pages import synth_pages
+    from access_log_parser_spark.pipeline import curate_corpus
+
+    pages = synth_pages(spark, 30, 10, 5)
+    # inject an exact duplicate of page 0's text under a different url
+    dup = pages.filter(F.col("page_id") == 0).withColumn(
+        "url", F.lit("https://dup.example.com/copy")
+    )
+    corpus = pages.unionByName(dup)
+    shard_dir = str(tmp_path / "shards")
+    curated, stats = curate_corpus(
+        corpus, quality_min=0.0, rep_max=1.0, shard_dir=shard_dir
+    )
+    assert stats["input"] == 31
+    assert (
+        stats["input"]
+        >= stats["after_quality"]
+        >= stats["after_repetition"]
+        >= stats["after_paragraph_dedup"]
+        >= stats["after_exact_dedup"]
+    )
+    # every page shares paragraphs (golden lines repeat): the corpus-wide
+    # paragraph dedup must strictly shrink it, and the whole-doc copy of
+    # page 0 dies with all-duplicate paragraphs
+    assert stats["after_paragraph_dedup"] < stats["input"]
+    rows = curated.collect()
+    assert len(rows) == stats["after_exact_dedup"]
+    assert len({r["text"] for r in rows}) == len(rows)  # no exact dups
+    sharded = spark.read.parquet(shard_dir)
+    assert sharded.count() == len(rows)
+
+
 def test_iceberg_writer_seam_dispatch(spark, tmp_path, monkeypatch):
     """With the Iceberg runtime present (probe monkeypatched True) the
     fan-out goes through the DataFrameWriterV2 branch; without it the
