@@ -1409,6 +1409,32 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_ewma_anomaly_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stateful streaming EWMA rate-anomaly operator:
+    hourly per-event_type counts replayed through the SAME ewma_step
+    recurrence the applyInPandasWithState op uses (alpha=0.3,
+    threshold=3, warmup=2); the oracle re-derives it with a recursive
+    CTE. This is how the custom stateful operator's MATH gets a hard
+    oracle even though its micro-batch delivery cannot be SQL'd."""
+    from access_log_parser_spark.streaming.anomaly import rate_anomaly_batch
+
+    ev = _load(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias(
+            "hour"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = rate_anomaly_batch(counts, order_col="hour", count_col="n")
+    return out.select(
+        "source",
+        F.col("batch_ord").alias("hour"),
+        "batch_count",
+        F.round(F.col("ewma_before"), 6).alias("ewma_before"),
+        "is_anomaly",
+    )
+
+
 def _q_stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming WITH a SQL oracle: the shared events table is
     streamed (availableNow file source over a byte-identical copy — the
@@ -1585,6 +1611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "stream_windowed_counts": _q_stream_windowed_counts,
         "stream_hourly_counts": _q_stream_hourly_counts,
+        "ewma_anomaly_batch": _q_ewma_anomaly_batch,
         "stream_parse_counts": _q_stream_parse_counts,
     }
 
@@ -1898,6 +1925,39 @@ SELECT CASE WHEN event_id % 10 = 0 THEN 'unmatched' ELSE 'matched' END AS status
   CASE WHEN event_id % 10 = 0 THEN -1 ELSE 0 END AS pattern_id,
   COUNT(*) AS n_rows
 FROM events GROUP BY 1, 2
+"""
+
+# EWMA recurrence re-derived with a recursive CTE. Float-critical: the
+# smoothing term is written (1 - 0.3), NOT 0.7 — the doubles differ in
+# the last bit and the recurrence would drift from ewma_step's
+# alpha*c + (1-alpha)*e.
+_ORACLE["ewma_anomaly_batch"] = """
+WITH RECURSIVE counts AS (
+  SELECT event_type AS source,
+    strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour,
+    COUNT(*) AS batch_count
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT source, hour, batch_count,
+    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hour) AS i
+  FROM counts
+), rec AS (
+  SELECT source, i, hour, batch_count,
+    0.0::DOUBLE AS ewma_before,
+    CAST(batch_count AS DOUBLE) AS ewma_after
+  FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.source, s.i, s.hour, s.batch_count,
+    r.ewma_after,
+    0.3 * s.batch_count + (1 - 0.3) * r.ewma_after
+  FROM seq s JOIN rec r ON s.source = r.source AND s.i = r.i + 1
+)
+SELECT source, hour, batch_count,
+  ROUND(ewma_before, 6) AS ewma_before,
+  (i > 2 AND ewma_before > 0
+   AND (batch_count > 3 * ewma_before OR batch_count < ewma_before / 3))
+  AS is_anomaly
+FROM rec
 """
 
 # the streaming complete-mode aggregation must equal the same batch SQL

@@ -46,6 +46,29 @@ ANOMALY_STATE_SCHEMA = StructType(
 )
 
 
+def ewma_step(
+    ewma: float,
+    n_batches: int,
+    count: int,
+    alpha: float,
+    threshold: float,
+    warmup: int,
+) -> tuple[float, bool, float]:
+    """One step of the anomaly recurrence, shared by the streaming state
+    op and the batch twin (and mirrored by the recursive-CTE oracle):
+    returns (ewma_before, is_anomaly, ewma_after). NOTE the ``(1 -
+    alpha)`` form — the oracle must write ``(1 - 0.3)`` too, because the
+    double ``1 - 0.3`` differs from the literal ``0.7`` in the last bit
+    and the recurrence would drift."""
+    is_anomaly = bool(
+        n_batches >= warmup
+        and ewma > 0
+        and (count > threshold * ewma or count < ewma / threshold)
+    )
+    ewma_after = float(count) if n_batches == 0 else alpha * count + (1 - alpha) * ewma
+    return float(ewma), is_anomaly, float(ewma_after)
+
+
 def make_rate_anomaly(alpha: float = 0.3, threshold: float = 3.0, warmup: int = 2):
     """(key, pdf_iter, state) -> pdf_iter for ``applyInPandasWithState``.
 
@@ -66,13 +89,9 @@ def make_rate_anomaly(alpha: float = 0.3, threshold: float = 3.0, warmup: int = 
         else:
             ewma, n_batches = 0.0, 0
         count = sum(len(pdf) for pdf in pdfs)
-        is_anomaly = bool(
-            n_batches >= warmup
-            and ewma > 0
-            and (count > threshold * ewma or count < ewma / threshold)
+        ewma_before, is_anomaly, ewma = ewma_step(
+            ewma, n_batches, count, alpha, threshold, warmup
         )
-        ewma_before = float(ewma)
-        ewma = float(count) if n_batches == 0 else alpha * count + (1 - alpha) * ewma
         state.update((float(ewma), n_batches + 1))
         yield pd.DataFrame(
             [(source, count, ewma_before, is_anomaly)],
@@ -99,3 +118,55 @@ def rate_anomaly_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BATCH_ANOMALY_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("batch_ord", StringType()),
+        StructField("batch_count", LongType()),
+        StructField("ewma_before", DoubleType()),
+        StructField("is_anomaly", BooleanType()),
+    ]
+)
+
+
+def rate_anomaly_batch(
+    counts,
+    alpha: float = 0.3,
+    threshold: float = 3.0,
+    warmup: int = 2,
+    source_col: str = "source",
+    order_col: str = "batch_ord",
+    count_col: str = "batch_count",
+):
+    """Batch twin of :func:`rate_anomaly_stream`: replays the SAME
+    recurrence (:func:`ewma_step`) over a (source, batch_ord,
+    batch_count) frame, batches ordered by ``order_col`` within each
+    source. Equals the streaming op fed the same per-batch counts in the
+    same order (test-pinned), and is SQL-expressible (recursive CTE), so
+    the stateful operator's math gets an oracle. One shuffle on source;
+    per-source work is a linear scan in one Arrow batch."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        # input arrives with the canonical (source, batch_ord, batch_count)
+        # names — the caller's columns are renamed before the groupBy
+        pdf = pdf.sort_values("batch_ord")
+        rows = []
+        ewma, n = 0.0, 0
+        for _, r in pdf.iterrows():
+            c = int(r["batch_count"])
+            before, is_anom, ewma = ewma_step(ewma, n, c, alpha, threshold, warmup)
+            n += 1
+            rows.append((r["source"], r["batch_ord"], c, before, is_anom))
+        return pd.DataFrame(
+            rows,
+            columns=["source", "batch_ord", "batch_count", "ewma_before", "is_anomaly"],
+        )
+
+    base = counts.select(
+        counts[source_col].alias("source"),
+        counts[order_col].alias("batch_ord"),
+        counts[count_col].alias("batch_count"),
+    )
+    return base.groupBy("source").applyInPandas(run, BATCH_ANOMALY_SCHEMA)

@@ -192,3 +192,32 @@ def test_rate_anomaly_stream_end_to_end(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0]["ewma_before"] == 0.0       # first batch: no history
     assert rows[1]["ewma_before"] == 50.0      # state carried across batches
+
+
+def test_rate_anomaly_batch_twin_matches_streaming_logic(spark):
+    """The batch twin must replay EXACTLY what the streaming state op
+    computes when fed the same per-batch counts in the same order —
+    ewma_before bit-identical, flags identical."""
+    import pandas as pd
+
+    from access_log_parser_spark.streaming import make_rate_anomaly
+    from access_log_parser_spark.streaming.anomaly import rate_anomaly_batch
+
+    counts = [7, 9, 8, 80, 8, 8, 1]
+    fn = make_rate_anomaly(alpha=0.3, threshold=3.0, warmup=2)
+    state = _FakeState()
+    want = []
+    for i, c in enumerate(counts):
+        (out,) = list(fn(("s",), iter([pd.DataFrame({"x": range(c)})]), state))
+        want.append((f"b{i}", c, float(out["ewma_before"][0]), bool(out["is_anomaly"][0])))
+
+    df = spark.createDataFrame(
+        [("s", f"b{i}", c) for i, c in enumerate(counts)],
+        "source string, batch_ord string, batch_count long",
+    )
+    got = [
+        (r["batch_ord"], r["batch_count"], r["ewma_before"], r["is_anomaly"])
+        for r in rate_anomaly_batch(df).orderBy("batch_ord").collect()
+    ]
+    assert got == want
+    assert any(f for _, _, _, f in got)  # the spike and the collapse flag
