@@ -22,6 +22,7 @@ from .parser import (
     new_cf_parser,
     new_clb_parser,
     new_nlb_parser,
+    new_ltsv_parser,
     new_s3_parser,
 )
 from .patterns import PRESETS, PatternError, validate_pattern
@@ -57,6 +58,7 @@ __all__ = [
     "new_cf_parser",
     "new_clb_parser",
     "new_nlb_parser",
+    "new_ltsv_parser",
     "new_s3_parser",
     "PRESETS",
     "PatternError",

@@ -102,6 +102,23 @@ class BaseParser:
         result.elapsed_time = time.monotonic() - start
         return out, result
 
+    def parse(self, reader) -> tuple[list[str], Result]:
+        """``Parse(io.Reader)`` equivalent (parser_core.go:80-90,
+        inputTypeStream): accepts a file-like object (``.read()``) or an
+        iterable of pre-split lines. The stream is drained driver-side —
+        the reference reads it single-threaded too; a genuinely
+        distributed source belongs on :meth:`parse_file` /
+        :meth:`parse_lines` instead."""
+        if hasattr(reader, "read"):
+            s = reader.read()
+            if isinstance(s, bytes):
+                s = s.decode("utf-8")
+        else:
+            s = "\n".join(reader)
+        out, r = self._run(lines_from_string(self.spark, s))
+        r.input_type = "stream"
+        return out, r
+
     def parse_string(self, s: str) -> tuple[list[str], Result]:
         out, r = self._run(lines_from_string(self.spark, s))
         r.input_type = "string"
@@ -230,3 +247,7 @@ class LTSVParser(BaseParser):
 
     def _format(self) -> str:
         return "ltsv"
+
+
+def new_ltsv_parser(spark, opt=None):            # parser_ltsv.go:21-32
+    return LTSVParser(spark, opt)

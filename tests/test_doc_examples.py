@@ -30,13 +30,17 @@ EXAMPLE_PATTERNS = [
 
 def test_example_parse(spark):
     """ExampleParser_Parse (example_test.go:12-45): custom patterns,
-    prefix + unmatch-lines + JSON."""
+    prefix + unmatch-lines + JSON, through the Parse(io.Reader)
+    equivalent (a file-like object, inputTypeStream)."""
+    import io
+
     p = RegexParser(
         spark,
         Option(prefix=True, unmatch_lines=True, line_handler="json"),
         patterns=EXAMPLE_PATTERNS,
     )
-    out, r = p.parse_string(g.CONTAINS_UNMATCH_INPUT + "\n")
+    out, r = p.parse(io.StringIO(g.CONTAINS_UNMATCH_INPUT + "\n"))
+    assert r.input_type == "stream"
     assert out == [
         "[ PROCESSED ] " + g.J1,
         "[ PROCESSED ] " + g.J2,
