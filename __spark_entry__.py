@@ -809,6 +809,23 @@ def _q_dedup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs).select("id_a", "id_b")
 
 
+def _q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production MinHash dedup end-to-end WITH the exact-verify step:
+    HOF signatures -> banded candidates -> exact Jaccard (>= 0.5) on the
+    candidate set only. Injected exact copies must all survive with
+    jaccard 1.0; incidental band collisions below threshold are
+    dropped."""
+    from access_log_parser_spark.operators.dedup import lsh_verified_pairs
+
+    base = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 100).select(
+        "doc_id", "text"
+    )
+    dup = base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return lsh_verified_pairs(base.unionAll(dup), threshold=0.5).select(
+        "id_a", "id_b", "jaccard"
+    )
+
+
 def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution end-to-end: corpus with TWO injected
     copies per doc -> JVM MinHash -> LSH candidate pairs -> connected
@@ -1572,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_lsh_pairs": _q_dedup_lsh_pairs,
+        "dedup_lsh_verified": _q_dedup_lsh_verified,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_simhash": _q_dedup_simhash,
@@ -2012,6 +2030,39 @@ _BAND_SELECTS = "\n  UNION ALL ".join(
     )
     for b in range(4)
 )
+
+_ORACLE["dedup_lsh_verified"] = f"""
+WITH base AS (
+  SELECT doc_id, {_NORM_TEXT} AS norm FROM documents WHERE doc_id < 100
+), corpus AS (
+  SELECT doc_id, norm FROM base
+  UNION ALL SELECT doc_id + 100000, norm FROM base
+), toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM corpus
+), grams AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+), sig AS (
+  SELECT doc_id, {_MH_ALL}
+  FROM grams GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+), gl AS (
+  SELECT doc_id, list(g) AS gs FROM grams GROUP BY 1
+), verified AS (
+  SELECT c.id_a, c.id_b,
+    ROUND(CAST(len(list_intersect(ga.gs, gb.gs)) AS DOUBLE)
+      / (len(ga.gs) + len(gb.gs) - len(list_intersect(ga.gs, gb.gs))), 6) AS jaccard
+  FROM cand c
+  JOIN gl ga ON ga.doc_id = c.id_a
+  JOIN gl gb ON gb.doc_id = c.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5
+"""
 
 _ORACLE["dedup_lsh_pairs"] = f"""
 WITH base AS (

@@ -292,6 +292,40 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3) -> Da
     return lsh_candidate_pairs(minhash_signatures(df, text_col, n))
 
 
+def lsh_verified_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """The production MinHash-dedup flow end-to-end: HOF signatures ->
+    banded LSH candidates -> EXACT Jaccard verification of only those
+    candidates. Returns (id_a, id_b, jaccard >= threshold).
+
+    Scale shape: the expensive exact comparison runs on the LSH
+    candidate set (orders of magnitude smaller than all-pairs), and the
+    shingle sets needed for it come from ONE broadcast-free join of the
+    candidate ids back onto the per-doc shingle arrays; Jaccard is then
+    a per-row array intersection (HOF, no further shuffle)."""
+    sh = df.select(
+        F.col("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    )
+    cands = lsh_candidate_pairs(
+        minhash_signatures_hof(df, text_col, n), distinct=True
+    )
+    joined = (
+        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
     """Driver-side union-find with min-root semantics: every node in the
     edge list maps to the MINIMUM node id of its component (the same
