@@ -75,8 +75,15 @@ class BaseParser:
     """Shared verbs; format resolution differs per subclass."""
 
     def __init__(self, spark: SparkSession, opt: Option | None = None):
+        import uuid
+
         self.spark = spark
         self.opt = opt or Option()
+        # ctx-cancellation equivalent (parser_core.go:192-194): every
+        # action this parser runs is tagged with a job group, so
+        # cancel() aborts in-flight parse jobs the way ctx.Done() aborts
+        # the reference's scan loop between lines.
+        self._job_group = f"alp-{uuid.uuid4().hex[:8]}"
 
     # subclasses set this to a preset name / pattern list / "ltsv"
     def _format(self) -> str | Sequence[str]:
@@ -86,8 +93,16 @@ class BaseParser:
         """Distributed surface: routed DataFrame for any lines source."""
         return parse_routed(lines_df, self._format(), self.opt)
 
+    def cancel(self) -> None:
+        """Abort this parser's in-flight jobs (the reference's
+        context-cancellation surface). Safe to call when idle."""
+        self.spark.sparkContext.cancelJobGroup(self._job_group)
+
     def _run(self, lines_df: DataFrame, source: str = "") -> tuple[list[str], Result]:
         start = time.monotonic()
+        self.spark.sparkContext.setJobGroup(
+            self._job_group, "access-log-parser parse", interruptOnCancel=True
+        )
         routed = self.parse_lines(lines_df)
         # Input order for golden parity: distributed execution loses arrival
         # order, so order by (source, line_no) explicitly (SURVEY.md §2.5).

@@ -138,3 +138,21 @@ def test_path_error_semantics(spark):
         p.parse_zip_entries("")
     with pytest.raises(FileNotFoundError, match="cannot open file"):
         p.parse_gzip("/no/such/*.gz")
+
+
+def test_cancellation_surface(spark):
+    """ctx-cancellation parity: parse actions run under the parser's job
+    group (so cancel() can abort them) and cancel() is a safe no-op when
+    idle; a parse after cancel still works."""
+    import tests.golden_s3 as g
+
+    p = new_s3_parser(spark)
+    p.cancel()  # idle: no-op
+    out, r = p.parse_string(g.ALL_MATCH_INPUT)
+    assert r.counters() == (5, 5, 0, 0, 0)
+    assert (
+        spark.sparkContext.getLocalProperty("spark.jobGroup.id") == p._job_group
+    )
+    p.cancel()  # after completion: no in-flight jobs, still safe
+    out2, r2 = p.parse_string(g.ALL_MATCH_INPUT)
+    assert r2.counters() == (5, 5, 0, 0, 0)
