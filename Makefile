@@ -1,7 +1,7 @@
 # Dev ergonomics (the reference ships a Makefile too: /root/reference/Makefile)
 PY := PYTHONPATH=.
 
-.PHONY: test parity dtypes plans bench validate pipeline-demo
+.PHONY: test parity dtypes plans bench validate pipeline-demo submit-check
 
 test:
 	python -m pytest tests/ -x -q
@@ -23,3 +23,10 @@ validate:
 
 pipeline-demo:
 	python scripts/run_pipeline.py --synth 1000 --out /tmp/alp_demo
+
+# the north_rule deployment path, exactly as a cluster would run it:
+# package the library, ship via --py-files, run the pipeline entry point
+submit-check:
+	rm -f /tmp/alp.zip && zip -qr /tmp/alp.zip access_log_parser_spark
+	spark-submit --master 'local[4]' --py-files /tmp/alp.zip \
+	    scripts/run_pipeline.py --synth 50 --out /tmp/alp_submit_check
