@@ -1342,6 +1342,29 @@ def _q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_suffix_filter(pages, blocked).select("doc_id", "url")
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL dedup: docs 0-249 carry SHOUTED urls with the
+    default :443 port, doubled slashes and a trailing slash; docs
+    250-499 carry the clean twin. Normalization must converge both forms
+    so dedup keeps exactly the lower doc_id of each pair."""
+    from access_log_parser_spark.operators.webtext import url_dedup_first
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id") % 250
+    messy = F.concat(
+        F.lit("HTTPS://EX"), (k % 7).cast("string"),
+        F.lit(".COM:443/p//"), k.cast("string"), F.lit("/"),
+    )
+    clean = F.concat(
+        F.lit("https://ex"), (k % 7).cast("string"),
+        F.lit(".com/p/"), k.cast("string"),
+    )
+    pages = docs.select(
+        "doc_id", F.when(F.col("doc_id") < 250, messy).otherwise(clean).alias("url")
+    )
+    return url_dedup_first(pages).select("doc_id", "norm_url")
+
+
 def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: distinct word 3-grams of docs 0-9
     (broadcast) counted against each corpus doc (doc_id 100-299)."""
@@ -1623,6 +1646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _q_text_repetition,
         "paragraph_dedup": _q_paragraph_dedup,
         "url_host_filter": _q_url_host_filter,
+        "url_dedup": _q_url_dedup,
         "contamination": _q_contamination,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_nprobe": _q_ann_ivf_nprobe,
@@ -2617,6 +2641,48 @@ gated AS (
 SELECT lang, COUNT(*) AS n_kept,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM gated GROUP BY 1
+"""
+
+# normalize_url twin: same strip-fragment / lower-head / default-port /
+# collapse-slashes / trailing-slash chain; DuckDB replacement refs are
+# \\1 (not $1) and the slash-collapse needs the explicit 'g' flag
+# (Spark's regexp_replace is global by default).
+_ORACLE["url_dedup"] = r"""
+WITH p AS (
+  SELECT doc_id,
+    CASE WHEN doc_id < 250 THEN
+      concat('HTTPS://EX', CAST((doc_id % 250) % 7 AS STRING), '.COM:443/p//',
+             CAST(doc_id % 250 AS STRING), '/')
+    ELSE
+      concat('https://ex', CAST((doc_id % 250) % 7 AS STRING), '.com/p/',
+             CAST(doc_id % 250 AS STRING))
+    END AS url
+  FROM documents WHERE doc_id < 500
+), s AS (
+  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nofrag FROM p
+), h AS (
+  SELECT doc_id, nofrag,
+    regexp_extract(nofrag, '^([a-zA-Z]+://[^/]*)', 1) AS raw_head
+  FROM s
+), n AS (
+  SELECT doc_id,
+    concat(
+      CASE WHEN lower(raw_head) LIKE 'https://%'
+             THEN regexp_replace(lower(raw_head), ':443$', '')
+           WHEN lower(raw_head) LIKE 'http://%'
+             THEN regexp_replace(lower(raw_head), ':80$', '')
+           ELSE lower(raw_head) END,
+      regexp_replace(
+        regexp_replace(substring(nofrag, length(raw_head) + 1), '//+', '/', 'g'),
+        '(.)/$', '\1')
+    ) AS norm_url
+  FROM h
+), ranked AS (
+  SELECT doc_id, norm_url,
+    ROW_NUMBER() OVER (PARTITION BY norm_url ORDER BY doc_id) AS rn
+  FROM n
+)
+SELECT doc_id, norm_url FROM ranked WHERE rn = 1
 """
 
 _ORACLE["contamination"] = f"""

@@ -220,3 +220,41 @@ def contamination_flags(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_contaminated_grams"))
     )
+
+
+def normalize_url(url_col) -> F.Column:
+    """Crawl-style URL canonicalization as a pure expression chain:
+    strip the fragment, lowercase scheme://host, drop default ports
+    (:80 http / :443 https), collapse duplicate slashes in the path,
+    and strip one trailing slash (the bare root keeps its ``/``).
+
+    RE2-safe construction (no lookaround, so the DuckDB oracle can apply
+    the byte-identical chain): the URL is split into head
+    (``scheme://host[:port]``) and path once, each part normalized
+    independently, then re-joined.
+    """
+    nofrag = F.regexp_replace(url_col, r"#.*$", "")
+    raw_head = F.regexp_extract(nofrag, r"^([a-zA-Z]+://[^/]*)", 1)
+    head = F.lower(raw_head)
+    head = F.when(
+        head.startswith("https://"), F.regexp_replace(head, r":443$", "")
+    ).when(
+        head.startswith("http://"), F.regexp_replace(head, r":80$", "")
+    ).otherwise(head)
+    path = nofrag.substr(F.length(raw_head) + 1, F.length(nofrag))
+    path = F.regexp_replace(path, r"//+", "/")   # collapse runs
+    path = F.regexp_replace(path, r"(.)/$", "$1")  # one trailing slash
+    return F.concat(head, path)
+
+
+def url_dedup_first(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Keep the first row (by ``id_col``) per NORMALIZED url — the crawl
+    frontier's dedup. One shuffle on the normalized-url hash."""
+    norm = normalize_url(F.col(url_col))
+    w = Window.partitionBy(norm).orderBy(F.col(id_col))
+    return (
+        df.withColumn("norm_url", norm)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -129,3 +129,35 @@ def test_contamination_flags(spark):
     assert 1 not in out              # clean doc absent from the flag table
     assert out[0] == 1               # "the quick brown fox jumps"
     assert out[2] == 5               # all five 5-grams of the benchmark line
+
+
+def test_normalize_url(spark):
+    cases = [
+        ("HTTPS://Example.COM:443/a//b///c/", "https://example.com/a/b/c"),
+        ("http://Host.org:80/", "http://host.org/"),
+        ("http://host.org:8080/x#frag", "http://host.org:8080/x"),
+        ("https://a.b/", "https://a.b/"),
+        ("https://a.b", "https://a.b"),
+        ("https://a.b/path/", "https://a.b/path"),
+        ("ftp://Weird.Host:80/x", "ftp://weird.host:80/x"),  # non-http keeps port
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "doc_id long, url string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", webtext.normalize_url(F.col("url")).alias("n")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
+def test_url_dedup_first(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://Example.com:443/x/"),
+            (2, "https://example.com/x"),      # same after normalization
+            (3, "https://example.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    kept = {r["doc_id"]: r["norm_url"] for r in webtext.url_dedup_first(df).collect()}
+    assert set(kept) == {1, 3}
+    assert kept[1] == "https://example.com/x"
