@@ -67,7 +67,10 @@ def _grams(toks, n: int):
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int | None = None,
 ) -> DataFrame:
     """Gopher-style repetition ratios, all within-row (array HOFs — no
     explode, no shuffle, embarrassing parallelism at any corpus size):
@@ -78,10 +81,14 @@ def repetition_signals(
     - ``top_word_frac``   occurrences of the most frequent word / |words|
 
     Ratios are rounded to 6 dp for cross-engine comparability. The
-    top-word scan is O(distinct·n) per row — fine for web documents,
-    which quality pipelines cap at a few thousand tokens anyway.
+    top-word scan is O(distinct·n) per row; ``max_tokens`` bounds it on
+    pathological giant documents by scoring only the first N tokens
+    (the Gopher-style cap real quality pipelines apply anyway) —
+    ``n_tokens`` then reports the truncated count.
     """
     toks = F.split(normalized(F.col(text_col)), " ")
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
     nt = F.size(toks)
 
     def frac_dup(arr):

@@ -161,3 +161,15 @@ def test_url_dedup_first(spark):
     kept = {r["doc_id"]: r["norm_url"] for r in webtext.url_dedup_first(df).collect()}
     assert set(kept) == {1, 3}
     assert kept[1] == "https://example.com/x"
+
+
+def test_repetition_signals_max_tokens_cap(spark):
+    """The per-row cost cap: only the first max_tokens tokens are scored
+    (and n_tokens reflects the truncation)."""
+    df = spark.createDataFrame([(0, "a a a b c d e f")], "doc_id long, text string")
+    r = webtext.repetition_signals(df, max_tokens=3).collect()[0]
+    assert r["n_tokens"] == 3          # "a a a"
+    assert r["dup_word_frac"] == pytest.approx(1 - 1 / 3, abs=1e-6)
+    assert r["top_word_frac"] == 1.0
+    full = webtext.repetition_signals(df).collect()[0]
+    assert full["n_tokens"] == 8
