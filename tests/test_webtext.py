@@ -173,3 +173,27 @@ def test_repetition_signals_max_tokens_cap(spark):
     assert r["top_word_frac"] == 1.0
     full = webtext.repetition_signals(df).collect()[0]
     assert full["n_tokens"] == 8
+
+
+def test_normalize_url_idempotent(spark):
+    """Canonicalizers must be fixed points: normalize(normalize(u)) ==
+    normalize(u) over a seeded zoo of URL-ish strings (ports, doubled
+    slashes, fragments, mixed case, empty paths, junk)."""
+    import random
+
+    rng = random.Random(20260817)
+    schemes = ["http", "HTTP", "https", "HTTPS", "ftp"]
+    hosts = ["Example.COM", "a.b", "X.Y.Z", "host-1.org"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "//", "/a//b/", "/a/b#f", "/p/q/", "///x", "/#only-frag"]
+    urls = [
+        f"{rng.choice(schemes)}://{rng.choice(hosts)}{rng.choice(ports)}{rng.choice(paths)}"
+        for _ in range(300)
+    ] + ["not a url at all", "", "https://", "http://:80/"]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i long, u string")
+    once = webtext.normalize_url(F.col("u"))
+    twice = webtext.normalize_url(once)
+    bad = df.select("u", once.alias("n1"), twice.alias("n2")).filter(
+        F.col("n1") != F.col("n2")
+    ).collect()
+    assert bad == [], [(r["u"], r["n1"], r["n2"]) for r in bad[:5]]
