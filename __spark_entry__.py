@@ -1546,6 +1546,38 @@ def _q_stream_parse_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def _q_stream_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming corpus-wide paragraph dedup, oracle-backed: 50
+    synthesized pages stream through dropDuplicatesWithinWatermark on
+    the paragraph digest; the distinct-paragraph count has a closed form
+    (5 golden S3 lines + 1 truncated variant = 6)."""
+    import os
+    import tempfile
+    import uuid
+
+    from access_log_parser_spark.pages import synth_pages
+    from access_log_parser_spark.streaming.stream import stream_paragraph_dedup
+
+    tmp = tempfile.mkdtemp(prefix="alp_stream_pd_")
+    pages_dir = os.path.join(tmp, "pages")
+    pages = synth_pages(spark, 50, 10, 5)
+    pages.write.mode("overwrite").parquet(pages_dir)
+    deduped = stream_paragraph_dedup(spark, pages_dir, pages.schema)
+    name = "stream_pd_" + uuid.uuid4().hex[:8]
+    (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    return spark.table(name).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+        F.countDistinct("digest").cast("bigint").alias("n_digests"),
+    )
+
+
 def _q_stream_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming availableNow over a synthesized pages dir ->
     parse -> fan-out -> read back per-status counts (no SQL oracle:
@@ -1652,6 +1684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_nprobe": _q_ann_ivf_nprobe,
         "ann_lsh": _q_ann_lsh,
         "stream_windowed_counts": _q_stream_windowed_counts,
+        "stream_paragraph_dedup": _q_stream_paragraph_dedup,
         "stream_hourly_counts": _q_stream_hourly_counts,
         "ewma_anomaly_batch": _q_ewma_anomaly_batch,
         "stream_parse_counts": _q_stream_parse_counts,
@@ -2798,6 +2831,18 @@ SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM ranked WHERE rank <
 # 10-line page contributes exactly 2 unmatched + 8 matched rows. The
 # range() mirror below re-derives that formula rather than hardcoding
 # 400/100 so the oracle breaks loudly if the synthesizer changes.
+# closed-form expectation: synth_pages paragraphs are drawn from the 5
+# golden S3 lines + 1 truncated variant, so the streamed dedup must emit
+# exactly 6 rows with 6 distinct digests
+_ORACLE["stream_paragraph_dedup"] = """
+WITH lines AS (
+  SELECT p.range AS p, i.range AS i FROM range(50) p, range(10) i
+), para_key AS (
+  SELECT CASE WHEN i % 5 = p % 5 THEN -1 ELSE (p + i) % 5 END AS k FROM lines
+)
+SELECT COUNT(DISTINCT k) AS n_paras, COUNT(DISTINCT k) AS n_digests FROM para_key
+"""
+
 _ORACLE["stream_windowed_counts"] = """
 WITH lines AS (
   SELECT p.range AS p, i.range AS i FROM range(50) p, range(10) i

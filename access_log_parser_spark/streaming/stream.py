@@ -111,3 +111,34 @@ def windowed_status_counts(
             "rows",
         )
     )
+
+
+def stream_paragraph_dedup(
+    spark: SparkSession,
+    pages_dir: str,
+    schema,
+    watermark_col: str = "warc_ts",
+    watermark: str = "1 hour",
+):
+    """Streaming twin of webtext.paragraph_dedup_exploded: pages stream
+    in, paragraphs explode out, and each distinct paragraph digest is
+    emitted ONCE — ``dropDuplicatesWithinWatermark`` on the md5 digest
+    keeps state bounded by the watermark horizon (re-crawls of the same
+    paragraph are assumed to arrive within it; a batch compaction pass
+    handles the long tail, the standard lambda split).
+
+    Returns the streaming DataFrame (url, pos, para, digest); the caller
+    attaches a sink. One shuffle on the digest per micro-batch.
+    """
+    pages = spark.readStream.schema(schema).parquet(pages_dir)
+    paras = pages.select(
+        F.col("url"),
+        F.col(watermark_col),
+        F.posexplode(F.split(F.col("text"), "\n")).alias("pos", "para"),
+    ).withColumn("digest", F.md5(F.col("para")))
+    wm = paras.withWatermark(watermark_col, watermark)
+    if hasattr(wm, "dropDuplicatesWithinWatermark"):
+        deduped = wm.dropDuplicatesWithinWatermark(["digest"])
+    else:  # pragma: no cover
+        deduped = wm.dropDuplicates(["digest"])
+    return deduped.select("url", "pos", "para", "digest")

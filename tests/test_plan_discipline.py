@@ -17,6 +17,7 @@ SKIP = {
     "stream_hourly_counts",
     "stream_parse_counts",
     "stream_windowed_counts",
+    "stream_paragraph_dedup",
 }
 
 # Intentional broadcast nested-loop joins: a tiny broadcast side times the
