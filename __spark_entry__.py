@@ -1342,6 +1342,26 @@ def _q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_suffix_filter(pages, blocked).select("doc_id", "url")
 
 
+def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line cleaning over a seeded multi-line corpus: line 1
+    (text + '.') always survives (every doc has >= 10 words), line 2
+    ('too short.') always drops on min_words, line 3 alternates between
+    a kept '!'-terminated line and a dropped no-punctuation line."""
+    from access_log_parser_spark.operators.webtext import c4_line_filter
+
+    docs = _docs_par(spark, sf_dir)
+    line3 = F.when(
+        F.col("doc_id") % 2 == 0, F.concat(F.lit("filler "), F.col("text"), F.lit("!"))
+    ).otherwise(F.concat(F.col("text"), F.lit(" no punct")))
+    seeded = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.concat(F.col("text"), F.lit(".")), F.lit("too short."), line3
+        ).alias("text"),
+    )
+    return c4_line_filter(seeded)
+
+
 def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-frontier URL dedup: docs 0-249 carry SHOUTED urls with the
     default :443 port, doubled slashes and a trailing slash; docs
@@ -1679,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "url_host_filter": _q_url_host_filter,
         "url_dedup": _q_url_dedup,
+        "c4_line_filter": _q_c4_line_filter,
         "contamination": _q_contamination,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_nprobe": _q_ann_ivf_nprobe,
@@ -2674,6 +2695,16 @@ gated AS (
 SELECT lang, COUNT(*) AS n_kept,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM gated GROUP BY 1
+"""
+
+_ORACLE["c4_line_filter"] = """
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0
+    THEN concat(text, '.', chr(10), 'filler ', text, '!')
+    ELSE concat(text, '.') END AS text,
+  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_lines_kept,
+  CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS n_lines_dropped
+FROM documents
 """
 
 # normalize_url twin: same strip-fragment / lower-head / default-port /

@@ -265,3 +265,35 @@ def url_dedup_first(df: DataFrame, url_col: str = "url", id_col: str = "doc_id")
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    min_lines: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level cleaning, entirely within-row (array HOFs, no
+    explode, no shuffle): keep only lines that END IN TERMINAL
+    PUNCTUATION (. ! ? ") and have at least ``min_words`` whitespace
+    words; drop the whole document when fewer than ``min_lines`` lines
+    survive. Returns (id, text=kept lines re-joined, n_lines_kept,
+    n_lines_dropped)."""
+    lines = F.split(F.col(text_col), F.lit(sep))
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"]\\s*$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words),
+    )
+    n_kept = F.size(kept)
+    return (
+        df.select(
+            F.col(id_col),
+            F.array_join(kept, sep).alias("text"),
+            n_kept.alias("n_lines_kept"),
+            (F.size(lines) - n_kept).alias("n_lines_dropped"),
+        )
+        .filter(F.col("n_lines_kept") >= min_lines)
+    )

@@ -197,3 +197,20 @@ def test_normalize_url_idempotent(spark):
         F.col("n1") != F.col("n2")
     ).collect()
     assert bad == [], [(r["u"], r["n1"], r["n2"]) for r in bad[:5]]
+
+
+def test_c4_line_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "This is a sentence.\nshort\nAnother good one!\nno terminal punct"),
+            (1, "only junk\nmore junk"),
+            (2, 'He said "stop".\nIs that a question?\nThe quoted end."\nA question?'),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in webtext.c4_line_filter(df).collect()}
+    assert out[0]["text"] == "This is a sentence.\nAnother good one!"
+    assert (out[0]["n_lines_kept"], out[0]["n_lines_dropped"]) == (2, 2)
+    assert 1 not in out                     # whole doc dropped
+    # ., ? and " all count as terminal; "A question?" has only 2 words
+    assert out[2]["n_lines_kept"] == 3 and out[2]["n_lines_dropped"] == 1
