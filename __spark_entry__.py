@@ -1342,6 +1342,25 @@ def _q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_suffix_filter(pages, blocked).select("doc_id", "url")
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule quality signals over a seeded corpus: doc_id % 5
+    appends bullet lines / a trailing ellipsis line / hash symbols /
+    nothing, so every signal and the composite gate take both branches."""
+    from access_log_parser_spark.operators.webtext import gopher_quality
+
+    docs = _docs_par(spark, sf_dir)
+    tail = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\n- bullet one\n- bullet two"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("\ntrailing thought ..."))
+        .when(F.col("doc_id") % 5 == 2, F.lit(" ## ## ## ## ##"))
+        .otherwise(F.lit(""))
+    )
+    seeded = docs.select(
+        "doc_id", F.concat(F.col("text"), tail).alias("text")
+    )
+    return gopher_quality(seeded, min_words=20)
+
+
 def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style line cleaning over a seeded multi-line corpus: line 1
     (text + '.') always survives (every doc has >= 10 words), line 2
@@ -1700,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_filter": _q_url_host_filter,
         "url_dedup": _q_url_dedup,
         "c4_line_filter": _q_c4_line_filter,
+        "gopher_quality": _q_gopher_quality,
         "contamination": _q_contamination,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_nprobe": _q_ann_ivf_nprobe,
@@ -2695,6 +2715,47 @@ gated AS (
 SELECT lang, COUNT(*) AS n_kept,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM gated GROUP BY 1
+"""
+
+_ORACLE["gopher_quality"] = r"""
+WITH seeded AS (
+  SELECT doc_id,
+    text || CASE CAST(doc_id % 5 AS INT)
+      WHEN 0 THEN chr(10) || '- bullet one' || chr(10) || '- bullet two'
+      WHEN 1 THEN chr(10) || 'trailing thought ...'
+      WHEN 2 THEN ' ## ## ## ## ##'
+      ELSE '' END AS text
+  FROM documents
+), feats AS (
+  SELECT doc_id, text,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w <> '') AS words,
+    string_split(text, chr(10)) AS lines
+  FROM seeded
+), sig AS (
+  SELECT doc_id,
+    len(words) AS n_words,
+    ROUND(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+          / GREATEST(len(words), 1), 6) AS mean_word_len,
+    ROUND(CAST((len(string_split(text, '#')) - 1)
+          + (length(text) - length(replace(text, '...', ''))) / 3 AS DOUBLE)
+          / GREATEST(len(words), 1), 6) AS symbol_word_ratio,
+    ROUND(CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '^[-*•]'))) AS DOUBLE)
+          / GREATEST(len(lines), 1), 6) AS bullet_line_frac,
+    ROUND(CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '\.\.\.$'))) AS DOUBLE)
+          / GREATEST(len(lines), 1), 6) AS ellipsis_line_frac,
+    ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+          / GREATEST(len(words), 1), 6) AS alpha_word_frac
+  FROM feats
+)
+SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+  symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+  (n_words >= 20 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_word_ratio <= 0.1
+   AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3
+   AND alpha_word_frac >= 0.8) AS passes
+FROM sig
 """
 
 _ORACLE["c4_line_filter"] = """

@@ -297,3 +297,85 @@ def c4_line_filter(
         )
         .filter(F.col("n_lines_kept") >= min_lines)
     )
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher-rule quality signals (Rae et al. 2021 §A1.1 heuristics),
+    computed entirely within-row (array HOFs — no explode, no shuffle):
+
+    - ``n_words`` and the [min_words, max_words] gate
+    - ``mean_word_len`` in [3, 10]
+    - ``symbol_word_ratio``: '#' or '...' occurrences per word, <= 0.1
+    - ``bullet_line_frac``: lines starting with a bullet, <= 0.9
+    - ``ellipsis_line_frac``: lines ending with '...', <= 0.3
+    - ``alpha_word_frac``: words containing a letter, >= 0.8
+    - ``passes``: the conjunction
+
+    Ratios round to 6 dp for cross-engine oracle equality.
+    """
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
+    )
+    nw = F.size(words)
+    nw_d = F.greatest(nw, F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.aggregate(
+            words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+        ) / nw_d,
+        6,
+    )
+    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
+    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / nw_d, 6)
+    lines = F.split(F.col(text_col), "\n")
+    nl_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+        ).cast("double") / nl_d,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
+        ).cast("double") / nl_d,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).cast("double") / nw_d,
+        6,
+    )
+    out = df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_word_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_line_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+    )
+    return out.withColumn("passes", passes)

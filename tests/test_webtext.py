@@ -214,3 +214,24 @@ def test_c4_line_filter(spark):
     assert 1 not in out                     # whole doc dropped
     # ., ? and " all count as terminal; "A question?" has only 2 words
     assert out[2]["n_lines_kept"] == 3 and out[2]["n_lines_dropped"] == 1
+
+
+def test_gopher_quality(spark):
+    long_good = " ".join(["word"] * 60) + "."
+    df = spark.createDataFrame(
+        [
+            (0, long_good),                               # passes everything
+            (1, "too few words here"),                    # n_words gate
+            (2, " ".join(["word"] * 60) + " ###### ##"),  # symbol ratio
+            (3, "\n".join(["- bullet item"] * 10)),       # bullets + few words
+            (4, " ".join(["12345"] * 60)),                # alpha_word_frac = 0
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in webtext.gopher_quality(df).collect()}
+    assert out[0]["passes"] is True
+    assert out[0]["n_words"] == 60
+    assert out[1]["passes"] is False and out[1]["n_words"] == 4
+    assert out[2]["passes"] is False and out[2]["symbol_word_ratio"] > 0.1
+    assert out[3]["passes"] is False and out[3]["bullet_line_frac"] == 1.0
+    assert out[4]["passes"] is False and out[4]["alpha_word_frac"] == 0.0
