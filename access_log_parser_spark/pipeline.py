@@ -149,6 +149,8 @@ def curate_corpus(
     text_col: str = "text",
     quality_min: float = 0.3,
     rep_max: float = 0.9,
+    gopher: bool = False,
+    c4_lines: bool = False,
     shard_dir: str | None = None,
     n_shards: int = 8,
     collect_stats: bool = True,
@@ -158,10 +160,13 @@ def curate_corpus(
 
     1. quality gate  (text_quality.quality_score >= quality_min)
     2. repetition gate (webtext dup_word_frac <= rep_max)
-    3. PII scrubbing (webtext.pii_redact -> clean_text)
-    4. corpus-wide exact paragraph dedup (first occurrence wins)
-    5. whole-doc exact dedup keep-first
-    6. optional content-addressed training shards (sinks)
+    3. optional Gopher composite gate (``gopher=True``)
+    4. optional C4 line cleaning (``c4_lines=True`` — rewrites text,
+       drops docs with no surviving line)
+    5. PII scrubbing (webtext.pii_redact -> clean_text)
+    6. corpus-wide exact paragraph dedup (first occurrence wins)
+    7. whole-doc exact dedup keep-first
+    8. optional content-addressed training shards (sinks)
 
     Returns (curated_df(doc_id, url, text), stats). ``doc_id`` is the
     64-bit xxhash of the url — deterministic, join-stable, no driver
@@ -171,7 +176,13 @@ def curate_corpus(
     from pyspark.sql import Window
 
     from .operators.text_quality import quality_score
-    from .operators.webtext import paragraph_dedup, pii_redact, repetition_signals
+    from .operators.webtext import (
+        c4_line_filter,
+        gopher_quality,
+        paragraph_dedup,
+        pii_redact,
+        repetition_signals,
+    )
 
     docs = pages.select(
         F.xxhash64(F.col(url_col)).alias("doc_id"),
@@ -195,6 +206,18 @@ def curate_corpus(
     )
     if collect_stats:
         stats["after_repetition"] = docs.count()
+
+    if gopher:
+        passing = gopher_quality(docs).filter(F.col("passes")).select("doc_id")
+        docs = docs.join(passing, "doc_id")
+        if collect_stats:
+            stats["after_gopher"] = docs.count()
+
+    if c4_lines:
+        cleaned = c4_line_filter(docs).select("doc_id", "text")
+        docs = docs.drop("text").join(cleaned, "doc_id")
+        if collect_stats:
+            stats["after_c4_lines"] = docs.count()
 
     clean = pii_redact(docs).select("doc_id", F.col("clean_text").alias("text"))
     docs = docs.drop("text").join(clean, "doc_id")

@@ -298,3 +298,30 @@ def test_resume_after_mid_batch_crash_no_duplicates(spark, tmp_path):
     assert report.batches_run == ["2"]
     assert sorted(report.batches_skipped) == ["0", "1", "3"]
     assert read_sink(spark, out).count() == full  # no duplicates
+
+
+def test_curate_corpus_gopher_and_c4_gates(spark):
+    """The optional Gopher / C4 gates slot into the pass: prose-y docs
+    survive both, a bullet-spam doc dies on Gopher, and C4 rewrites
+    texts to terminal-punctuated lines only."""
+    from access_log_parser_spark.pipeline import curate_corpus
+
+    prose = ("The quick brown fox jumps over the lazy dog again and again. " * 6).strip()
+    pages = spark.createDataFrame(
+        [
+            ("https://a/1", prose),
+            ("https://a/2", "\n".join(["- bullet spam"] * 60)),
+            ("https://a/3", prose + "\nnot a sentence fragment"),
+        ],
+        "url string, text string",
+    )
+    curated, stats = curate_corpus(
+        pages, quality_min=0.0, rep_max=1.0, gopher=True, c4_lines=True
+    )
+    assert stats["after_gopher"] < stats["after_repetition"]
+    rows = {r["url"]: r["text"] for r in curated.collect()}
+    assert "https://a/2" not in rows             # bullet spam: gopher kill
+    assert rows                                  # something survived
+    for text in rows.values():
+        for ln in text.split("\n"):
+            assert ln.rstrip().endswith((".", "!", "?", '"'))
