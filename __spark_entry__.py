@@ -2744,17 +2744,21 @@ WITH seeded AS (
     ROUND(CAST(len(list_filter(lines, ln -> regexp_matches(trim(ln), '\.\.\.$'))) AS DOUBLE)
           / GREATEST(len(lines), 1), 6) AS ellipsis_line_frac,
     ROUND(CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
-          / GREATEST(len(words), 1), 6) AS alpha_word_frac
+          / GREATEST(len(words), 1), 6) AS alpha_word_frac,
+    len(list_intersect(list_transform(words, w -> lower(w)),
+        ['the','be','to','of','and','that','have','with'])) AS stopword_hits
   FROM feats
 )
 SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
   symbol_word_ratio, bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+  CAST(stopword_hits AS INT) AS stopword_hits,
   (n_words >= 20 AND n_words <= 100000
    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
    AND symbol_word_ratio <= 0.1
    AND bullet_line_frac <= 0.9
    AND ellipsis_line_frac <= 0.3
-   AND alpha_word_frac >= 0.8) AS passes
+   AND alpha_word_frac >= 0.8
+   AND stopword_hits >= 2) AS passes
 FROM sig
 """
 

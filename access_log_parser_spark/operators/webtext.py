@@ -311,6 +311,8 @@ def gopher_quality(
     max_bullet_line_frac: float = 0.9,
     max_ellipsis_line_frac: float = 0.3,
     min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
 ) -> DataFrame:
     """Gopher-rule quality signals (Rae et al. 2021 §A1.1 heuristics),
     computed entirely within-row (array HOFs — no explode, no shuffle):
@@ -321,6 +323,8 @@ def gopher_quality(
     - ``bullet_line_frac``: lines starting with a bullet, <= 0.9
     - ``ellipsis_line_frac``: lines ending with '...', <= 0.3
     - ``alpha_word_frac``: words containing a letter, >= 0.8
+    - ``stopword_hits``: distinct members of the 8-word English stopword
+      list present, >= 2 (the Gopher "contains at least two of..." rule)
     - ``passes``: the conjunction
 
     Ratios round to 6 dp for cross-engine oracle equality.
@@ -359,6 +363,11 @@ def gopher_quality(
         ).cast("double") / nw_d,
         6,
     )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower), F.array(*[F.lit(w) for w in stopwords])
+        )
+    )
     out = df.select(
         F.col(id_col),
         nw.alias("n_words"),
@@ -367,6 +376,7 @@ def gopher_quality(
         bullet_frac.alias("bullet_line_frac"),
         ellipsis_frac.alias("ellipsis_line_frac"),
         alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
     )
     passes = (
         (F.col("n_words") >= min_words)
@@ -377,5 +387,6 @@ def gopher_quality(
         & (F.col("bullet_line_frac") <= max_bullet_line_frac)
         & (F.col("ellipsis_line_frac") <= max_ellipsis_line_frac)
         & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
     )
     return out.withColumn("passes", passes)

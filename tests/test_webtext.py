@@ -217,7 +217,7 @@ def test_c4_line_filter(spark):
 
 
 def test_gopher_quality(spark):
-    long_good = " ".join(["word"] * 60) + "."
+    long_good = "the quick of " + " ".join(["word"] * 56) + "."
     df = spark.createDataFrame(
         [
             (0, long_good),                               # passes everything
@@ -230,8 +230,11 @@ def test_gopher_quality(spark):
     )
     out = {r["doc_id"]: r for r in webtext.gopher_quality(df).collect()}
     assert out[0]["passes"] is True
-    assert out[0]["n_words"] == 60
+    assert out[0]["n_words"] == 59
+    assert out[0]["stopword_hits"] == 2
     assert out[1]["passes"] is False and out[1]["n_words"] == 4
     assert out[2]["passes"] is False and out[2]["symbol_word_ratio"] > 0.1
     assert out[3]["passes"] is False and out[3]["bullet_line_frac"] == 1.0
     assert out[4]["passes"] is False and out[4]["alpha_word_frac"] == 0.0
+    # the symbol-spam doc also trips the stopword rule now
+    assert out[2]["stopword_hits"] == 0
