@@ -1342,6 +1342,25 @@ def _q_url_host_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_suffix_filter(pages, blocked).select("doc_id", "url")
 
 
+def _q_html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> text over a synthesized html:binary column (the
+    input_hint's page payload): script/style blocks and tags must strip,
+    entities must decode, and the byte-identical text must come back."""
+    from access_log_parser_spark.operators.webtext import html_to_text
+
+    docs = _docs_par(spark, sf_dir)
+    html = F.concat(
+        F.lit('<html><head><script>var t = "<p>trap</p>";</script>'),
+        F.lit("<style>p { color: red }</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1>\n<p>"),
+        F.col("text"),
+        F.lit(" &amp; tail &lt;kept&gt;</p></body></html>"),
+    )
+    pages = docs.select("doc_id", F.encode(html, "utf-8").alias("html"))
+    return html_to_text(pages)
+
+
 def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-rule quality signals over a seeded corpus: doc_id % 5
     appends bullet lines / a trailing ellipsis line / hash symbols /
@@ -1720,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": _q_url_dedup,
         "c4_line_filter": _q_c4_line_filter,
         "gopher_quality": _q_gopher_quality,
+        "html_to_text": _q_html_to_text,
         "contamination": _q_contamination,
         "ann_ivf": _q_ann_ivf,
         "ann_ivf_nprobe": _q_ann_ivf_nprobe,
@@ -2715,6 +2735,32 @@ gated AS (
 SELECT lang, COUNT(*) AS n_kept,
   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
 FROM gated GROUP BY 1
+"""
+
+_ORACLE["html_to_text"] = r"""
+WITH pages AS (
+  SELECT doc_id,
+    concat('<html><head><script>var t = "<p>trap</p>";</script>',
+           '<style>p { color: red }</style></head><body><h1>Doc ',
+           CAST(doc_id AS STRING), '</h1>', chr(10), '<p>', text,
+           ' &amp; tail &lt;kept&gt;</p></body></html>') AS html
+  FROM documents
+), stripped AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM pages
+), decoded AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(t,
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+  FROM stripped
+)
+SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM decoded
 """
 
 _ORACLE["gopher_quality"] = r"""

@@ -390,3 +390,30 @@ def gopher_quality(
         & (F.col("stopword_hits") >= min_stopword_hits)
     )
     return out.withColumn("passes", passes)
+
+
+def html_to_text(df: DataFrame, html_col: str = "html", id_col: str = "doc_id") -> DataFrame:
+    """Crude-but-honest HTML -> text extraction for the pages table's
+    ``html:binary`` column, as a pure expression chain (RE2-safe — the
+    DuckDB oracle applies the identical regexes):
+
+    1. decode utf-8
+    2. drop <script>/<style> blocks ((?is) dot-all, non-greedy)
+    3. strip remaining tags -> space
+    4. decode the 6 basic entities (&amp; last, so &amp;lt; stays &lt;)
+    5. collapse whitespace, trim
+
+    A production pipeline swaps in a real extractor (trafilatura/
+    resiliparse) behind the same (id, text) contract; every downstream
+    operator in this module consumes the result unchanged."""
+    t = F.decode(F.col(html_col), "utf-8")
+    t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
+    ):
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    return df.select(F.col(id_col), t.alias("text"))

@@ -238,3 +238,16 @@ def test_gopher_quality(spark):
     assert out[4]["passes"] is False and out[4]["alpha_word_frac"] == 0.0
     # the symbol-spam doc also trips the stopword rule now
     assert out[2]["stopword_hits"] == 0
+
+
+def test_html_to_text(spark):
+    html = (
+        "<html><head><script>var x = '<p>';</script><style>a{color:red}</style>"
+        "</head><body><h1>Title!</h1>\n<p>Tom &amp; Jerry say &quot;hi&quot;"
+        " &lt;now&gt;.</p></body></html>"
+    )
+    df = spark.createDataFrame(
+        [(0, bytearray(html.encode()))], "doc_id long, html binary"
+    )
+    r = webtext.html_to_text(df).collect()[0]
+    assert r["text"] == 'Title! Tom & Jerry say "hi" <now>.'
