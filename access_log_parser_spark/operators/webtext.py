@@ -21,6 +21,14 @@ contract:
   LIKE-based nested-loop join).
 - :func:`contamination_flags` — benchmark n-gram overlap (decontamination
   check): distinct benchmark shingles broadcast against corpus shingles.
+- :func:`normalize_url` / :func:`url_dedup_first` — crawl-frontier URL
+  canonicalization (idempotent) + first-occurrence dedup.
+- :func:`c4_line_filter` / :func:`gopher_quality` — the C4 and Gopher
+  heuristic batteries, within-row HOFs.
+- :func:`html_to_text` — script/style/tag strip + entity decode for the
+  pages table's ``html:binary`` payload.
+- :func:`lsh_verified_pairs` (in dedup.py) composes with these for the
+  full curation flow; :func:`pipeline.curate_corpus` chains them.
 """
 
 from __future__ import annotations
