@@ -670,6 +670,60 @@ def _q_tpch_q4_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_tpch_q10_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returned items per customer
+    (l_returnflag = 'R'), 4-way join, top 20 with a custkey tie-break.
+    Cents-integer revenue keeps the SUM exact across engines."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    agg = joined.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.sum(rev).alias("revenue_c")
+    )
+    w = Window.orderBy(F.col("revenue_c").desc(), F.col("c_custkey").asc())
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue_c", "rank")
+    )
+
+
+def _q_cumulative_revenue_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (ties share the frame — semantically distinct
+    from ROWS): per return flag, the cumulative cents revenue over ship
+    dates; every line item on the same date sees the same running
+    total."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_shipdate")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_shipdate").cast("string").alias("ship_date"),
+        F.sum(rev).over(w).alias("cum_revenue_c"),
+    )
+
+
 def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct aggregation (two-phase expand-dedup): exact distinct users
     + total events per event type."""
@@ -1692,6 +1746,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q6_selective": _q_tpch_q6_selective,
         "tpch_q5_region_revenue": _q_tpch_q5_region_revenue,
         "tpch_q4_semijoin": _q_tpch_q4_semijoin,
+        "tpch_q10_returns": _q_tpch_q10_returns,
+        "cumulative_revenue_range": _q_cumulative_revenue_range,
         "distinct_users": _q_distinct_users,
         "orders_per_nation": _q_orders_per_nation,
         "anti_join_reconcile": _q_anti_join_reconcile,
@@ -2018,6 +2074,33 @@ WHERE EXISTS (
   SELECT 1 FROM lineitem
   WHERE l_orderkey = o_orderkey AND l_shipdate >= '1996-01-01')
 GROUP BY 1
+"""
+
+_ORACLE["tpch_q10_returns"] = """
+WITH agg AS (
+  SELECT c_custkey, c_name, n_name,
+    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_c DESC, c_custkey ASC) AS rank
+  FROM agg
+)
+SELECT c_custkey, c_name, n_name, revenue_c, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 20
+"""
+
+_ORACLE["cumulative_revenue_range"] = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+  CAST(l_shipdate AS STRING) AS ship_date,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) OVER (
+    PARTITION BY l_returnflag ORDER BY l_shipdate
+    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_revenue_c
+FROM lineitem WHERE l_orderkey < 2000
 """
 
 _ORACLE["distinct_users"] = """
