@@ -353,7 +353,7 @@ def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
     checkpoint_dir: str | None = None,
-    collect_threshold: int = 5_000_000,
+    collect_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Duplicate-cluster resolution: connected components over candidate
     pairs by iterative min-label propagation. Returns (doc_id, cluster_id)
@@ -380,8 +380,10 @@ def connected_components(
 
     ADAPTIVE SHORT-CIRCUIT: after LSH, the candidate edge list is orders
     of magnitude smaller than the corpus (only near-duplicates produce
-    edges). When it fits the driver (``<= collect_threshold`` edges,
-    ~160 MB at the default), the components are resolved with ONE
+    edges). When it fits the driver (``<= collect_threshold`` edges —
+    PySpark Row objects cost ~100+ bytes each plus the union-find dicts,
+    so the 1M default is ~200-400 MB of driver heap; raise it only with
+    driver memory to match), the components are resolved with ONE
     distributed action (collect the edges) + an in-memory union-find +
     one broadcast join back onto the ids — replacing diameter-many
     join/aggregate rounds. Labels are identical (min-root union-find ==

@@ -87,6 +87,18 @@ def parse_image_header(data: bytes) -> tuple[int, int, str] | None:
                 i += 1
                 continue
             marker = data[i + 1]
+            if marker == 0xFF:  # fill byte: next 0xFF may start the marker
+                i += 1
+                continue
+            if marker == 0x00:  # 0xFF00 stuffing — data byte, not a marker
+                i += 2
+                continue
+            if marker in (0xDA, 0xD9):
+                # SOS/EOI before any SOFn: entropy-coded data follows (or
+                # the image ended); 0xFF bytes past here are scan data, not
+                # markers — stop so corrupt layouts fall through to None
+                # instead of returning garbage dims from a spurious SOFn.
+                break
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2  # standalone markers carry no length
                 continue

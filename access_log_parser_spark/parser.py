@@ -100,20 +100,31 @@ class BaseParser:
 
     def _run(self, lines_df: DataFrame, source: str = "") -> tuple[list[str], Result]:
         start = time.monotonic()
-        self.spark.sparkContext.setJobGroup(
+        sc = self.spark.sparkContext
+        sc.setJobGroup(
             self._job_group, "access-log-parser parse", interruptOnCancel=True
         )
-        routed = self.parse_lines(lines_df)
-        # Input order for golden parity: distributed execution loses arrival
-        # order, so order by (source, line_no) explicitly (SURVEY.md §2.5).
-        out = [
-            r["out_line"]
-            for r in routed.filter(F.col("out_line").isNotNull())
-            .select("source", "line_no", "out_line")
-            .orderBy("source", "line_no")
-            .collect()
-        ]
-        result = collect_result(routed, source=source)
+        try:
+            routed = self.parse_lines(lines_df)
+            # Input order for golden parity: distributed execution loses
+            # arrival order, so order by (source, line_no) explicitly
+            # (SURVEY.md §2.5).
+            out = [
+                r["out_line"]
+                for r in routed.filter(F.col("out_line").isNotNull())
+                .select("source", "line_no", "out_line")
+                .orderBy("source", "line_no")
+                .collect()
+            ]
+            result = collect_result(routed, source=source)
+        finally:
+            # The job group is thread-local driver state: without clearing
+            # it, unrelated actions the caller runs later on this thread
+            # inherit the group and a subsequent cancel() (with
+            # interruptOnCancel=True) would kill them too.
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
         result.elapsed_time = time.monotonic() - start
         return out, result
 

@@ -260,6 +260,16 @@ def _tabs_all_mandatory(src: str, in_class: list[bool]) -> bool:
         if ch == "|":
             frames[-1]["pipe"] = True
         elif ch == "\t":
+            # A min-0 quantifier directly on the bare tab ("\t?", "\t*",
+            # "\t{0,2}") makes it skippable — same unsoundness as a min-0
+            # group, so mirror the group-close check here.
+            j = i + 1
+            if j < n and src[j] in "?*":
+                unsafe = True
+            elif j < n and src[j] == "{":
+                m = re.match(r"\{(\d*)(?:,\d*)?\}", src[j:])
+                if m and (m.group(1) == "" or int(m.group(1)) == 0):
+                    unsafe = True
             frames[-1]["tabs"] += 1
         i += 1
     if frames[-1]["pipe"] and frames[-1]["tabs"]:

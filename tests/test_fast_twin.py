@@ -99,6 +99,20 @@ def test_non_mandatory_tab_patterns_get_no_twin():
     assert fast_twin(re.compile('^(?P<a>\\S+)(?:\tq){0,3}(?P<b>[^"]*)$')) is None
     # tab inside a lookahead never consumes
     assert fast_twin(re.compile('^(?=x\t)(?P<a>[^"]*)\t(?P<b>\\S+)$')) is None
+    # bare tab with a min-0 quantifier directly on it (round-2 ADVICE
+    # repro: '^(?P<a>[^"]*)q\t?(?P<b>\S+)$' matches 'x\tyqz' with the tab
+    # inside <a>, but a narrowed twin would reject it even though the
+    # line's tab count equals n_tabs=1)
+    bare_opt = re.compile('^(?P<a>[^"]*)q\t?(?P<b>\\S+)$')
+    assert fast_twin(bare_opt) is None
+    pids, vals = decoders.regex_decode_batch(["x\tyqz"], [bare_opt], [["a", "b"]])
+    assert pids[0] == 0 and vals[0] == ["x\ty", "z"]
+    assert fast_twin(re.compile('^(?P<a>[^"]*)q\t*(?P<b>\\S+)$')) is None
+    assert fast_twin(re.compile('^(?P<a>[^"]*)q\t{0,2}(?P<b>\\S+)$')) is None
+    assert fast_twin(re.compile('^(?P<a>[^"]*)q\t{,2}(?P<b>\\S+)$')) is None
+    # min-1 quantifiers on a bare tab stay twin-eligible
+    assert fast_twin(re.compile('^(?P<a>\\S+)\t+(?P<b>[^"]*)$')) is not None
+    assert fast_twin(re.compile('^(?P<a>\\S+)\t{1,2}(?P<b>[^"]*)$')) is not None
     # ... but a min-1 group keeps the mandatoriness argument intact
     assert fast_twin(re.compile('^(?P<a>\\S+)(?:\t(?P<b>[^"]*))$')) is not None
     # ... and an optional group WITHOUT a tab inside stays twin-eligible

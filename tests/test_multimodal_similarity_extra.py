@@ -204,6 +204,25 @@ def test_parse_image_header_rejects_garbage_and_truncation():
     assert multimodal.parse_image_header(b"\xff\xd8\xff\xd9") is None
 
 
+def test_parse_image_header_jpeg_stops_at_sos_and_eoi():
+    """The marker walk must stop at SOS/EOI: 0xFF bytes inside
+    entropy-coded scan data are NOT markers, so a spurious 0xFFC0 after
+    SOS must not be parsed as a frame header (round-2 ADVICE)."""
+    import struct
+    # SOS before any SOFn (corrupt layout), then scan bytes containing a
+    # fake SOF0 with garbage dims — must fall through to None
+    sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x00\x00\x00\x3f\x00"
+    fake_sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 9999, 9999) + b"\x03" + b"\x00" * 9
+    assert multimodal.parse_image_header(b"\xff\xd8" + sos + fake_sof + b"\xff\xd9") is None
+    # fake SOF after EOI likewise ignored
+    assert multimodal.parse_image_header(b"\xff\xd8\xff\xd9" + fake_sof) is None
+    # 0xFF00 stuffing and 0xFF fill bytes before a REAL SOF are skipped
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    real_sof = b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 48, 64) + b"\x03" + b"\x00" * 9
+    data = b"\xff\xd8" + app0 + b"\xff\x00" + b"\xff\xff" + real_sof + b"\xff\xd9"
+    assert multimodal.parse_image_header(data) == (64, 48, "jpeg")
+
+
 def test_decode_media_real_headers_strict(spark):
     """strict=True succeeds on recognized headers (real dims, no stub) and
     fails only on unrecognized payloads."""
