@@ -1050,26 +1050,29 @@ def _q_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite training-data curation: quality gate -> language gate ->
     exact-dedup keep-first -> per-source kept/dropped stats. The shape of
-    a real corpus-cleaning job, end-to-end in one plan."""
+    a real corpus-cleaning job, end-to-end in one plan. The per-row
+    signals (quality, lang, fingerprint) compose as column PROJECTIONS —
+    the only exchanges left are the dedup window and the final agg
+    (round-2 VERDICT item #2: no doc_id join-backs)."""
     from pyspark.sql import Window
 
     from access_log_parser_spark.operators.text_quality import (
-        fingerprint,
-        lang_id,
-        quality_score,
+        fingerprint_col,
+        pred_lang_col,
+        quality_score_col,
     )
 
     docs = _load(spark, sf_dir, "documents")
-    q = quality_score(docs).select("doc_id", "quality")
-    lg = lang_id(docs).select("doc_id", "pred_lang")
-    fp = fingerprint(docs)
-    joined = (
-        docs.select("doc_id", "source")
-        .join(q, "doc_id")
-        .join(lg, "doc_id")
-        .join(fp, "doc_id")
+    gated = (
+        docs.select(
+            "doc_id",
+            "source",
+            quality_score_col(F.col("text")).alias("quality"),
+            pred_lang_col(F.col("text")).alias("pred_lang"),
+            fingerprint_col(F.col("text")).alias("fp"),
+        )
+        .filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
     )
-    gated = joined.filter((F.col("quality") >= 0.5) & (F.col("pred_lang") == "en"))
     keep = F.row_number().over(
         Window.partitionBy("fp").orderBy("doc_id")
     ) == 1
@@ -1087,17 +1090,24 @@ def _q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language kept-doc and token budget."""
     from access_log_parser_spark.operators.webtext import (
         contamination_flags,
-        repetition_signals,
+        dup_word_frac_col,
+        rep_token_count_col,
     )
 
     docs = _docs_par(spark, sf_dir)
     corpus = docs.filter(F.col("doc_id") >= 10)
     bench = docs.filter(F.col("doc_id") < 10)
-    rep = repetition_signals(corpus).select("doc_id", "n_tokens", "dup_word_frac")
+    # per-row repetition signals compose as a PROJECTION (no doc_id
+    # join-back); contamination stays a join — it is genuinely
+    # corpus-vs-benchmark (broadcast distinct benchmark shingles)
     cont = contamination_flags(corpus, bench, n=3)
     gated = (
-        corpus.select("doc_id", "lang")
-        .join(rep, "doc_id")
+        corpus.select(
+            "doc_id",
+            "lang",
+            rep_token_count_col(F.col("text")).alias("n_tokens"),
+            dup_word_frac_col(F.col("text")).alias("dup_word_frac"),
+        )
         .filter(F.col("dup_word_frac") <= 0.55)
         .join(cont, "doc_id", "left")
         .filter(F.coalesce(F.col("n_contaminated_grams"), F.lit(0)) < 2)

@@ -39,15 +39,11 @@ def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Deterministic quality features + composite score:
-
-    - n_chars, n_tokens, mean token length;
-    - punct_ratio: share of chars outside [A-Za-z0-9 and space];
-    - stopword_hits: distinct English stopwords present;
-    - score: bounded composite (higher = more natural-language-like).
-    """
-    t = F.col(text_col)
+def _quality_exprs(t: Column) -> dict[str, Column]:
+    """The quality-feature expressions over a text column. Shared by the
+    frame-returning :func:`quality_score` and the column-returning
+    :func:`quality_score_col` so a pipeline can compose the score as a
+    projection (withColumn + filter) instead of a doc_id join-back."""
     toks = tokens(t)
     n_chars = F.length(t)
     n_tokens = F.size(toks)
@@ -62,6 +58,35 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when(punct_ratio < 0.1, 0.2).otherwise(0.0),
         6,
     )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "mean_token_len": mean_len,
+        "punct_ratio": punct_ratio,
+        "stopword_hits": hits,
+        "quality": score,
+    }
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality score as ONE Column expression — compose into an
+    existing projection (``withColumn('quality', ...)``) with no join and
+    no extra shuffle."""
+    return _quality_exprs(text)["quality"]
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score:
+
+    - n_chars, n_tokens, mean token length;
+    - punct_ratio: share of chars outside [A-Za-z0-9 and space];
+    - stopword_hits: distinct English stopwords present;
+    - score: bounded composite (higher = more natural-language-like).
+    """
+    e = _quality_exprs(F.col(text_col))
+    n_chars, n_tokens = e["n_chars"], e["n_tokens"]
+    mean_len, punct_ratio = e["mean_token_len"], e["punct_ratio"]
+    hits, score = e["stopword_hits"], e["quality"]
     return df.select(
         "doc_id",
         n_chars.cast("long").alias("n_chars"),
@@ -73,10 +98,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Stopword-overlap language ID: distinct-stopword hits per language,
-    argmax with deterministic lexicographic tie-break."""
-    toks = tokens(F.col(text_col))
+def _lang_best(text: Column) -> Column:
+    toks = tokens(text)
     scores = [
         F.struct(
             F.size(
@@ -88,7 +111,26 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         for lang in sorted(STOPWORDS, reverse=True)
     ]
-    best = F.array_max(F.array(*scores))
+    return F.array_max(F.array(*scores))
+
+
+def pred_lang_col(text: Column) -> Column:
+    """Stopword-overlap language prediction as ONE Column expression —
+    identical values to ``lang_id(...).pred_lang``, for composing a
+    language gate as a projection with no join-back."""
+    return _lang_best(text)["lang"]
+
+
+def fingerprint_col(text: Column) -> Column:
+    """The exact-dedup fingerprint (md5 of whitespace-normalized
+    lowercased text) as ONE Column expression."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-overlap language ID: distinct-stopword hits per language,
+    argmax with deterministic lexicographic tie-break."""
+    best = _lang_best(F.col(text_col))
     return df.select(
         "doc_id",
         best["lang"].alias("pred_lang"),
@@ -186,5 +228,4 @@ def doc_frequency_idf(
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text —
     the exact-dedup key, stable across engines."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return df.select("doc_id", F.md5(norm).alias("fp"))
+    return df.select("doc_id", fingerprint_col(F.col(text_col)).alias("fp"))

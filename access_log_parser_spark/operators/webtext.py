@@ -45,18 +45,25 @@ IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
 PHONE_RE = r"\+[0-9]{7,15}"
 
 
+def pii_redact_col(text) -> F.Column:
+    """PII-scrubbed text as ONE Column expression (emails -> <EMAIL>,
+    IPv4 -> <IP>, +phones -> <PHONE>) — compose into an existing
+    projection with no join-back."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+
+
 def pii_redact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Scrub common PII: emails -> <EMAIL>, IPv4 -> <IP>, international
     phone numbers (+digits) -> <PHONE>. Counts use the pre-redaction
     text. Pure expression chain — scales as a projection."""
     t = F.col(text_col)
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
-        ),
-        PHONE_RE,
-        "<PHONE>",
-    )
+    clean = pii_redact_col(t)
     return df.select(
         F.col(id_col),
         clean.alias("clean_text"),
@@ -72,6 +79,36 @@ def _grams(toks, n: int):
     return F.when(F.size(toks) >= n, F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
     )).otherwise(F.array().cast("array<string>"))
+
+
+def _rep_tokens(text, max_tokens: int | None):
+    toks = F.split(normalized(text), " ")
+    if max_tokens is not None:
+        toks = F.slice(toks, 1, max_tokens)
+    return toks
+
+
+def _frac_dup(arr):
+    # empty gram list (doc shorter than n) counts as no repetition
+    return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
+        F.round(
+            1.0 - F.size(F.array_distinct(arr)).cast("double")
+            / F.size(arr).cast("double"),
+            6,
+        )
+    )
+
+
+def dup_word_frac_col(text, max_tokens: int | None = None) -> F.Column:
+    """The Gopher duplicate-word fraction as ONE Column expression —
+    identical values to ``repetition_signals(...).dup_word_frac``, for
+    composing a repetition gate as a projection with no join-back."""
+    return _frac_dup(_rep_tokens(text, max_tokens))
+
+
+def rep_token_count_col(text, max_tokens: int | None = None) -> F.Column:
+    """``repetition_signals(...).n_tokens`` as ONE Column expression."""
+    return F.size(_rep_tokens(text, max_tokens))
 
 
 def repetition_signals(
@@ -94,20 +131,9 @@ def repetition_signals(
     (the Gopher-style cap real quality pipelines apply anyway) —
     ``n_tokens`` then reports the truncated count.
     """
-    toks = F.split(normalized(F.col(text_col)), " ")
-    if max_tokens is not None:
-        toks = F.slice(toks, 1, max_tokens)
+    toks = _rep_tokens(F.col(text_col), max_tokens)
     nt = F.size(toks)
-
-    def frac_dup(arr):
-        # empty gram list (doc shorter than n) counts as no repetition
-        return F.when(F.size(arr) == 0, F.lit(0.0)).otherwise(
-            F.round(
-                1.0 - F.size(F.array_distinct(arr)).cast("double")
-                / F.size(arr).cast("double"),
-                6,
-            )
-        )
+    frac_dup = _frac_dup
 
     top_count = F.array_max(
         F.transform(
@@ -147,32 +173,45 @@ def paragraph_dedup_exploded(paras: DataFrame) -> DataFrame:
 
 
 def paragraph_dedup(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", sep: str = "\n"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Split documents into paragraphs on ``sep``, drop every paragraph
     whose exact text already occurred earlier in the corpus (first
     occurrence wins, RefinedWeb-style), and reassemble the survivors in
     original order. Documents whose paragraphs were all duplicates come
-    back with empty text. Two shuffles: digest window + doc_id regroup."""
-    paras = df.select(
+    back with empty text. Two shuffles: digest window + doc_id regroup —
+    and NO join: instead of filtering dropped paragraphs out (which
+    would lose all-duplicate docs and force a re-attach join against a
+    second read of ``df``), survivors are MARKED and the regroup keeps
+    every doc, joining only the marked paragraphs back into text. That
+    also keeps the input lineage single-use, so ``df.observe`` metrics
+    upstream are not duplicated into a self-join.
+
+    ``carry`` names extra per-doc columns (constant per doc, e.g. url)
+    to ride through the regroup."""
+    digest = F.md5(F.col("para"))
+    w = Window.partitionBy(digest).orderBy(F.col("doc_id"), F.col("pos"))
+    marked = df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry],
         F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
-    )
-    kept = paragraph_dedup_exploded(paras)
-    rebuilt = kept.groupBy("doc_id").agg(
+    ).withColumn("_keep", F.row_number().over(w) == 1)
+    return marked.groupBy("doc_id").agg(
+        *[F.first(c).alias(c) for c in carry],
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "para", "_keep"))),
+                    lambda s: s["_keep"],
+                ),
                 lambda s: s["para"],
             ),
             sep,
-        ).alias("text")
-    )
-    # docs whose every paragraph was a duplicate drop out of the groupBy;
-    # re-attach them with empty text so the output covers all inputs
-    ids = df.select(F.col(id_col).alias("doc_id"))
-    return ids.join(rebuilt, "doc_id", "left").select(
-        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+        ).alias("text"),
     )
 
 
@@ -275,6 +314,18 @@ def url_dedup_first(df: DataFrame, url_col: str = "url", id_col: str = "doc_id")
     )
 
 
+def c4_kept_lines_col(text, min_words: int = 3, sep: str = "\n") -> F.Column:
+    """The C4-surviving lines of a text column as ONE array<string>
+    Column — compose line cleaning as a projection (materialize the
+    array once, then derive the re-joined text and the kept-count from
+    it) with no join-back."""
+    return F.filter(
+        F.split(text, F.lit(sep)),
+        lambda ln: ln.rlike('[.!?"]\\s*$')
+        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words),
+    )
+
+
 def c4_line_filter(
     df: DataFrame,
     text_col: str = "text",
@@ -290,11 +341,7 @@ def c4_line_filter(
     survive. Returns (id, text=kept lines re-joined, n_lines_kept,
     n_lines_dropped)."""
     lines = F.split(F.col(text_col), F.lit(sep))
-    kept = F.filter(
-        lines,
-        lambda ln: ln.rlike('[.!?"]\\s*$')
-        & (F.size(F.split(F.trim(ln), r"\s+")) >= min_words),
-    )
+    kept = c4_kept_lines_col(F.col(text_col), min_words=min_words, sep=sep)
     n_kept = F.size(kept)
     return (
         df.select(
@@ -304,6 +351,88 @@ def c4_line_filter(
             (F.size(lines) - n_kept).alias("n_lines_dropped"),
         )
         .filter(F.col("n_lines_kept") >= min_lines)
+    )
+
+
+def _gopher_exprs(t, stopwords: tuple[str, ...]) -> dict[str, F.Column]:
+    """The Gopher signal expressions over a text column — shared by the
+    frame-returning :func:`gopher_quality` and the column-returning
+    :func:`gopher_passes_col`."""
+    words = F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")
+    nw = F.size(words)
+    nw_d = F.greatest(nw, F.lit(1)).cast("double")
+    mean_len = F.round(
+        F.aggregate(
+            words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
+        ) / nw_d,
+        6,
+    )
+    n_hash = F.size(F.split(t, "#", -1)) - 1
+    n_ellipsis = F.size(F.split(t, r"\.\.\.", -1)) - 1
+    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / nw_d, 6)
+    lines = F.split(t, "\n")
+    nl_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
+        ).cast("double") / nl_d,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
+        ).cast("double") / nl_d,
+        6,
+    )
+    alpha_frac = F.round(
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).cast("double") / nw_d,
+        6,
+    )
+    stop_hits = F.size(
+        F.array_intersect(
+            F.transform(words, F.lower), F.array(*[F.lit(w) for w in stopwords])
+        )
+    )
+    return {
+        "n_words": nw,
+        "mean_word_len": mean_len,
+        "symbol_word_ratio": symbol_ratio,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "alpha_word_frac": alpha_frac,
+        "stopword_hits": stop_hits,
+    }
+
+
+def gopher_passes_col(
+    text,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+    stopwords: tuple[str, ...] = ("the", "be", "to", "of", "and", "that", "have", "with"),
+) -> F.Column:
+    """The Gopher-battery pass/fail verdict as ONE boolean Column —
+    identical semantics to ``gopher_quality(...).passes``, for composing
+    the gate as a filter with no join-back."""
+    e = _gopher_exprs(text, stopwords)
+    return (
+        (e["n_words"] >= min_words)
+        & (e["n_words"] <= max_words)
+        & (e["mean_word_len"] >= min_mean_word_len)
+        & (e["mean_word_len"] <= max_mean_word_len)
+        & (e["symbol_word_ratio"] <= max_symbol_word_ratio)
+        & (e["bullet_line_frac"] <= max_bullet_line_frac)
+        & (e["ellipsis_line_frac"] <= max_ellipsis_line_frac)
+        & (e["alpha_word_frac"] >= min_alpha_word_frac)
+        & (e["stopword_hits"] >= min_stopword_hits)
     )
 
 
@@ -337,54 +466,16 @@ def gopher_quality(
 
     Ratios round to 6 dp for cross-engine oracle equality.
     """
-    words = F.filter(
-        F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != ""
-    )
-    nw = F.size(words)
-    nw_d = F.greatest(nw, F.lit(1)).cast("double")
-    mean_len = F.round(
-        F.aggregate(
-            words, F.lit(0.0), lambda acc, w: acc + F.length(w).cast("double")
-        ) / nw_d,
-        6,
-    )
-    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
-    n_ellipsis = F.size(F.split(F.col(text_col), r"\.\.\.", -1)) - 1
-    symbol_ratio = F.round((n_hash + n_ellipsis).cast("double") / nw_d, 6)
-    lines = F.split(F.col(text_col), "\n")
-    nl_d = F.greatest(F.size(lines), F.lit(1)).cast("double")
-    bullet_frac = F.round(
-        F.size(
-            F.filter(lines, lambda ln: F.trim(ln).rlike(r"^[-*•]"))
-        ).cast("double") / nl_d,
-        6,
-    )
-    ellipsis_frac = F.round(
-        F.size(
-            F.filter(lines, lambda ln: F.trim(ln).rlike(r"\.\.\.$"))
-        ).cast("double") / nl_d,
-        6,
-    )
-    alpha_frac = F.round(
-        F.size(
-            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
-        ).cast("double") / nw_d,
-        6,
-    )
-    stop_hits = F.size(
-        F.array_intersect(
-            F.transform(words, F.lower), F.array(*[F.lit(w) for w in stopwords])
-        )
-    )
+    e = _gopher_exprs(F.col(text_col), stopwords)
     out = df.select(
         F.col(id_col),
-        nw.alias("n_words"),
-        mean_len.alias("mean_word_len"),
-        symbol_ratio.alias("symbol_word_ratio"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        alpha_frac.alias("alpha_word_frac"),
-        stop_hits.alias("stopword_hits"),
+        e["n_words"].alias("n_words"),
+        e["mean_word_len"].alias("mean_word_len"),
+        e["symbol_word_ratio"].alias("symbol_word_ratio"),
+        e["bullet_line_frac"].alias("bullet_line_frac"),
+        e["ellipsis_line_frac"].alias("ellipsis_line_frac"),
+        e["alpha_word_frac"].alias("alpha_word_frac"),
+        e["stopword_hits"].alias("stopword_hits"),
     )
     passes = (
         (F.col("n_words") >= min_words)

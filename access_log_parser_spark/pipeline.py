@@ -154,6 +154,7 @@ def curate_corpus(
     shard_dir: str | None = None,
     n_shards: int = 8,
     collect_stats: bool = True,
+    dedup_urls: bool = True,
 ) -> tuple[DataFrame, dict]:
     """Training-data curation pass over a pages corpus — the stage a
     100-TB deployment runs between the routed sinks and the trainer:
@@ -170,71 +171,96 @@ def curate_corpus(
 
     Returns (curated_df(doc_id, url, text), stats). ``doc_id`` is the
     64-bit xxhash of the url — deterministic, join-stable, no driver
-    sequence. Stage counts in ``stats`` cost one action each; pass
-    ``collect_stats=False`` to keep the whole pass lazy.
+    sequence; ``dedup_urls=True`` (default) keeps one row per url first
+    (re-crawls are the norm in a crawl corpus, and duplicate urls would
+    share a doc_id and silently merge at every doc_id-keyed stage).
+
+    The per-row gates (1-5) compose as column PROJECTIONS — no doc_id
+    join-back, no added shuffle (the only exchanges are the two the
+    paragraph dedup and the exact-dedup window inherently need). With
+    ``collect_stats=True`` the per-stage counts ride the SAME single
+    action via ``df.observe`` (one pass over the lineage — not one
+    ``.count()`` per stage re-executing the prefix).
     """
-    from pyspark.sql import Window
+    from pyspark.sql import Observation, Window
 
-    from .operators.text_quality import quality_score
+    from .operators.text_quality import quality_score_col
     from .operators.webtext import (
-        c4_line_filter,
-        gopher_quality,
+        c4_kept_lines_col,
+        dup_word_frac_col,
+        gopher_passes_col,
         paragraph_dedup,
-        pii_redact,
-        repetition_signals,
+        pii_redact_col,
     )
 
-    docs = pages.select(
-        F.xxhash64(F.col(url_col)).alias("doc_id"),
-        F.col(url_col).alias("url"),
-        F.col(text_col).alias("text"),
+    docs = pages.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
+    if dedup_urls:
+        docs = docs.dropDuplicates(["url"])
+    docs = docs.select(F.xxhash64(F.col("url")).alias("doc_id"), "url", "text")
+
+    observations: dict[str, Observation] = {}
+
+    def observed(df: DataFrame, name: str) -> DataFrame:
+        if not collect_stats:
+            return df
+        obs = Observation(f"curate_{name}")
+        observations[name] = obs
+        return df.observe(obs, F.count(F.lit(1)).alias("n"))
+
+    docs = observed(docs, "input")
+    docs = observed(
+        docs.filter(quality_score_col(F.col("text")) >= quality_min),
+        "after_quality",
     )
-    stats: dict[str, int] = {}
-    if collect_stats:
-        stats["input"] = docs.count()
-
-    q = quality_score(docs).select("doc_id", "quality")
-    docs = docs.join(q, "doc_id").filter(F.col("quality") >= quality_min).drop("quality")
-    if collect_stats:
-        stats["after_quality"] = docs.count()
-
-    rep = repetition_signals(docs).select("doc_id", "dup_word_frac")
-    docs = (
-        docs.join(rep, "doc_id")
-        .filter(F.col("dup_word_frac") <= rep_max)
-        .drop("dup_word_frac")
+    docs = observed(
+        docs.filter(dup_word_frac_col(F.col("text")) <= rep_max),
+        "after_repetition",
     )
-    if collect_stats:
-        stats["after_repetition"] = docs.count()
-
     if gopher:
-        passing = gopher_quality(docs).filter(F.col("passes")).select("doc_id")
-        docs = docs.join(passing, "doc_id")
-        if collect_stats:
-            stats["after_gopher"] = docs.count()
-
+        docs = observed(docs.filter(gopher_passes_col(F.col("text"))), "after_gopher")
     if c4_lines:
-        cleaned = c4_line_filter(docs).select("doc_id", "text")
-        docs = docs.drop("text").join(cleaned, "doc_id")
-        if collect_stats:
-            stats["after_c4_lines"] = docs.count()
+        # materialize the kept-lines array ONCE in its own projection
+        # (CollapseProject does not inline an expensive alias referenced
+        # twice), then derive the gate and the rewritten text from it
+        docs = docs.withColumn("_c4_kept", c4_kept_lines_col(F.col("text")))
+        docs = (
+            docs.filter(F.size("_c4_kept") >= 1)
+            .withColumn("text", F.array_join("_c4_kept", "\n"))
+            .drop("_c4_kept")
+        )
+        docs = observed(docs, "after_c4_lines")
+    docs = docs.withColumn("text", pii_redact_col(F.col("text")))
 
-    clean = pii_redact(docs).select("doc_id", F.col("clean_text").alias("text"))
-    docs = docs.drop("text").join(clean, "doc_id")
-
-    deduped = paragraph_dedup(docs)  # (doc_id, text), order-preserving
-    docs = docs.select("doc_id", "url").join(deduped, "doc_id").filter(
-        F.length("text") > 0
-    )
-    if collect_stats:
-        stats["after_paragraph_dedup"] = docs.count()
+    docs = paragraph_dedup(docs, carry=("url",)).filter(F.length("text") > 0)
+    docs = observed(docs, "after_paragraph_dedup")
 
     keep = (
         F.row_number().over(Window.partitionBy(F.md5("text")).orderBy("doc_id")) == 1
     )
     docs = docs.withColumn("_keep", keep).filter("_keep").drop("_keep")
+
+    stats: dict[str, int] = {}
     if collect_stats:
-        stats["after_exact_dedup"] = docs.count()
+        # the ONE action: fires every observe point above in a single pass.
+        # AQE's empty-relation propagation would collapse the whole subtree
+        # when any gate filters a stage to zero rows, silently DISCARDING
+        # the upstream CollectMetrics — exclude that one rule for this
+        # action (the rest of AQE stays on) and restore the session conf.
+        conf = docs.sparkSession.conf
+        key = "spark.sql.adaptive.optimizer.excludedRules"
+        prev = conf.get(key, None)
+        rule = "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+        conf.set(key, f"{prev},{rule}" if prev else rule)
+        try:
+            final = docs.count()
+        finally:
+            if prev is None:
+                conf.unset(key)
+            else:
+                conf.set(key, prev)
+        for name, obs in observations.items():
+            stats[name] = int(obs.get["n"])
+        stats["after_exact_dedup"] = final
 
     if shard_dir is not None:
         from .sinks import write_training_shards

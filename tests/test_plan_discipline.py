@@ -50,3 +50,71 @@ def test_no_forbidden_join_shapes(spark, name):
         assert "BroadcastNestedLoopJoin" not in plan, (
             f"{name} has an unplanned nested-loop join"
         )
+
+
+def _count(plan: str, token: str) -> int:
+    return plan.count(token)
+
+
+def test_curation_gates_are_projections(spark):
+    """The per-row curation signals (quality, lang, fingerprint,
+    repetition) must compose as projections, NOT doc_id join-backs:
+    curation_pipeline's only exchanges are the dedup window + final agg,
+    and curation_v2's only join is the (genuinely corpus-vs-benchmark)
+    contamination one (round-2 VERDICT item #2)."""
+    import __spark_entry__ as entry
+
+    qe = entry.queries()["curation_pipeline"](spark, SF_DIR)._jdf.queryExecution()
+    assert _count(qe.optimizedPlan().toString(), "Join") == 0, (
+        "per-row gates must not join back"
+    )
+    # fp window + groupBy(source): the full corpus shuffles exactly twice
+    phys = qe.executedPlan().toString()
+    assert _count(phys, "Exchange") <= 2, phys
+
+    plan_v2 = (
+        entry.queries()["curation_v2"](spark, SF_DIR)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # both remaining joins are INSIDE contamination (the benchmark-shingle
+    # broadcast equi-join + the left-outer flags attach); the repetition
+    # signals join-back is gone
+    assert _count(plan_v2, "Join") == 2, plan_v2
+
+
+def test_curate_corpus_single_action_stats(spark):
+    """curate_corpus stage stats ride ONE action via observe: the per-row
+    gates add no Join and no extra Exchange beyond the paragraph-dedup
+    pair + exact-dedup window + url dropDuplicates."""
+    from pyspark.sql import functions as F
+
+    from access_log_parser_spark.pipeline import curate_corpus
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select(F.concat(F.lit("http://ex.com/"), "doc_id").alias("url"), "text")
+    )
+    curated, stats = curate_corpus(
+        docs, gopher=True, c4_lines=True, collect_stats=False
+    )
+    plan = curated._jdf.queryExecution().optimizedPlan().toString()
+    # the whole pass is JOIN-FREE: per-row gates are projections and
+    # paragraph_dedup marks+regroups instead of re-attaching via a join
+    assert _count(plan, "Join") == 0, plan
+    # url dedup + digest window + doc_id regroup + exact-dedup window:
+    # bounded, and none added per-gate
+    phys = curated._jdf.queryExecution().executedPlan().toString()
+    assert _count(phys, "Exchange") <= 5, phys
+
+    # stats path: one action total, counts consistent and monotone
+    curated2, stats2 = curate_corpus(
+        docs, gopher=True, c4_lines=True, collect_stats=True
+    )
+    order = [
+        "input", "after_quality", "after_repetition", "after_gopher",
+        "after_c4_lines", "after_paragraph_dedup", "after_exact_dedup",
+    ]
+    vals = [stats2[k] for k in order]
+    assert vals[0] == docs.count()
+    assert all(a >= b for a, b in zip(vals, vals[1:])), stats2
+    assert stats2["after_exact_dedup"] == curated2.count()
