@@ -20,12 +20,12 @@ tested part and does not change when the body is swapped.
 from __future__ import annotations
 
 import hashlib
+import io as _io
 import struct
 from collections.abc import Iterator
 
 try:  # pragma: no cover - not present in this container
     from PIL import Image as _PIL_Image  # type: ignore
-    import io as _io
 except ImportError:
     _PIL_Image = None
 
@@ -185,6 +185,41 @@ def decode_media(
     )
 
 
+def _resize_one(raw: bytes, width: int, height: int) -> bytes:
+    """Per-payload resize: real PIL decode+resize+PNG re-encode when the
+    library is present, deterministic truncate/pad stub otherwise."""
+    if _PIL_Image is not None:
+        try:
+            with _PIL_Image.open(_io.BytesIO(raw)) as im:
+                buf = _io.BytesIO()
+                im.resize((width, height)).save(buf, format="PNG")
+                return buf.getvalue()
+        except Exception:
+            pass  # non-image payload: fall through to the stub
+    target = width * height // 64  # fake byte budget
+    return (raw * (target // max(len(raw), 1) + 1))[:target]
+
+
+def _features_one(raw: bytes) -> list[float]:
+    """Per-payload feature vector: with PIL, a real (if crude) visual
+    feature — 4x4 grayscale thumbnail, mean-centered, unit-normalized;
+    without, 16 deterministic floats from the md5 digest."""
+    if _PIL_Image is not None:
+        try:
+            with _PIL_Image.open(_io.BytesIO(raw)) as im:
+                px = list(im.convert("L").resize((4, 4)).getdata())
+            mean = sum(px) / len(px)
+            v = [float(p - mean) for p in px]
+            norm = sum(x * x for x in v) ** 0.5 or 1.0
+            return [x / norm for x in v]
+        except Exception:
+            pass  # non-image payload: fall through to the stub
+    h = hashlib.md5(raw).digest()
+    v = [(h[i] - 127.5) / 127.5 for i in range(FEATURE_DIM)]
+    norm = sum(x * x for x in v) ** 0.5 or 1.0
+    return [x / norm for x in v]
+
+
 RESIZE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -198,19 +233,22 @@ RESIZE_SCHEMA = StructType(
 def resize_media(
     df: DataFrame, id_col: str, bin_col: str, width: int = 224, height: int = 224
 ) -> DataFrame:
-    """Resize stage plumbing: binary in -> (dims, binary) out, one
-    mapInPandas pass. The stub 'resize' truncates/pads the payload
-    deterministically; a real deployment swaps in PIL's resize while the
-    schema, batching and partition shape stay identical."""
+    """Resize stage: binary in -> (dims, binary) out, one mapInPandas
+    pass. When PIL is importable the payload is REALLY decoded, resized
+    to (width, height) and re-encoded as PNG (see :func:`_resize_one`);
+    otherwise the stub 'resize' truncates/pads the payload
+    deterministically. Schema, batching and partition shape are identical
+    in both modes, so the contract tests cover whichever mode the
+    deployment has."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = width * height // 64  # fake byte budget
         for pdf in batches:
             rows = []
             for mid, data in zip(pdf[id_col], pdf[bin_col]):
                 raw = bytes(data)
-                resized = (raw * (target // max(len(raw), 1) + 1))[:target]
-                rows.append((int(mid), width, height, bytearray(resized)))
+                rows.append(
+                    (int(mid), width, height, bytearray(_resize_one(raw, width, height)))
+                )
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "payload"]
             )
@@ -229,20 +267,19 @@ FEATURE_SCHEMA = StructType(
 
 
 def extract_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
-    """Feature-extraction stage plumbing: binary -> fixed-dim float vector
-    (Arrow-batched). The stub derives 16 deterministic floats from the md5
-    digest (unit-normalized); a real model (CLIP et al.) replaces the stub
-    body; downstream ANN/dedup operators consume the vector unchanged."""
+    """Feature-extraction stage: binary -> fixed-dim unit float vector
+    (Arrow-batched). When PIL is importable the vector is a REAL (if
+    crude) visual feature (see :func:`_features_one`); otherwise 16
+    deterministic floats derive from the md5 digest. A real model (CLIP
+    et al.) replaces either body; downstream ANN/dedup operators consume
+    the vector unchanged."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, vecs = [], []
             for mid, data in zip(pdf[id_col], pdf[bin_col]):
-                h = hashlib.md5(bytes(data)).digest()
-                v = [(h[i] - 127.5) / 127.5 for i in range(FEATURE_DIM)]
-                norm = sum(x * x for x in v) ** 0.5 or 1.0
                 ids.append(int(mid))
-                vecs.append([x / norm for x in v])
+                vecs.append(_features_one(bytes(data)))
             yield pd.DataFrame({"media_id": ids, "features": vecs})
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(run, FEATURE_SCHEMA)

@@ -113,6 +113,62 @@ def windowed_status_counts(
     )
 
 
+def state_metrics(query) -> list[dict]:
+    """Per-stateful-operator state metrics from a streaming query's
+    progress events: one dict per (batch, operator) with state rows /
+    bytes / churn. At 100 TB this is the dial that shows whether
+    watermark-bounded state is actually bounded (a growing
+    ``state_rows`` across batches means the watermark horizon is too
+    wide for the replay pattern)."""
+    out = []
+    for p in query.recentProgress or []:
+        for op in (p.get("stateOperators") or []):
+            out.append(
+                {
+                    "batch_id": p.get("batchId"),
+                    "operator": op.get("operatorName"),
+                    "state_rows": op.get("numRowsTotal"),
+                    "state_bytes": op.get("memoryUsedBytes"),
+                    "rows_updated": op.get("numRowsUpdated"),
+                    "rows_removed": op.get("numRowsRemoved"),
+                }
+            )
+    return out
+
+
+def run_paragraph_dedup_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    schema,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+) -> list[dict]:
+    """availableNow run of the streaming paragraph dedup with state-size
+    observability: deduped paragraphs land in ``out_dir`` as parquet and
+    the per-batch stateOperators metrics are committed to the SAME
+    manifest directory the batch pipeline uses (``state_metrics`` key),
+    so a resumed 100-TB run can audit state growth after the fact."""
+    from ..sinks import write_manifest
+
+    deduped = stream_paragraph_dedup(spark, pages_dir, schema, watermark=watermark)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    metrics = state_metrics(q)
+    write_manifest(
+        out_dir,
+        "stream_paragraph_dedup",
+        {"state_metrics": metrics, "n_batches": len({m["batch_id"] for m in metrics})},
+    )
+    return metrics
+
+
 def stream_paragraph_dedup(
     spark: SparkSession,
     pages_dir: str,

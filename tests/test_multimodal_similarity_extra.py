@@ -204,6 +204,62 @@ def test_parse_image_header_rejects_garbage_and_truncation():
     assert multimodal.parse_image_header(b"\xff\xd8\xff\xd9") is None
 
 
+class _FakeImg:
+    """Minimal PIL.Image stand-in: 16 gray pixels 0,16,...,240."""
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def resize(self, wh):
+        return self
+
+    def convert(self, mode):
+        return self
+
+    def getdata(self):
+        return [i * 16 for i in range(16)]
+
+    def save(self, buf, format):
+        buf.write(b"FAKEPNG:" + format.encode())
+
+
+class _FakePIL:
+    @staticmethod
+    def open(bio):
+        return _FakeImg()
+
+
+class _RaisingPIL:
+    @staticmethod
+    def open(bio):
+        raise OSError("cannot identify image file")
+
+
+def test_pil_paths_engage_when_library_present(monkeypatch):
+    """With PIL importable, _resize_one re-encodes via the library and
+    _features_one computes the thumbnail feature; when PIL rejects the
+    payload both fall through to the deterministic stubs (the contract
+    in both modes)."""
+    monkeypatch.setattr(multimodal, "_PIL_Image", _FakePIL)
+    assert multimodal._resize_one(b"img", 224, 224) == b"FAKEPNG:PNG"
+    v = multimodal._features_one(b"img")
+    assert len(v) == 16 and abs(sum(x * x for x in v) - 1.0) < 1e-9
+    # mean-centered thumbnail: first pixel (0) below mean, last above
+    assert v[0] < 0 < v[-1]
+
+    # PIL present but payload unreadable -> stub values, same shapes
+    monkeypatch.setattr(multimodal, "_PIL_Image", _RaisingPIL)
+    stub_r = multimodal._resize_one(b"img", 224, 224)
+    stub_v = multimodal._features_one(b"img")
+    monkeypatch.setattr(multimodal, "_PIL_Image", None)
+    assert multimodal._resize_one(b"img", 224, 224) == stub_r
+    assert multimodal._features_one(b"img") == stub_v
+    assert len(stub_v) == multimodal.FEATURE_DIM
+
+
 def test_parse_image_header_jpeg_stops_at_sos_and_eoi():
     """The marker walk must stop at SOS/EOI: 0xFF bytes inside
     entropy-coded scan data are NOT markers, so a spurious 0xFFC0 after

@@ -4,6 +4,61 @@ import math
 
 import numpy as np
 import pytest
+
+
+def test_funnel_depth_three_stage(spark):
+    from access_log_parser_spark.operators.funnel import funnel_depth
+
+    rows = [
+        # u1 completes the whole funnel in order
+        ("u1", 1, "view"), ("u1", 2, "click"), ("u1", 3, "purchase"),
+        # u2's first click precedes its view; a later click counts
+        ("u2", 1, "click"), ("u2", 2, "view"), ("u2", 5, "click"),
+        # u3 purchased BEFORE viewing: strict ordering caps it at depth 1
+        ("u3", 1, "purchase"), ("u3", 2, "view"),
+        # u4 never hits a funnel stage
+        ("u4", 1, "other"),
+        # u5's only click precedes its view
+        ("u5", 2, "click"), ("u5", 3, "view"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "event_type"])
+    got = {
+        r["user_id"]: r["depth"]
+        for r in funnel_depth(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert got == {"u1": 3, "u2": 2, "u3": 1, "u4": 0, "u5": 1}
+
+
+def test_funnel_depth_four_stage_and_counts(spark):
+    from access_log_parser_spark.operators.funnel import (
+        funnel_depth,
+        funnel_depth_counts,
+    )
+
+    rows = [
+        ("w1", 1, "a"), ("w1", 2, "b"), ("w1", 3, "c"), ("w1", 4, "d"),
+        # out-of-order c is retried later: a@1 b@3 c@4 d@5
+        ("w2", 1, "a"), ("w2", 2, "c"), ("w2", 3, "b"), ("w2", 4, "c"),
+        ("w2", 5, "d"),
+        # never does stage a -> depth 0 despite b/c/d events
+        ("w3", 1, "b"), ("w3", 2, "c"), ("w3", 3, "d"),
+        # b precedes a -> depth 1
+        ("w4", 1, "b"), ("w4", 5, "a"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_id", "event_type"])
+    stages = ["a", "b", "c", "d"]
+    got = {r["user_id"]: r["depth"] for r in funnel_depth(ev, stages).collect()}
+    assert got == {"w1": 4, "w2": 4, "w3": 0, "w4": 1}
+    counts = {
+        r["depth"]: r["n_users"]
+        for r in funnel_depth_counts(ev, stages).collect()
+    }
+    assert counts == {4: 2, 1: 1, 0: 1}
+
+    with pytest.raises(ValueError):
+        funnel_depth(ev, [])
+
+
 from pyspark.sql import functions as F
 
 from access_log_parser_spark.operators import dedup, multimodal, similarity, text_quality
