@@ -55,7 +55,13 @@ def _write_routed_iceberg(
     the same (…extra, status, pattern_id) keys; ``overwrite`` maps to
     dynamic-partition replacement (overwritePartitions), matching the
     parquet path's partitionOverwriteMode=dynamic resume semantics —
-    Iceberg's snapshot commit additionally makes it atomic."""
+    Iceberg's snapshot commit additionally makes it atomic.
+
+    Runtime validation: this branch cannot execute in the sandbox (no
+    Iceberg jars); ``scripts/iceberg_smoke.py`` is the first-deploy
+    smoke test — run it via spark-submit with the documented --packages
+    line to prove create / snapshot-commit / dynamic-overwrite resume /
+    time travel end-to-end on a real cluster."""
     cols = [F.col(c) for c in (*extra_partition_cols, *SINK_PARTITION_KEYS)]
     writer = df.writeTo(table).using("iceberg").partitionedBy(cols[0], *cols[1:])
     if mode == "overwrite":
