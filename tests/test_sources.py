@@ -150,9 +150,10 @@ def test_cancellation_surface(spark):
     p.cancel()  # idle: no-op
     out, r = p.parse_string(g.ALL_MATCH_INPUT)
     assert r.counters() == (5, 5, 0, 0, 0)
-    assert (
-        spark.sparkContext.getLocalProperty("spark.jobGroup.id") == p._job_group
-    )
+    # The group is thread-local driver state: _run clears it after the
+    # action so later unrelated jobs on this thread can't be killed by a
+    # subsequent cancel() (interruptOnCancel=True).
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
     p.cancel()  # after completion: no in-flight jobs, still safe
     out2, r2 = p.parse_string(g.ALL_MATCH_INPUT)
     assert r2.counters() == (5, 5, 0, 0, 0)

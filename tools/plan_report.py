@@ -59,6 +59,26 @@ SELECTED = [
      "three per-user conditional min-aggregates chained by inequality "
      "joins — each stage's output is one row per user, so join inputs "
      "shrink monotonically down the funnel"),
+    ("curation_v2", False,
+     "per-row gates (quality, repetition, Gopher, C4, PII) compose as "
+     "column projections — zero doc_id join-backs; the optimized plan's "
+     "only 2 joins live inside contamination (benchmark-shingle broadcast "
+     "+ flags attach), and the corpus-wide shuffles are the paragraph-"
+     "dedup digest window + exact-dedup window (asserted in "
+     "test_plan_discipline.py::test_curation_gates_are_projections)"),
+    ("dedup_lsh_verified", False,
+     "HOF MinHash signatures are two shuffle-free projections; the band "
+     "self-join is keyed on (band_idx, band_key); exact Jaccard runs "
+     "only within LSH candidate pairs via array_intersect — never "
+     "all-pairs"),
+    ("multimodal_decode", False,
+     "mapInPandas header decode sees only (media_id, payload, kind) — "
+     "UDF-boundary column pruning keeps the binary column out of every "
+     "other stage; zero Exchanges before the metadata projection"),
+    ("ann_ivf_nprobe", False,
+     "centroid assignment is an unrolled argmax expression (no join); "
+     "query fan-out is query-side only (nprobe=2 duplicates the 10-row "
+     "query set, not the corpus); one Exchange on the cell key"),
 ]
 
 
