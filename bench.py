@@ -100,7 +100,7 @@ def run_headline() -> tuple[dict, dict]:
         parse_route_job(spark, max(n_pages // 20, 100), os.path.join(tmp, "warm"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    head = _best_of(spark, n_pages)
+    head = _best_of(spark, n_pages, runs=3)
 
     qtimes: dict[str, float] = {}
     if os.environ.get("ALP_BENCH_QUERIES", "1") != "0":
@@ -264,6 +264,10 @@ def main() -> None:
     scaling = None
     if os.environ.get("ALP_BENCH_SCALING", "1") != "0":
         scaling = run_scaling(CPUS)
+        # The scaling trials leave the box hot (the VM throttles ~40%
+        # under sustained load) — let it cool before the headline
+        # measurement or docs/sec lands in the throttled regime.
+        _quiesce(target_load=4.0)
     head, qtimes = run_headline()
     out = {
         "metric": "parse_route_docs_per_sec",
