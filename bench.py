@@ -148,7 +148,10 @@ def _quiesce(target_load: float, max_wait: float = 120.0) -> float:
     return round(load, 2)
 
 
-def _scale_pair(n: int, big: int, frac: int = 1, trials: int = 4) -> dict:
+def _scale_pair(
+    n: int, big: int, frac: int = 1, trials: int = 4, runner=None,
+    cooldown: float = 8.0,
+) -> dict:
     """Same job, same input, local[N] vs local[4N].
 
     The sandbox VM throttles ~40% under sustained load, so raw times
@@ -186,6 +189,8 @@ def _scale_pair(n: int, big: int, frac: int = 1, trials: int = 4) -> dict:
             raise RuntimeError(f"scale subprocess failed: {out.stderr[-2000:]}")
         return json.loads(line[len("SCALE_RESULT "):])
 
+    if runner is None:
+        runner = run_one
     results: dict[int, dict | None] = {n: None, big: None}
     trial_rows: list[dict] = []
     for trial in range(trials):
@@ -194,8 +199,8 @@ def _scale_pair(n: int, big: int, frac: int = 1, trials: int = 4) -> dict:
         by_cores: dict[int, dict] = {}
         for pos, cores in enumerate(order):
             if pos or trial:
-                time.sleep(8)  # let the previous run's heat decay a little
-            r = run_one(cores)
+                time.sleep(cooldown)  # let the previous run's heat decay
+            r = runner(cores)
             by_cores[cores] = r
             if results[cores] is None or r["elapsed"] < results[cores]["elapsed"]:
                 results[cores] = r

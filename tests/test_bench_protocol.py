@@ -1,0 +1,94 @@
+"""The scaling-pair estimator in bench.py is the number the BASELINE
+criterion (>=0.8 efficiency N->4N) is judged on — pin its math with a
+synthetic runner so a protocol regression can't silently re-open the
+round-2 measurement gap (driver snapshot 0.667 vs local 0.83-0.93).
+
+No Spark involved: `_scale_pair(runner=...)` injects fake per-level
+times.
+"""
+
+from __future__ import annotations
+
+import bench
+
+
+def _runner_from(times: dict[int, list[float]]):
+    """A fake run_one: pops the next elapsed time for the given level."""
+    seq = {k: list(v) for k, v in times.items()}
+
+    def run(cores: int) -> dict:
+        el = seq[cores].pop(0)
+        return {"elapsed": el, "docs_per_sec": round(1000.0 / el, 1)}
+
+    return run
+
+
+def test_ideal_scaling_reports_one():
+    # 4x cores -> exactly 4x faster, no drift
+    out = bench._scale_pair(
+        2, 8, trials=4, cooldown=0,
+        runner=_runner_from({2: [40.0] * 4, 8: [10.0] * 4}),
+    )
+    assert out["efficiency"] == 1.0
+    assert out["efficiency_min_of_levels"] == 1.0
+    assert out["efficiency_paired_median"] == 1.0
+    assert len(out["trials"]) == 4
+    # order alternates small-first / big-first so a time-decaying
+    # throttle cannot systematically penalize one level
+    assert [t["order"] for t in out["trials"]] == [
+        "2->8", "8->2", "2->8", "8->2",
+    ]
+
+
+def test_paired_median_cancels_monotone_drift():
+    # The VM slows down 40% midway: trials 3-4 run at 1.4x. Both levels
+    # of a trial see the SAME regime (adjacent in time), so the paired
+    # ratio still reads the true 0.9 efficiency; min-of-levels compares
+    # a quiet small-level sample against a quiet big-level sample and
+    # agrees here. (Times: t2 = 40, t8 = 40/(4*0.9) = 11.11, x1.4 late.)
+    t2, t8 = 40.0, 40.0 / 3.6
+    out = bench._scale_pair(
+        2, 8, trials=4, cooldown=0,
+        runner=_runner_from({
+            2: [t2, t2, t2 * 1.4, t2 * 1.4],
+            8: [t8, t8, t8 * 1.4, t8 * 1.4],
+        }),
+    )
+    assert abs(out["efficiency_paired_median"] - 0.9) < 0.01
+    assert abs(out["efficiency"] - 0.9) < 0.01
+
+
+def test_one_throttled_level_sample_does_not_sink_the_pair():
+    # Round-2 failure mode: the BIG level never sampled a quiet window
+    # (every big run landed throttled), so min-of-levels under-reports
+    # (quiet small time / throttled big time). The paired median still
+    # recovers the true efficiency because each trial's ratio is
+    # internally consistent; `efficiency` takes the max of the two.
+    t2, t8 = 40.0, 40.0 / 3.6  # true efficiency 0.9
+    out = bench._scale_pair(
+        2, 8, trials=4, cooldown=0,
+        runner=_runner_from({
+            # one small-level sample lands quiet (trial 2) while every
+            # big-level sample is throttled x1.5
+            2: [t2 * 1.5, t2, t2 * 1.5, t2 * 1.5],
+            8: [t8 * 1.5, t8 * 1.5, t8 * 1.5, t8 * 1.5],
+        }),
+    )
+    assert out["efficiency_min_of_levels"] < 0.7  # the r02-style artifact
+    assert abs(out["efficiency_paired_median"] - 0.9) < 0.01
+    assert out["efficiency"] == out["efficiency_paired_median"]
+
+
+def test_raw_trials_are_archived():
+    out = bench._scale_pair(
+        2, 8, trials=2, cooldown=0,
+        runner=_runner_from({2: [40.0, 41.0], 8: [11.0, 11.5]}),
+    )
+    for t in out["trials"]:
+        assert set(t) >= {
+            "order", "elapsed_small", "elapsed_big", "paired_efficiency",
+            "loadavg_at_start",
+        }
+    # best-of-levels bookkeeping: min elapsed per level is what's reported
+    assert out["elapsed_small"] == 40.0
+    assert out["elapsed_big"] == 11.0
