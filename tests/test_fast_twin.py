@@ -184,3 +184,70 @@ try:
             assert vals[0] == ["" if g is None else g for g in m.groups()]
 except ImportError:  # pragma: no cover
     pass
+
+
+# --- property-based soundness over RANDOM PATTERNS ---
+#
+# Both prior advisory reviews found real unsoundness in the
+# twin-eligibility scanner (_tabs_all_mandatory): optional tabs inside
+# groups (round 1) and a bare min-0-quantified tab (round 2) each made
+# the decoder trust a twin that disagreed with the original. This fuzz
+# generates patterns from a grammar of exactly the risky ingredients —
+# greedy classes that span tabs, tabs under every quantifier shape,
+# optional/alternation scopes containing tabs — and asserts the ONLY
+# property that matters: through the batch decoder (twin + tab-count
+# guard engaged), every line decodes identically to the original
+# pattern's plain search().
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _GROUP_BODIES = ["[^\\t]*", "\\S+", "[^\"]*", ".*", "[^\\t\"]*"]
+    _PLAIN_TOKENS = [
+        "\\t", "\\t?", "\\t*", "\\t{0,2}", "\\t{1,2}", "\\t{2}",
+        "q", "x?", '"',
+        "(?:x\\t)?", "(?:a|b\\t)", "(?:\\t|;)", "(?:q\\t)",
+    ]
+    _token = st.one_of(
+        st.sampled_from(_GROUP_BODIES).map(lambda b: ("G", b)),
+        st.sampled_from(_PLAIN_TOKENS).map(lambda t: ("L", t)),
+    )
+    _line_text = st.text(
+        alphabet=st.sampled_from(list('abqx;" \t')), min_size=0, max_size=24
+    )
+
+    @given(
+        st.lists(_token, min_size=1, max_size=8),
+        st.lists(_line_text, min_size=1, max_size=6),
+    )
+    @settings(max_examples=400, deadline=None)
+    def test_random_pattern_twin_soundness(tokens, lines):
+        parts, names, gi = [], [], 0
+        for kind, val in tokens:
+            if kind == "G":
+                parts.append(f"(?P<g{gi}>{val})")
+                names.append(f"g{gi}")
+                gi += 1
+            else:
+                parts.append(val)
+        if not names:  # decoder contract: >=1 named group
+            parts.append("(?P<g0>[^\\t]*)")
+            names.append("g0")
+        orig = re.compile("^" + "".join(parts) + "$")
+        # also probe lines with the exact separator tab count, where the
+        # guard lets the twin (if any) take over
+        n_tabs = "".join(parts).count("\\t")
+        probe = lines + ["\t".join(["ab"] * (n_tabs + 1)), "\t" * n_tabs]
+        pids, vals = decoders.regex_decode_batch(probe, [orig], [names])
+        for line, pid, val in zip(probe, pids, vals):
+            m = orig.search(line)
+            if m is None:
+                assert pid == -1 and val is None, (orig.pattern, line)
+            else:
+                assert pid == 0, (orig.pattern, line)
+                assert val == ["" if g is None else g for g in m.groups()], (
+                    orig.pattern,
+                    line,
+                )
+except ImportError:  # pragma: no cover
+    pass
