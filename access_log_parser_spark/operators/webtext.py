@@ -195,10 +195,16 @@ def paragraph_dedup(
     to ride through the regroup."""
     digest = F.md5(F.col("para"))
     w = Window.partitionBy(digest).orderBy(F.col("doc_id"), F.col("pos"))
+    # coalesce: split(NULL) is NULL and posexplode over NULL emits no
+    # rows, which would silently DROP null-text docs from the regroup and
+    # break the "keeps every doc" guarantee; '' splits to [''] and the
+    # doc comes back with empty text like any all-duplicate doc.
     marked = df.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in carry],
-        F.posexplode(F.split(F.col(text_col), F.lit(sep))).alias("pos", "para"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep))
+        ).alias("pos", "para"),
     ).withColumn("_keep", F.row_number().over(w) == 1)
     return marked.groupBy("doc_id").agg(
         *[F.first(c).alias(c) for c in carry],

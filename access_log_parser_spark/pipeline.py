@@ -174,6 +174,8 @@ def curate_corpus(
     sequence; ``dedup_urls=True`` (default) keeps one row per url first
     (re-crawls are the norm in a crawl corpus, and duplicate urls would
     share a doc_id and silently merge at every doc_id-keyed stage).
+    ``stats['input']`` counts raw input rows and ``after_url_dedup``
+    records the url cut separately.
 
     The per-row gates (1-5) compose as column PROJECTIONS — no doc_id
     join-back, no added shuffle (the only exchanges are the two the
@@ -193,11 +195,6 @@ def curate_corpus(
         pii_redact_col,
     )
 
-    docs = pages.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
-    if dedup_urls:
-        docs = docs.dropDuplicates(["url"])
-    docs = docs.select(F.xxhash64(F.col("url")).alias("doc_id"), "url", "text")
-
     observations: dict[str, Observation] = {}
 
     def observed(df: DataFrame, name: str) -> DataFrame:
@@ -207,7 +204,14 @@ def curate_corpus(
         observations[name] = obs
         return df.observe(obs, F.count(F.lit(1)).alias("n"))
 
+    docs = pages.select(F.col(url_col).alias("url"), F.col(text_col).alias("text"))
+    # 'input' counts RAW rows, before the url dedup — on a re-crawl-heavy
+    # corpus the url cut is the funnel's first and often largest stage,
+    # so it gets its own stat instead of silently shrinking 'input'.
     docs = observed(docs, "input")
+    if dedup_urls:
+        docs = observed(docs.dropDuplicates(["url"]), "after_url_dedup")
+    docs = docs.select(F.xxhash64(F.col("url")).alias("doc_id"), "url", "text")
     docs = observed(
         docs.filter(quality_score_col(F.col("text")) >= quality_min),
         "after_quality",

@@ -64,16 +64,18 @@ def _write_routed_iceberg(
     time travel end-to-end on a real cluster."""
     cols = [F.col(c) for c in (*extra_partition_cols, *SINK_PARTITION_KEYS)]
     writer = df.writeTo(table).using("iceberg").partitionedBy(cols[0], *cols[1:])
-    if mode == "overwrite":
-        try:
-            writer.overwritePartitions()
-        except Exception:
-            writer.createOrReplace()  # first write: table does not exist yet
+    # Existence decides create-vs-write EXPLICITLY. Catching the write
+    # error and falling back to createOrReplace() would turn any
+    # transient failure (commit conflict, permissions, schema drift)
+    # into a silent full-table truncation down to this batch's rows;
+    # real write errors must propagate to the caller/retry layer.
+    exists = df.sparkSession.catalog.tableExists(table)
+    if not exists:
+        writer.create()
+    elif mode == "overwrite":
+        writer.overwritePartitions()
     else:
-        try:
-            writer.append()
-        except Exception:
-            writer.create()
+        writer.append()
 
 
 def write_routed(

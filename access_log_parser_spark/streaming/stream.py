@@ -113,15 +113,26 @@ def windowed_status_counts(
     )
 
 
-def state_metrics(query) -> list[dict]:
+def state_metrics(query_or_progresses) -> list[dict]:
     """Per-stateful-operator state metrics from a streaming query's
     progress events: one dict per (batch, operator) with state rows /
     bytes / churn. At 100 TB this is the dial that shows whether
     watermark-bounded state is actually bounded (a growing
     ``state_rows`` across batches means the watermark horizon is too
-    wide for the replay pattern)."""
+    wide for the replay pattern).
+
+    Accepts either a StreamingQuery (reads ``recentProgress`` — NOTE:
+    Spark retains only the last ``numRecentProgressUpdates`` (default
+    100) batches there, so for long runs pass the full progress-dict
+    list a ``StreamingQueryListener`` collected; see
+    :func:`run_paragraph_dedup_stream`)."""
+    progresses = (
+        query_or_progresses
+        if isinstance(query_or_progresses, list)
+        else (query_or_progresses.recentProgress or [])
+    )
     out = []
-    for p in query.recentProgress or []:
+    for p in progresses:
         for op in (p.get("stateOperators") or []):
             out.append(
                 {
@@ -148,19 +159,59 @@ def run_paragraph_dedup_stream(
     observability: deduped paragraphs land in ``out_dir`` as parquet and
     the per-batch stateOperators metrics are committed to the SAME
     manifest directory the batch pipeline uses (``state_metrics`` key),
-    so a resumed 100-TB run can audit state growth after the fact."""
+    so a resumed 100-TB run can audit state growth after the fact.
+
+    Progress capture uses a ``StreamingQueryListener`` (which sees every
+    batch) merged with ``recentProgress`` (which Spark caps at the last
+    ~100 batches but is synchronous): a >100-batch availableNow run
+    would otherwise silently lose its EARLIEST batches — exactly where a
+    state-growth trend starts."""
+    import json as _json
+
+    from pyspark.sql.streaming.listener import StreamingQueryListener
+
     from ..sinks import write_manifest
 
+    collected: list[dict] = []
+
+    class _Collector(StreamingQueryListener):
+        def onQueryStarted(self, event):  # pragma: no cover - no-op
+            pass
+
+        def onQueryProgress(self, event):
+            collected.append(_json.loads(event.progress.json))
+
+        def onQueryIdle(self, event):  # pragma: no cover - no-op
+            pass
+
+        def onQueryTerminated(self, event):  # pragma: no cover - no-op
+            pass
+
+    listener = _Collector()
+    spark.streams.addListener(listener)
     deduped = stream_paragraph_dedup(spark, pages_dir, schema, watermark=watermark)
-    q = (
-        deduped.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    metrics = state_metrics(q)
+    try:
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.streams.removeListener(listener)
+    # merge: listener rows cover batches recentProgress evicted; the
+    # (synchronous) recentProgress tail covers listener-bus stragglers
+    this_q = str(q.id)
+    by_batch: dict[int, dict] = {}
+    for p in collected:
+        if str(p.get("id")) == this_q and p.get("batchId") is not None:
+            by_batch[p["batchId"]] = p
+    for p in q.recentProgress or []:
+        if p.get("batchId") is not None:
+            by_batch.setdefault(p["batchId"], p)
+    metrics = state_metrics([by_batch[k] for k in sorted(by_batch)])
     write_manifest(
         out_dir,
         "stream_paragraph_dedup",

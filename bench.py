@@ -164,12 +164,19 @@ def _scale_pair(
       throttle cannot systematically penalize one level;
     - a bounded loadavg quiesce runs before the block (see run_scaling).
 
-    The reported ``efficiency`` is the max of two estimators, both
-    recorded: (a) min-of-levels — quiet-state time per level, the r01/r02
-    number, which under-reports when one level never samples a quiet
-    window; (b) median of the paired per-trial efficiencies — robust to
-    drift between trials. Raw trials ride in ``trials`` so any regime
-    artifact is visible in the archived JSON."""
+    The reported ``efficiency`` is min-of-levels — the standard
+    min-of-N estimator applied per level (each level's minimum elapsed
+    is its best quiet-window sample; the ratio estimates QUIET-state
+    scaling, which is the quantity the criterion describes) — capped at
+    the theoretical 1.0. The median of the paired per-trial efficiencies
+    rides along as a drift diagnostic: it is robust to regime drift but
+    averages throttled trials into the estimate, so it under-reports the
+    quiet-state number when most trials land hot. When the two disagree
+    by more than 0.1 a ``regime_warning`` flags that one level's minimum
+    probably never sampled a quiet window (the r02 artifact) — re-run on
+    a quiet VM rather than trusting either number. Raw trials ride in
+    ``trials`` so any regime artifact is auditable in the archived
+    JSON."""
     import statistics
     import subprocess
 
@@ -215,18 +222,24 @@ def _scale_pair(
     t_n, t_4n = results[n]["elapsed"], results[big]["elapsed"]
     eff_levels = (t_n / t_4n) / (big / n)
     eff_paired = statistics.median(t["paired_efficiency"] for t in trial_rows)
-    return {
+    out = {
         "cores_small": n,
         "cores_big": big,
         "docs_per_sec_small": results[n]["docs_per_sec"],
         "docs_per_sec_big": results[big]["docs_per_sec"],
         "elapsed_small": round(t_n, 3),
         "elapsed_big": round(t_4n, 3),
-        "efficiency": round(max(eff_levels, eff_paired), 3),
+        "efficiency": round(min(eff_levels, 1.0), 3),
         "efficiency_min_of_levels": round(eff_levels, 3),
         "efficiency_paired_median": round(eff_paired, 3),
         "trials": trial_rows,
     }
+    if abs(eff_levels - eff_paired) > 0.1 or eff_levels > 1.0:
+        out["regime_warning"] = (
+            "level minima and paired-trial median disagree — one level's "
+            "minimum likely never sampled a quiet window; re-run quiet"
+        )
+    return out
 
 
 def run_scaling(cpus: int) -> dict:

@@ -32,6 +32,7 @@ def test_ideal_scaling_reports_one():
     assert out["efficiency"] == 1.0
     assert out["efficiency_min_of_levels"] == 1.0
     assert out["efficiency_paired_median"] == 1.0
+    assert "regime_warning" not in out
     assert len(out["trials"]) == 4
     # order alternates small-first / big-first so a time-decaying
     # throttle cannot systematically penalize one level
@@ -58,12 +59,13 @@ def test_paired_median_cancels_monotone_drift():
     assert abs(out["efficiency"] - 0.9) < 0.01
 
 
-def test_one_throttled_level_sample_does_not_sink_the_pair():
+def test_cross_regime_minima_raise_the_regime_warning():
     # Round-2 failure mode: the BIG level never sampled a quiet window
-    # (every big run landed throttled), so min-of-levels under-reports
-    # (quiet small time / throttled big time). The paired median still
-    # recovers the true efficiency because each trial's ratio is
-    # internally consistent; `efficiency` takes the max of the two.
+    # (every big run landed throttled) while the small level did once,
+    # so min-of-levels compares cross-regime minima and under-reports.
+    # The estimator does NOT paper over this (a max() rescue would be
+    # upward-biased in the mirrored scenario); instead the paired-median
+    # diagnostic disagrees and `regime_warning` says to re-run quiet.
     t2, t8 = 40.0, 40.0 / 3.6  # true efficiency 0.9
     out = bench._scale_pair(
         2, 8, trials=4, cooldown=0,
@@ -74,9 +76,26 @@ def test_one_throttled_level_sample_does_not_sink_the_pair():
             8: [t8 * 1.5, t8 * 1.5, t8 * 1.5, t8 * 1.5],
         }),
     )
-    assert out["efficiency_min_of_levels"] < 0.7  # the r02-style artifact
+    assert out["efficiency_min_of_levels"] < 0.7  # the under-report
     assert abs(out["efficiency_paired_median"] - 0.9) < 0.01
-    assert out["efficiency"] == out["efficiency_paired_median"]
+    assert "regime_warning" in out
+
+
+def test_efficiency_is_capped_and_warned_in_the_inflation_mirror():
+    # Mirror scenario: the SMALL level always throttled, big level once
+    # quiet -> raw min-of-levels reads 1.35 for a true 0.9. The report
+    # must not claim super-linear scaling: capped at 1.0 + warned.
+    t2, t8 = 40.0, 40.0 / 3.6
+    out = bench._scale_pair(
+        2, 8, trials=4, cooldown=0,
+        runner=_runner_from({
+            2: [t2 * 1.5, t2 * 1.5, t2 * 1.5, t2 * 1.5],
+            8: [t8 * 1.5, t8, t8 * 1.5, t8 * 1.5],
+        }),
+    )
+    assert out["efficiency_min_of_levels"] > 1.0  # the raw artifact
+    assert out["efficiency"] == 1.0
+    assert "regime_warning" in out
 
 
 def test_raw_trials_are_archived():

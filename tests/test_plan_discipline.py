@@ -111,8 +111,9 @@ def test_curate_corpus_single_action_stats(spark):
         docs, gopher=True, c4_lines=True, collect_stats=True
     )
     order = [
-        "input", "after_quality", "after_repetition", "after_gopher",
-        "after_c4_lines", "after_paragraph_dedup", "after_exact_dedup",
+        "input", "after_url_dedup", "after_quality", "after_repetition",
+        "after_gopher", "after_c4_lines", "after_paragraph_dedup",
+        "after_exact_dedup",
     ]
     vals = [stats2[k] for k in order]
     assert vals[0] == docs.count()

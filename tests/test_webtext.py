@@ -74,6 +74,22 @@ def test_paragraph_dedup_first_occurrence_wins(spark):
     assert out[2] == ""
 
 
+def test_paragraph_dedup_keeps_null_text_docs(spark):
+    # split(NULL) -> NULL and posexplode over NULL emits no rows, so a
+    # null-text doc would silently vanish from the regroup without the
+    # coalesce guard; the "keeps every doc" contract says it comes back
+    # with empty text like any all-duplicate doc.
+    df = spark.createDataFrame(
+        [(0, "alpha\nbeta"), (1, None), (2, "beta\ngamma")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["text"] for r in webtext.paragraph_dedup(df).collect()}
+    assert set(out) == {0, 1, 2}
+    assert out[0] == "alpha\nbeta"
+    assert out[1] == ""
+    assert out[2] == "gamma"
+
+
 def test_paragraph_dedup_keeps_within_doc_order(spark):
     df = spark.createDataFrame(
         [(0, "z\na\nm"), (1, "q\nz\nb")], "doc_id long, text string"
