@@ -116,7 +116,12 @@ def parse_routed(
     add_no = bool(opt.line_number)
     handler_name = opt.line_handler if isinstance(opt.line_handler, str) else None
     handler = opt.resolve_handler()
-    is_tsv = handler_name == "tsv"
+    # identity check, not just the name: Option(line_handler=
+    # handlers.tsv_line_handler) (the callable spelling of the same
+    # built-in) must get the first-matched-per-source header row too
+    from .handlers import HANDLERS as _H
+
+    is_tsv = handler_name == "tsv" or handler is _H.get("tsv")
     filter_exprs = tuple(opt.filters)
     emit_unmatch = bool(opt.unmatch_lines)
     if keep_raw not in ("unmatched", "all", "none"):
@@ -213,8 +218,14 @@ def parse_routed(
     routed = lines_df.select("source", "line_no", "raw").mapInPandas(
         run, ROUTED_SCHEMA
     )
+    return _finalize_routed(routed, is_tsv, opt)
 
-    # --- Catalyst-side finalization (no extra Python hop) ---
+
+def _finalize_routed(routed: DataFrame, is_tsv: bool, opt: Option) -> DataFrame:
+    """Catalyst-side finalization shared byte-for-byte by the compat and
+    fast paths (their row-identity is a pinned invariant — one home for
+    this block means a header/prefix change cannot drift between them):
+    TSV first-matched-per-source header, then prefix decoration."""
     if is_tsv:
         # isFirst = first matched line per source (parser_core.go:182,245);
         # a single partition-window min, no global sort.
@@ -425,39 +436,7 @@ def fast_parse_routed(
         F.when(F.col("status") == UNMATCHED, F.col("raw")).alias("raw"),
     )
 
-    if handler == "tsv":
-        w = Window.partitionBy("source")
-        first_line = F.min(
-            F.when(F.col("status") == MATCHED, F.col("line_no"))
-        ).over(w)
-        routed = routed.withColumn(
-            "out_line",
-            F.when(
-                (F.col("status") == MATCHED) & (F.col("line_no") == first_line),
-                F.concat_ws("\n", F.col("tsv_header"), F.col("out_line")),
-            ).otherwise(F.col("out_line")),
-        )
-    routed = routed.drop("tsv_header")
-
-    if opt.prefix:
-        mpref, upref = prefix_strings(opt.resolve_color())
-        prefixed = F.array_join(
-            F.transform(
-                F.split(F.col("out_line"), "\n"),
-                lambda x: F.concat(F.lit(mpref), x),
-            ),
-            "\n",
-        )
-        routed = routed.withColumn(
-            "out_line",
-            F.when(F.col("status") == MATCHED, prefixed)
-            .when(
-                (F.col("status") == UNMATCHED) & F.col("out_line").isNotNull(),
-                F.concat(F.lit(upref), F.col("out_line")),
-            )
-            .otherwise(F.col("out_line")),
-        )
-    return routed
+    return _finalize_routed(routed, handler == "tsv", opt)
 
 
 def extract_ltsv(

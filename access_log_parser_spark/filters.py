@@ -166,7 +166,13 @@ def filters_to_column(filters: Sequence[str], columns: Sequence[str]) -> Column:
             if op.startswith("!~"):
                 p = ~p
         else:  # numeric
-            d = c.cast("double")
+            # try_cast, not cast: under Spark 4 ANSI mode (on by
+            # default) a plain cast ABORTS the job with
+            # CAST_INVALID_INPUT on the first non-numeric field value;
+            # try_cast yields NULL and the coalesce(pred, false) wrapper
+            # in the engine excludes the row — the documented fast-path
+            # divergence from the reference's abort.
+            d = c.try_cast("double")
             f = F.lit(float(value))
             if op == ">":
                 p = d > f

@@ -55,7 +55,10 @@ def exact_duplicates(df: DataFrame, text_col: str = "text") -> DataFrame:
     Returns (fp, n_dups, keep_id=min doc_id, dup_ids)."""
     fp = F.md5(normalized(F.col(text_col)))
     return (
-        df.select(F.col("doc_id"), fp.alias("fp"))
+        # NULL text is missing data, not content: md5(NULL) is NULL and
+        # would group every NULL-text doc into one spurious dup cluster
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.col("doc_id"), fp.alias("fp"))
         .groupBy("fp")
         .agg(
             F.count(F.lit(1)).alias("n_dups"),
@@ -128,7 +131,13 @@ def minhash_signatures(
 ) -> DataFrame:
     """(doc_id, sig array<long>): shingling JVM-side, hashing in one
     Arrow-batched pass (md5 per shingle is the only Python work)."""
-    sh = df.select(F.col("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    # NULL text is not a dup candidate: without the filter all NULL-text
+    # docs share identical NULL/degenerate signatures and collapse into
+    # one giant spurious duplicate cluster (and the pandas path would
+    # crash on None, diverging from the jvm/hof twins).
+    sh = df.filter(F.col(text_col).isNotNull()).select(
+        F.col("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    )
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -155,7 +164,13 @@ def minhash_signatures_jvm(
     and the DuckDB oracle, no decimal arithmetic. This is the scale
     path: one shuffle on doc_id with map-side partial mins, no Arrow
     transfer."""
-    sh = df.select(F.col("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    # NULL text is not a dup candidate: without the filter all NULL-text
+    # docs share identical NULL/degenerate signatures and collapse into
+    # one giant spurious duplicate cluster (and the pandas path would
+    # crash on None, diverging from the jvm/hof twins).
+    sh = df.filter(F.col(text_col).isNotNull()).select(
+        F.col("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    )
     ex = sh.select("doc_id", F.explode("sh").alias("g"))
     # (a*h + b) mod 2^61-1 in pure int64 (no decimal): h < 2^60, a <= 33,
     # so a*h overflows; split h = h_hi*2^31 + h_lo and fold with
@@ -209,7 +224,13 @@ def minhash_signatures_hof(
     permutation. Plan shape: scan -> two projections, one stage,
     embarrassing parallelism; prefer this whenever downstream banding
     does not need the exploded form anyway."""
-    sh = df.select(F.col("doc_id"), shingles(F.col(text_col), n).alias("sh"))
+    # NULL text is not a dup candidate: without the filter all NULL-text
+    # docs share identical NULL/degenerate signatures and collapse into
+    # one giant spurious duplicate cluster (and the pandas path would
+    # crash on None, diverging from the jvm/hof twins).
+    sh = df.filter(F.col(text_col).isNotNull()).select(
+        F.col("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    )
     hs = sh.select(
         "doc_id",
         F.transform(
@@ -304,14 +325,22 @@ def lsh_verified_pairs(
 
     Scale shape: the expensive exact comparison runs on the LSH
     candidate set (orders of magnitude smaller than all-pairs), and the
-    shingle sets needed for it come from ONE broadcast-free join of the
-    candidate ids back onto the per-doc shingle arrays; Jaccard is then
-    a per-row array intersection (HOF, no further shuffle)."""
-    sh = df.select(
-        F.col("doc_id"), shingles(F.col(text_col), n).alias("sh")
-    )
+    verification shingles are computed only for docs that APPEAR in a
+    candidate pair (semi-join first, shingle after) — full-corpus
+    shingling happens once, inside the signature stage. The candidate
+    subtree is referenced twice (id list + pair join) but its band-join
+    shuffle is deduplicated by Spark's ReuseExchange, so candidates are
+    not generated twice. Jaccard itself is a per-row array intersection
+    (HOF, no further shuffle)."""
     cands = lsh_candidate_pairs(
         minhash_signatures_hof(df, text_col, n), distinct=True
+    )
+    cand_ids = cands.select(
+        F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
+    ).distinct()
+    sh = (
+        df.join(cand_ids, "doc_id", "left_semi")
+        .select(F.col("doc_id"), shingles(F.col(text_col), n).alias("sh"))
     )
     joined = (
         cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
@@ -486,8 +515,9 @@ def _simhash_py(toks: list[str]) -> int:
 
 
 def simhash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash long)."""
-    toks = df.select(
+    """(doc_id, simhash long). NULL-text docs are excluded (missing data
+    is not a dup candidate; the pandas stage would crash on None)."""
+    toks = df.filter(F.col(text_col).isNotNull()).select(
         F.col("doc_id"), F.split(normalized(F.col(text_col)), " ").alias("t")
     )
     schema = StructType(
@@ -559,31 +589,33 @@ def embedding_near_dup(
     That path is APPROXIMATE — recall < 1 for pairs that straddle a
     hyperplane — so pass an explicit semantic bucket column when exact
     within-bucket recall is required."""
-    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    if bucket_col is None:
-        from .similarity import lsh_buckets
+    from .similarity import _as_double, _dot, _norm, lsh_buckets
 
+    v = _as_double(F.col(vec_col))
+    if bucket_col is None:
         if dim is None:
             # one-row driver probe: hyperplane weights are a static list,
             # so the vector width must be known before planning
-            dim = emb.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+            row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+            # empty input: any dim plans an empty (id_a, id_b, cosine)
+            # result instead of crashing on None['d']
+            dim = row["d"] if row is not None else 1
         base = lsh_buckets(emb, n_planes=8, dim=dim, id_col=id_col, vec_col=vec_col)
         base = base.select("id", "v", F.col("bucket").alias("bkt"))
     else:
         base = emb.select(
             F.col(id_col).alias("id"), v.alias("v"), F.col(bucket_col).alias("bkt")
         )
+    # per-row norm materialized BEFORE the self-join: norms are per-row
+    # constants and would otherwise be re-aggregated per candidate pair
+    # (B^2 vs B evaluations per bucket); _dot/_norm shared with
+    # operators.similarity so the cosine formula has one home
+    base = base.withColumn("nrm", _norm(F.col("v")))
     a = base.alias("a")
     b = base.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
     )
-    norm = lambda side: F.sqrt(
-        F.aggregate(F.col(f"{side}.v"), F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = F.round(dot / (norm("a") * norm("b")), 6)
     return (
         a.join(b, on=F.col("a.bkt") == F.col("b.bkt"))
         .filter(F.col("a.id") < F.col("b.id"))

@@ -44,13 +44,20 @@ def cosine_topk(
     """Exact top-k neighbors per query vector (excluding self-matches by
     id). Returns (query_id, neighbor_id, rank, cosine); ties broken by
     neighbor_id for determinism."""
+    # norms are per-ROW constants: materialize them before the join, or
+    # every candidate PAIR re-runs two O(d) aggregate passes (B^2 vs B
+    # evaluations per bucket)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    cos = F.round(
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), SIM_ROUND
     )
-    cos = F.round(_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))), SIM_ROUND)
     scored = (
         c.join(F.broadcast(q))  # corpus x small-query broadcast product
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -90,17 +97,31 @@ def _hyperplane_sign(vec_col, plane: int, dim: int):
 def lsh_buckets(
     emb: DataFrame,
     n_planes: int = 8,
-    dim: int = 64,
+    dim: int | None = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, bucket): bucket = sign-bit string over n_planes hyperplanes."""
+    """(id, bucket): bucket = sign-bit string over n_planes hyperplanes.
+
+    ``dim`` must equal the vector width (the hyperplane weights are a
+    static literal array, so it has to be known at plan time); pass
+    ``dim=None`` to probe it from the data. Rows whose vectors do NOT
+    have ``dim`` elements get a NULL bucket — without that gate,
+    zip_with pads with NULLs, the sign aggregate goes NULL, concat_ws
+    silently drops the NULL bits and EVERY row lands in the same ''
+    bucket, degenerating the downstream bucket join to an O(n²) cross
+    product that still "works"."""
+    if dim is None:
+        row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = row["d"] if row is not None else 1  # empty input: any plan
     v = _as_double(F.col(vec_col))
     bits = [_hyperplane_sign(v, p, dim).cast("string") for p in range(n_planes)]
     return emb.select(
         F.col(id_col).alias("id"),
         v.alias("v"),
-        F.concat_ws("", *bits).alias("bucket"),
+        F.when(
+            F.size(F.col(vec_col)) == F.lit(dim), F.concat_ws("", *bits)
+        ).alias("bucket"),
     )
 
 
@@ -176,15 +197,16 @@ def ivf_ann(
     corpus-side cost is unchanged."""
     c = ivf_assign(corpus, centroids, id_col, vec_col).withColumnRenamed(
         "id", "neighbor_id"
-    ).withColumnRenamed("v", "cv")
+    ).withColumnRenamed("v", "cv").withColumn("cn", _norm(F.col("cv")))
     if nprobe <= 1:
         q = ivf_assign(queries, centroids, id_col, vec_col)
     else:
         q = ivf_assign_multi(queries, centroids, nprobe, id_col, vec_col)
     q = q.withColumnRenamed("id", "query_id").withColumnRenamed("v", "qv")
+    q = q.withColumn("qn", _norm(F.col("qv")))
+    # per-row norms materialized pre-join (see cosine_topk)
     cos = F.round(
-        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-        SIM_ROUND,
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), SIM_ROUND
     )
     scored = (
         c.join(q, on="cell")
@@ -215,13 +237,13 @@ def lsh_ann(
     on a short key instead of broadcasting a cross product."""
     c = lsh_buckets(corpus, n_planes, dim, id_col, vec_col).withColumnRenamed(
         "id", "neighbor_id"
-    ).withColumnRenamed("v", "cv")
+    ).withColumnRenamed("v", "cv").withColumn("cn", _norm(F.col("cv")))
     q = lsh_buckets(queries, n_planes, dim, id_col, vec_col).withColumnRenamed(
         "id", "query_id"
-    ).withColumnRenamed("v", "qv")
+    ).withColumnRenamed("v", "qv").withColumn("qn", _norm(F.col("qv")))
+    # per-row norms materialized pre-join (see cosine_topk)
     cos = F.round(
-        _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv"))),
-        SIM_ROUND,
+        _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), SIM_ROUND
     )
     scored = (
         c.join(q, on="bucket")

@@ -28,3 +28,20 @@ def test_user_patterns_regex_parser(spark):
     out, r = p.parse_string("a=1\nbad line\nb=2")
     assert out == ['{"k":"a","v":"1"}', '{"k":"b","v":"2"}']
     assert r.counters() == (3, 2, 1, 0, 0)
+
+
+def test_builtin_handler_passed_as_callable_keeps_tsv_header(spark):
+    """Option(line_handler=handlers.tsv_line_handler) — the callable
+    spelling of the built-in — must behave exactly like
+    Option(line_handler="tsv"), including the first-matched-per-source
+    TSV header row (the engine used to detect TSV by NAME only)."""
+    from access_log_parser_spark import handlers
+
+    by_name, _ = new_s3_parser(spark, Option(line_handler="tsv")).parse_string(
+        g.ALL_MATCH_INPUT
+    )
+    by_fn, _ = new_s3_parser(
+        spark, Option(line_handler=handlers.tsv_line_handler)
+    ).parse_string(g.ALL_MATCH_INPUT)
+    assert by_fn == by_name
+    assert by_fn[0].startswith("bucket_owner\t")  # header present

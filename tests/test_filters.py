@@ -82,3 +82,20 @@ def test_non_numeric_filter_literal_errors():
 def test_invalid_regex_errors():
     with pytest.raises(FilterError):
         compile_filters(["name =~ ("])
+
+
+def test_catalyst_numeric_filter_excludes_non_numeric_under_ansi(spark):
+    """Spark 4 ANSI mode (on by default) makes a plain cast('double')
+    ABORT on non-numeric input; the fast path's documented semantics are
+    exclude-not-abort, so filters_to_column must try_cast. Apache's '-'
+    for zero-byte responses is the canonical non-numeric value."""
+    from pyspark.sql import functions as F
+
+    from access_log_parser_spark.filters import filters_to_column
+
+    df = spark.createDataFrame(
+        [("a", "100"), ("b", "-"), ("c", "300")], "name string, size string"
+    )
+    pred = filters_to_column(["size > 150"], df.columns)
+    out = df.filter(F.coalesce(pred, F.lit(False))).collect()
+    assert [r["name"] for r in out] == ["c"]  # '-' excluded, job alive

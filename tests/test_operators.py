@@ -370,3 +370,34 @@ def test_lsh_sensitivity_s_curve(spark):
     }
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_dedup_null_text_rows_are_excluded_consistently(spark):
+    """NULL text = missing data, not content: every dedup entry point
+    drops such rows instead of (a) crashing in the pandas path while the
+    jvm/hof twins return (engine-equivalence break), or (b) collapsing
+    all NULL-text docs into one spurious duplicate cluster via
+    md5(NULL)/all-NULL signatures."""
+    from pyspark.sql import functions as F
+
+    from access_log_parser_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, None), (3, None),
+         (4, "alpha beta gamma delta")],
+        "doc_id long, text string",
+    )
+    py = {r["doc_id"]: r["sig"] for r in D.minhash_signatures(df).collect()}
+    jvm = {r["doc_id"]: r["sig"] for r in D.minhash_signatures_jvm(df).collect()}
+    hof = {r["doc_id"]: r["sig"] for r in D.minhash_signatures_hof(df).collect()}
+    assert set(py) == set(jvm) == set(hof) == {1, 4}
+    assert py == jvm == hof
+
+    ex = D.exact_duplicates(df).collect()
+    assert len(ex) == 1 and sorted(ex[0]["dup_ids"]) == [1, 4]  # not [2,3]
+
+    sh = {r["doc_id"] for r in D.simhash(df).collect()}
+    assert sh == {1, 4}
+
+    pairs = D.lsh_candidate_pairs(D.minhash_signatures_hof(df)).collect()
+    assert {(p["id_a"], p["id_b"]) for p in pairs} == {(1, 4)}
