@@ -55,6 +55,53 @@ def salted_repartition(
     return df.repartition(salted)
 
 
+def binned_range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bin_size: int = 1 << 16,
+    broadcast: bool = True,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each fact to the range row(s) with ``lo <= value < hi`` —
+    IP->geo blocks, size->tier tables, time->maintenance windows.
+
+    Spark plans a bare non-equi join as BroadcastNestedLoopJoin
+    (O(|facts| x |ranges|) compares, banned by the plan-discipline
+    sweep). The standard scale rewrite: explode every range into the
+    fixed-width bins it covers (``sequence(floor(lo/b), floor((hi-1)/b))``,
+    one row per bin), derive the fact's bin with the same floor, and
+    hash-join on the bin with the exact ``lo <= v < hi`` residual as an
+    extra join predicate. Each fact is compared only against ranges
+    touching its bin.
+
+    Pick ``bin_size`` near the typical range width: expansion factor is
+    ~width/bin_size + 1 rows per range. ``broadcast=True`` (default) for
+    dimension-sized range tables — zero shuffle on the fact side; set
+    False for huge range sets (millions of CIDR blocks x many bins) and
+    the equi-join shuffles both sides by bin, which stays uniform because
+    bins are fixed-width. Overlapping ranges yield one output row per
+    covering range, as a SQL range join would.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left': {how!r}")
+    b = F.lit(int(bin_size)).cast("bigint")
+    lo, hi = F.col(lo_col).cast("bigint"), F.col(hi_col).cast("bigint")
+    binned = ranges.withColumn(
+        "_bin", F.explode(F.sequence(F.floor(lo / b), F.floor((hi - F.lit(1)) / b)))
+    )
+    right = F.broadcast(binned) if broadcast else binned
+    v = facts[value_col].cast("bigint")
+    cond = (
+        (binned["_bin"] == F.floor(v / b))
+        & (v >= binned[lo_col].cast("bigint"))
+        & (v < binned[hi_col].cast("bigint"))
+    )
+    return facts.join(right, on=cond, how=how).drop("_bin")
+
+
 def two_phase_count(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:
     """Skew-proof groupBy(key).count(): partial agg on (key, salt), final on
     key — the classic salting rewrite; both stages are hash aggs with

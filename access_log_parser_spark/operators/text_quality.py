@@ -225,6 +225,45 @@ def doc_frequency_idf(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", broadcast_vocab: bool = True
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheapest LM-style fluency signal a curation
+    pipeline runs (a doc of globally-rare tokens scores low; gibberish
+    and boilerplate separate cleanly from median prose):
+
+        p(tok) = corpus_count(tok) / corpus_total
+        mean_logprob(doc) = round(avg over doc tokens of ln(p(tok)), 4)
+
+    Returns (doc_id, n_tokens, mean_logprob). Self-contained: the model
+    IS the corpus frequency table, so the oracle reproduces it exactly —
+    no external model file.
+
+    Plan shape at scale: explode -> token-keyed count (ONE shuffle with
+    map-side partial agg) builds the vocab; token scores reach the doc
+    rows via a broadcast hash join on the vocab (web-corpus vocabs are
+    dimension-sized after the count; set ``broadcast_vocab=False`` for
+    an open-ended token space and it becomes a uniform token-keyed
+    shuffle join); final per-doc re-agg is the second fact-side shuffle.
+    4-dp rounding absorbs summation-order float drift across engines.
+    """
+    toks = df.select(
+        F.col("doc_id"),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    vocab = counts.join(F.broadcast(total)).select(
+        "token", F.log(F.col("c") / F.col("t")).alias("_logp")
+    )
+    scored = toks.join(F.broadcast(vocab) if broadcast_vocab else vocab, "token")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("_logp"), 4).alias("mean_logprob"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text —
     the exact-dedup key, stable across engines."""

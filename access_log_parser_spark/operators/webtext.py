@@ -221,6 +221,63 @@ def paragraph_dedup(
     )
 
 
+def boilerplate_line_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    min_docs: int = 3,
+    sep: str = "\n",
+) -> DataFrame:
+    """Drop per-host boilerplate lines (CCNet/RefinedWeb-style): a line
+    whose exact text appears in ``min_docs`` or more DISTINCT documents
+    of the same group (host/source) is navigation/footer chrome, not
+    content — remove it from every document of that group, keep the
+    remaining lines in order.
+
+    Scale shape: explode to (group, line-digest, doc, pos); ONE exchange
+    on (group, digest) serves both windows — a ``lag(doc_id)``
+    first-in-doc flag (rows of a doc are adjacent under the
+    (doc_id, pos) sort) and the partition-wide sum of those flags, which
+    IS the distinct-doc count without a groupBy+join-back; then the same
+    marked-regroup as :func:`paragraph_dedup` (no join, every doc comes
+    back, all-boilerplate docs with empty text). Two shuffles total, the
+    minimum for a corpus-wide signal + per-doc reassembly.
+    """
+    digest = F.md5(F.col("line"))
+    w_run = Window.partitionBy(F.col("group"), digest).orderBy("doc_id", "pos")
+    w_all = Window.partitionBy(F.col("group"), digest)
+    first_in_doc = (
+        F.lag("doc_id").over(w_run).isNull()
+        | (F.lag("doc_id").over(w_run) != F.col("doc_id"))
+    ).cast("int")
+    marked = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(group_col).alias("group"),
+            F.posexplode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), F.lit(sep))
+            ).alias("pos", "line"),
+        )
+        .withColumn("_first", first_in_doc)
+        .withColumn("_n_docs", F.sum("_first").over(w_all))
+        .withColumn("_keep", F.col("_n_docs") < min_docs)
+    )
+    return marked.groupBy("doc_id").agg(
+        F.first("group").alias(group_col),
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "line", "_keep"))),
+                    lambda s: s["_keep"],
+                ),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("text"),
+    )
+
+
 def host_of(url_col) -> F.Column:
     """scheme://host[/...] -> host (cross-engine regexp_extract)."""
     return F.regexp_extract(url_col, r"^[a-z]+://([^/]+)", 1)

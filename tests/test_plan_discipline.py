@@ -25,6 +25,7 @@ SKIP = {
 BNLJ_ALLOWED = {
     "ann_cosine_topk",  # corpus x broadcast(query-set) product, then top-k
     "idf_tokens",       # 1-row broadcast side (corpus size scalar)
+    "unigram_logprob",  # 1-row broadcast side (corpus token total scalar)
 }
 
 

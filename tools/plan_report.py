@@ -79,6 +79,20 @@ SELECTED = [
      "centroid assignment is an unrolled argmax expression (no join); "
      "query fan-out is query-side only (nprobe=2 duplicates the 10-row "
      "query set, not the corpus); one Exchange on the cell key"),
+    ("asof_enrich_version", False,
+     "as-of join via union + running window: NO join operator in the "
+     "plan at all — one Exchange on the key for the window sort, one "
+     "for the final aggregate; a range-join formulation would plan "
+     "BroadcastNestedLoopJoin"),
+    ("range_join_ip_blocks", False,
+     "range predicate compiles to BroadcastHashJoin on the covering bin "
+     "with the exact lo<=v<hi residual as join condition — the fact "
+     "side never shuffles for the join; count(distinct) rewrites to "
+     "two-phase expand+agg"),
+    ("boilerplate_removal", False,
+     "the distinct-doc count is a lag-flag + window sum on ONE "
+     "(group, digest) Exchange — no groupBy+join-back; the only other "
+     "corpus shuffle is the per-doc regroup"),
 ]
 
 
