@@ -1828,6 +1828,79 @@ def _q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(_docs_par(spark, sf_dir))
 
 
+def _q_repeated_ngram_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated-substring removal (webtext.repeated_ngram_
+    span_removal, Lee-et-al-style at token-8-gram granularity): tokens
+    covered by an 8-gram occurring in >= 2 distinct docs are removed
+    from every doc; the distinct-doc count per gram rides a lag-flag
+    window sum on ONE digest exchange (no groupBy+join-back) and the
+    n-fold position explode happens only AFTER the >= min_docs filter."""
+    from access_log_parser_spark.operators.webtext import repeated_ngram_span_removal
+
+    return repeated_ngram_span_removal(_docs_par(spark, sf_dir), n=8, min_docs=2)
+
+
+def _q_card_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-validated payment-card PII signal (webtext.card_signals):
+    cards planted deterministically (a valid test PAN on doc_id%7==0,
+    an invalid checksum on %7==1) so both the regex candidate path and
+    the Luhn false-positive gate are exercised; the checksum is a pure
+    aggregate expression over the digit positions — no UDF."""
+    from access_log_parser_spark.operators.webtext import card_signals
+
+    planted = _docs_par(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" pay 4111 1111 1111 1111 now"))
+            .when(F.col("doc_id") % 7 == 1, F.lit(" ref 4111-1111-1111-1112 end"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return card_signals(planted)
+
+
+def _q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened mixture resample (sampling.temperature_
+    mixture_sample, alpha=0.5): per-source keep rates from the corpus's
+    own stratum counts (ppm-quantized so the oracle is bit-exact),
+    membership content-addressed on md5(doc_id) — stable under
+    repartitioning; the rate table broadcasts, the fact side never
+    shuffles for the join. Returns per-source in/kept counts + rate."""
+    from access_log_parser_spark.operators.sampling import (
+        temperature_mixture_rates,
+        temperature_mixture_sample,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = (
+        temperature_mixture_sample(docs, alpha=0.5, target_frac=0.5)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    )
+    rates = temperature_mixture_rates(docs, alpha=0.5, target_frac=0.5).select(
+        F.col("stratum").alias("source"), "n_in", "rate_ppm"
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_in",
+        "rate_ppm",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
+
+
+def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (packing.chunk_documents): 64-token
+    windows at stride 48, last window right-aligned — pure per-row HOF
+    expansion (sequence -> transform -> posexplode), zero shuffles;
+    integer-exact starts so the oracle reproduces them."""
+    from access_log_parser_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _docs_par(spark, sf_dir), chunk_tokens=64, stride=48
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse+route the CLF corpus derived from sf0.001 events,
     enrich per-sink counts — the north_rule pipeline in one DataFrame."""
@@ -1843,6 +1916,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "repeated_ngram_removal",
+    "card_signals",
+    "temperature_mixture",
+    "chunk_documents",
     "asof_enrich_version",
     "range_join_ip_blocks",
     "boilerplate_removal",
@@ -1974,6 +2051,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_ip_blocks": _q_range_join_ip_blocks,
         "boilerplate_removal": _q_boilerplate_removal,
         "unigram_logprob": _q_unigram_logprob,
+        "repeated_ngram_removal": _q_repeated_ngram_removal,
+        "card_signals": _q_card_signals,
+        "temperature_mixture": _q_temperature_mixture,
+        "chunk_documents": _q_chunk_documents,
     }
     ordered = {k: base[k] for k in _GATE_FIRST}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3328,6 +3409,114 @@ SELECT toks.doc_id,
          AS mean_logprob
 FROM toks JOIN counts USING (token), tot
 GROUP BY 1
+"""
+
+
+_ORACLE["repeated_ngram_removal"] = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS toks
+  FROM documents
+), toks AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+  FROM docs, UNNEST(generate_series(1, len(toks))) t(i)
+), grams AS (
+  SELECT doc_id, i - 1 AS gpos, array_to_string(toks[i:i+7], chr(31)) AS gram
+  FROM docs, UNNEST(generate_series(1, len(toks) - 7)) g(i)
+  WHERE len(toks) >= 8
+), dup AS (
+  SELECT gram FROM grams GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+  SELECT DISTINCT g.doc_id, g.gpos + o.k AS pos
+  FROM grams g JOIN dup USING (gram), UNNEST(generate_series(0, 7)) o(k)
+), agg AS (
+  SELECT t.doc_id,
+         COUNT(*) FILTER (WHERE c.pos IS NOT NULL) AS n_removed,
+         COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                  FILTER (WHERE c.pos IS NULL), '') AS text
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  GROUP BY 1
+)
+SELECT d.doc_id, CAST(len(d.toks) AS BIGINT) AS n_tokens,
+       CAST(a.n_removed AS BIGINT) AS n_removed, a.text
+FROM docs d JOIN agg a USING (doc_id)
+"""
+
+_ORACLE["card_signals"] = r"""
+WITH planted AS (
+  SELECT doc_id,
+         COALESCE(text, '') ||
+         CASE WHEN doc_id % 7 = 0 THEN ' pay 4111 1111 1111 1111 now'
+              WHEN doc_id % 7 = 1 THEN ' ref 4111-1111-1111-1112 end'
+              ELSE '' END AS text
+  FROM documents
+), cands AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\b(?:[0-9][ -]?){12,18}[0-9]\b') AS cs
+  FROM planted
+), flat AS (
+  SELECT doc_id, regexp_replace(c, '[^0-9]', '', 'g') AS d
+  FROM cands, UNNEST(cs) u(c)
+), judged AS (
+  SELECT doc_id,
+         CASE WHEN length(d) >= 13 AND list_sum(list_transform(
+                generate_series(1, length(d)),
+                i -> CASE WHEN i % 2 = 0 THEN
+                       CASE WHEN (ascii(substr(d, length(d) - i + 1, 1)) - 48) * 2 > 9
+                            THEN (ascii(substr(d, length(d) - i + 1, 1)) - 48) * 2 - 9
+                            ELSE (ascii(substr(d, length(d) - i + 1, 1)) - 48) * 2 END
+                     ELSE ascii(substr(d, length(d) - i + 1, 1)) - 48 END
+              )) % 10 = 0 THEN 1 ELSE 0 END AS ok
+  FROM flat
+)
+SELECT c.doc_id,
+       CAST(len(c.cs) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(SUM(j.ok), 0) AS BIGINT) AS n_luhn_valid
+FROM cands c LEFT JOIN judged j USING (doc_id)
+GROUP BY c.doc_id, len(c.cs)
+"""
+
+_ORACLE["temperature_mixture"] = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n_in FROM documents GROUP BY 1
+), tot AS (
+  SELECT SUM(n_in) AS n_total, SUM(POW(n_in, 0.5)) AS z FROM counts
+), rates AS (
+  SELECT source, n_in,
+         CAST(FLOOR(LEAST(1.0,
+              0.5 * tot.n_total * (POW(n_in, 0.5) / tot.z) / n_in
+            ) * 1000000 + 0.5) AS BIGINT) AS rate_ppm
+  FROM counts, tot
+), kept AS (
+  SELECT d.source, COUNT(*) AS n_kept
+  FROM documents d JOIN rates r USING (source)
+  WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS STRING)), 1, 8) AS BIGINT)
+        % 1000000 < r.rate_ppm
+  GROUP BY 1
+)
+SELECT r.source, CAST(r.n_in AS BIGINT) AS n_in, r.rate_ppm,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+_ORACLE["chunk_documents"] = r"""
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS toks
+  FROM documents
+), sized AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) <= 64 THEN 1
+              ELSE CAST(FLOOR((len(toks) - 64 + 47) / 48.0) AS INT) + 1 END AS k
+  FROM docs
+), chunks AS (
+  SELECT doc_id, i AS chunk_id,
+         LEAST(i * 48, GREATEST(n - 64, 0)) AS start_pos, toks, n
+  FROM sized, UNNEST(generate_series(0, k - 1)) c(i)
+)
+SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+       CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(LEAST(64, n - start_pos) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(toks[start_pos + 1:start_pos + 64], ' ') AS chunk_text
+FROM chunks
 """
 
 

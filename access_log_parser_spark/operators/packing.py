@@ -88,3 +88,57 @@ def pack_greedy(
     return df.select(shard_col, order_col, token_col).groupBy(shard_col).applyInPandas(
         run, schema
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 128,
+    stride: int = 96,
+) -> DataFrame:
+    """Split documents into fixed-size context windows (the step before
+    sequence packing when docs exceed the model's context length):
+    full-length windows of ``chunk_tokens`` whitespace tokens starting at
+    multiples of ``stride``, with the LAST window right-aligned to the
+    document end (``start = min(i*stride, n - chunk_tokens)``) so every
+    token is covered, overlaps are exactly ``chunk_tokens - stride``, and
+    no degenerate tail chunk is emitted. Docs with <= chunk_tokens tokens
+    yield one chunk. Deterministic closed form:
+
+        k = 1                                    if n <= chunk
+            ceil((n - chunk) / stride) + 1       otherwise
+
+    Returns (doc_id, chunk_id, start_pos, n_chunk_tokens, chunk_text).
+
+    Scale shape: pure per-row HOF expansion (sequence -> transform ->
+    posexplode) — no shuffle at all; output size is bounded by
+    ~n/stride chunks per doc. Integer math throughout (floor-div ceil),
+    so the oracle reproduces starts exactly.
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError(
+            f"need 0 < stride <= chunk_tokens: stride={stride}, chunk={chunk_tokens}"
+        )
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.size(toks)
+    c, s = F.lit(chunk_tokens), F.lit(stride)
+    k = F.when(n <= c, F.lit(1)).otherwise(
+        F.floor((n - c + s - F.lit(1)) / s).cast("int") + 1
+    )
+    starts = F.transform(
+        F.sequence(F.lit(0), k - 1), lambda i: F.least(i * s, F.greatest(n - c, F.lit(0)))
+    )
+    chunks = F.transform(starts, lambda st: F.struct(
+        st.cast("long").alias("start_pos"),
+        F.slice(toks, st + 1, chunk_tokens).alias("_ctoks"),
+    ))
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_id", "_c")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.col("_c.start_pos").alias("start_pos"),
+        F.size("_c._ctoks").cast("long").alias("n_chunk_tokens"),
+        F.array_join("_c._ctoks", " ").alias("chunk_text"),
+    )

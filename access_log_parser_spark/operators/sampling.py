@@ -74,3 +74,71 @@ def split_train_holdout(
         df.filter(b != holdout_keep),
         df.filter(b == holdout_keep),
     )
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    stratum_col: str = "source",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum keep rates for temperature-flattened mixture sampling
+    (the multilingual-LM recipe: sample stratum s proportional to
+    ``c_s**alpha`` so small domains are up-weighted relative to their
+    raw frequency; alpha=1 is proportional, alpha=0 is uniform):
+
+        w_s    = c_s**alpha / sum_s c_s**alpha
+        rate_s = min(1, target_frac * N_total * w_s / c_s)
+
+    Returns one row per stratum: (stratum, n_in, rate_ppm) with the rate
+    quantized to parts-per-million (round-half-up via floor(x+0.5), so
+    the oracle reproduces it bit-for-bit without float-tie drift).
+    Stratum counts are ONE shuffle with map-side partial agg; the totals
+    fold is driver-free (a 1-row broadcast, same pattern as idf)."""
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    tot = counts.agg(
+        F.sum("n_in").alias("_n_total"),
+        F.sum(F.pow("n_in", F.lit(float(alpha)))).alias("_z"),
+    )
+    w = F.pow("n_in", F.lit(float(alpha))) / F.col("_z")
+    rate = F.least(
+        F.lit(1.0), F.lit(float(target_frac)) * F.col("_n_total") * w / F.col("n_in")
+    )
+    return counts.join(F.broadcast(tot)).select(
+        "stratum",
+        F.col("n_in").cast("long").alias("n_in"),
+        F.floor(rate * ppm + F.lit(0.5)).cast("long").alias("rate_ppm"),
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_frac: float = 0.5,
+    ppm: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic temperature-mixture resample: keep a row iff its
+    content-addressed bucket (md5 of the key, uniform on [0, ppm)) falls
+    below its stratum's ``rate_ppm`` from
+    :func:`temperature_mixture_rates`. Membership is a pure function of
+    (key, stratum counts) — stable under repartitioning and engine, the
+    same leakage guarantee as :func:`split_train_holdout`.
+
+    Plan at scale: the rate table is |strata| rows — broadcast hash join
+    onto the fact side (zero fact shuffle), then a codegen filter; the
+    only corpus shuffle is the count agg inside the rate builder."""
+    rates = temperature_mixture_rates(df, stratum_col, alpha, target_frac, ppm)
+    bucket = hash_bucket(F.col(key_col), ppm)
+    return (
+        df.join(
+            F.broadcast(rates),
+            df[stratum_col] == rates["stratum"],
+        )
+        .filter(bucket < F.col("rate_ppm"))
+        .drop("stratum", "n_in", "rate_ppm")
+    )

@@ -579,3 +579,133 @@ def html_to_text(df: DataFrame, html_col: str = "html", id_col: str = "doc_id") 
         t = F.replace(t, F.lit(ent), F.lit(ch))
     t = F.trim(F.regexp_replace(t, r"\s+", " "))
     return df.select(F.col(id_col), t.alias("text"))
+
+
+# --- Corpus-wide repeated-substring (n-gram span) removal -------------------
+
+GRAM_SEP = "\x1f"  # unit separator: cannot occur inside a whitespace token
+
+
+def repeated_ngram_span_removal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove token spans that repeat across the corpus (the substring-
+    level dedup of "Deduplicating Training Data Makes Language Models
+    Better", Lee et al. 2022, at token-n-gram granularity): any token
+    covered by an n-gram occurring in >= ``min_docs`` DISTINCT documents
+    is boilerplate/duplicated text — drop it from every document, keep
+    the remaining tokens in order. Unlike document-level MinHash dedup
+    (dedup.py) this removes the duplicated *span* while keeping each
+    document's unique remainder.
+
+    Returns (doc_id, n_tokens, n_removed, text).
+
+    Scale shape: grams are built per row with HOFs (sequence + slice —
+    no self-join against shifted copies); the corpus-wide distinct-doc
+    count per gram is a lag-flag + window sum on ONE (digest) exchange
+    (same trick as :func:`boilerplate_line_removal` — no groupBy +
+    join-back); covered token positions regroup per doc (second
+    exchange) and rebuild joins doc-keyed (third). Duplicated-gram
+    occurrences explode n-fold only AFTER the >= min_docs filter, so the
+    blow-up is bounded by the duplicated fraction, not the corpus. The
+    per-token rebuild membership test is array_contains over the doc's
+    covered set — O(k) per token; for pathological docs where k is huge,
+    pre-sorting the set and binary search (array_position on a sorted
+    array) is the deploy-time refinement.
+    """
+    from .text_quality import tokens
+
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("_toks"))
+    grams = base.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("_toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_toks") - n),
+                    lambda i: F.md5(F.concat_ws(GRAM_SEP, F.slice("_toks", i + 1, n))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("gpos", "digest"),
+    )
+    w_run = Window.partitionBy("digest").orderBy("doc_id", "gpos")
+    w_all = Window.partitionBy("digest")
+    first_in_doc = (
+        F.lag("doc_id").over(w_run).isNull()
+        | (F.lag("doc_id").over(w_run) != F.col("doc_id"))
+    ).cast("int")
+    covered = (
+        grams.withColumn("_n_docs", F.sum(first_in_doc).over(w_all))
+        .filter(F.col("_n_docs") >= min_docs)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))).alias("pos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("_cov"))
+    )
+    joined = base.join(covered, "doc_id", "left").withColumn(
+        "_cov", F.coalesce(F.col("_cov"), F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("_toks"), lambda t, i: ~F.array_contains(F.col("_cov"), i.cast("int"))
+    )
+    return joined.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size("_cov").cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text"),
+    )
+
+
+# --- Luhn-validated payment-card detection ----------------------------------
+
+CARD_RE = r"\b(?:[0-9][ -]?){12,18}[0-9]\b"
+
+
+def luhn_valid_col(digits) -> F.Column:
+    """True iff the all-digit string passes the Luhn checksum — pure
+    aggregate expression (whole-stage codegen, no UDF): walk positions
+    from the right, double every second digit, subtract 9 when > 9,
+    total % 10 == 0."""
+    d = F.lit(digits) if isinstance(digits, str) else digits
+    ln = F.length(d)
+    digit_at = lambda i: F.ascii(F.substring(d, (ln - i + 1).cast("int"), 1)) - 48
+    term = lambda i: F.when(
+        i % 2 == 0,
+        F.when(digit_at(i) * 2 > 9, digit_at(i) * 2 - 9).otherwise(digit_at(i) * 2),
+    ).otherwise(digit_at(i))
+    checksum = F.aggregate(
+        F.sequence(F.lit(1), ln), F.lit(0), lambda acc, i: acc + term(i)
+    )
+    return (ln >= 13) & ((checksum % 10) == 0)
+
+
+def card_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document payment-card PII signal: count card-shaped digit runs
+    (13-19 digits, optional space/dash separators) and how many pass the
+    Luhn checksum — the standard false-positive gate that separates real
+    PANs from order numbers and phone strings. Pure projection: regex
+    candidate extraction + HOF Luhn filter, no shuffle, composes into
+    the curation gate battery like the other ``*_col`` signals.
+
+    Returns (doc_id, n_candidates, n_luhn_valid).
+    """
+    cands = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(CARD_RE), 0
+    )
+    valid = F.filter(
+        cands, lambda s: luhn_valid_col(F.regexp_replace(s, r"[^0-9]", ""))
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+    )

@@ -26,6 +26,7 @@ BNLJ_ALLOWED = {
     "ann_cosine_topk",  # corpus x broadcast(query-set) product, then top-k
     "idf_tokens",       # 1-row broadcast side (corpus size scalar)
     "unigram_logprob",  # 1-row broadcast side (corpus token total scalar)
+    "temperature_mixture",  # 1-row broadcast side (stratum-count totals) x |strata|
 }
 
 

@@ -93,6 +93,14 @@ SELECTED = [
      "the distinct-doc count is a lag-flag + window sum on ONE "
      "(group, digest) Exchange — no groupBy+join-back; the only other "
      "corpus shuffle is the per-doc regroup"),
+    ("repeated_ngram_removal", False,
+     "grams built per row with HOFs (no shifted-copy self-join); "
+     "distinct-doc count per gram is a lag-flag window sum on ONE "
+     "digest Exchange; the n-fold covered-position explode happens "
+     "only AFTER the >= min_docs filter; rebuild is a doc-keyed join"),
+    ("chunk_documents", False,
+     "pure per-row HOF expansion (sequence -> transform -> posexplode): "
+     "ZERO corpus shuffles beyond the ingest repartition"),
 ]
 
 
