@@ -1901,6 +1901,27 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout key (functions/zorder.py): Morton-interleave of
+    (hour-of-day, user_id%64) buckets for every event, aggregated by
+    curve segment. BOTH engines evaluate the SAME generated shift/mask
+    SQL term (zorder_sql_term), so the oracle checks the interleave
+    bit-for-bit; write_zordered range-partitions on this key so parquet
+    footer min/max prunes on either dimension (proof in
+    tests/test_zorder.py::test_zorder_write_prunes_secondary_dimension)."""
+    from access_log_parser_spark.functions.zorder import zorder_sql_term
+
+    b = _load(spark, sf_dir, "events").select(
+        F.hour("ts").alias("bx"), (F.col("user_id") % 64).alias("by")
+    )
+    z = b.select(F.expr(zorder_sql_term(["bx", "by"], bits=6)).alias("zkey"))
+    return z.groupBy(F.shiftright("zkey", 6).cast("bigint").alias("z_prefix")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("zkey").cast("bigint").alias("zmin"),
+        F.max("zkey").cast("bigint").alias("zmax"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse+route the CLF corpus derived from sf0.001 events,
     enrich per-sink counts — the north_rule pipeline in one DataFrame."""
@@ -1916,6 +1937,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "zorder_key",
     "repeated_ngram_removal",
     "card_signals",
     "temperature_mixture",
@@ -2055,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "card_signals": _q_card_signals,
         "temperature_mixture": _q_temperature_mixture,
         "chunk_documents": _q_chunk_documents,
+        "zorder_key": _q_zorder_key,
     }
     ordered = {k: base[k] for k in _GATE_FIRST}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3497,6 +3520,26 @@ SELECT r.source, CAST(r.n_in AS BIGINT) AS n_in, r.rate_ppm,
        CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
 FROM rates r LEFT JOIN kept k USING (source)
 """
+
+def _zorder_oracle() -> str:
+    from access_log_parser_spark.functions.zorder import zorder_sql_term
+
+    term = zorder_sql_term(["bx", "by"], bits=6)
+    return f"""
+WITH b AS (
+  SELECT hour(ts) AS bx, user_id % 64 AS by FROM events
+), z AS (
+  SELECT {term} AS zkey FROM b
+)
+SELECT CAST(zkey >> 6 AS BIGINT) AS z_prefix,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(zkey) AS BIGINT) AS zmin,
+       CAST(MAX(zkey) AS BIGINT) AS zmax
+FROM z GROUP BY 1
+"""
+
+
+_ORACLE["zorder_key"] = _zorder_oracle()
 
 _ORACLE["chunk_documents"] = r"""
 WITH docs AS (
