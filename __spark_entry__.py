@@ -1901,6 +1901,45 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE streaming incremental near-dup dedup, hash-oracle-backed:
+    300 docs replay as 4 deterministic doc_id-ordered micro-batches
+    through streaming/neardup.py — MinHash HOF signatures -> LSH band
+    keys -> drop iff a band has an earlier owner (in-batch window) or
+    is in the growing cross-batch index. Because batches arrive in
+    doc_id order the greedy stream equals the closed-form global rule
+    ``min over bands of (min owner) == doc_id``, which the oracle
+    evaluates in SQL from the SAME signature formula (proof sketch in
+    the module docstring; replay idempotence in tests)."""
+    import os
+    import tempfile
+
+    from access_log_parser_spark.streaming.neardup import (
+        run_streaming_minhash_dedup,
+        write_ordered_batches,
+    )
+
+    docs = (
+        _load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 300) & F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
+    tmp = tempfile.mkdtemp(prefix="alp_stream_mh_")
+    in_dir = os.path.join(tmp, "in")
+    write_ordered_batches(docs, in_dir, n_batches=4)
+    run_streaming_minhash_dedup(
+        spark,
+        in_dir,
+        docs.schema,
+        os.path.join(tmp, "out"),
+        os.path.join(tmp, "idx"),
+        os.path.join(tmp, "ck"),
+    )
+    return spark.read.parquet(os.path.join(tmp, "out")).select(
+        F.col("doc_id").cast("bigint").alias("doc_id")
+    )
+
+
 def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order layout key (functions/zorder.py): Morton-interleave of
     (hour-of-day, user_id%64) buckets for every event, aggregated by
@@ -1937,6 +1976,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "stream_minhash_dedup",
     "zorder_key",
     "repeated_ngram_removal",
     "card_signals",
@@ -2078,6 +2118,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mixture": _q_temperature_mixture,
         "chunk_documents": _q_chunk_documents,
         "zorder_key": _q_zorder_key,
+        "stream_minhash_dedup": _q_stream_minhash_dedup,
     }
     ordered = {k: base[k] for k in _GATE_FIRST}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3520,6 +3561,28 @@ SELECT r.source, CAST(r.n_in AS BIGINT) AS n_in, r.rate_ppm,
        CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
 FROM rates r LEFT JOIN kept k USING (source)
 """
+
+_ORACLE["stream_minhash_dedup"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+), toks AS (
+  SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM base
+), grams AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+), sig AS (
+  SELECT doc_id, {_MH_ALL} FROM grams GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), owner AS (
+  SELECT band_idx, band_key, MIN(doc_id) AS fo FROM bands GROUP BY 1, 2
+), verdict AS (
+  SELECT b.doc_id, MIN(o.fo) AS fo
+  FROM bands b JOIN owner o USING (band_idx, band_key) GROUP BY 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM verdict WHERE fo = doc_id
+"""
+
 
 def _zorder_oracle() -> str:
     from access_log_parser_spark.functions.zorder import zorder_sql_term

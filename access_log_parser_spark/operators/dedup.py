@@ -260,23 +260,15 @@ def minhash_signatures_hof(
     )
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame,
-    n_bands: int = LSH_BANDS,
-    rows_per_band: int = LSH_ROWS,
-    distinct: bool = True,
+def band_keys(
+    sigs: DataFrame, n_bands: int = LSH_BANDS, rows_per_band: int = LSH_ROWS
 ) -> DataFrame:
-    """Band the signatures and self-join on (band_idx, band_key): docs
-    agreeing on ALL rows of any band become candidates. Band key is the
-    md5 of the joined band values (cross-engine reproducible). Tune
-    (n_bands, rows_per_band) for the similarity s-curve: more bands =
-    higher recall at lower similarity, more candidates to verify.
-
-    ``distinct=False`` skips the final dedup SHUFFLE and may emit a pair
-    once per agreeing band — pass it when the consumer dedups anyway
-    (connected_components' union-find is idempotent over repeated
-    edges)."""
-    bands = sigs.select(
+    """(doc_id, band_idx, band_key) for every signature band: band key is
+    the md5 of the comma-joined band values (cross-engine reproducible —
+    the driver oracle rebuilds it in SQL). Pure projection + posexplode,
+    no shuffle; both the batch LSH self-join and the streaming
+    incremental dedup consume this one definition."""
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -297,6 +289,25 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    n_bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
+    distinct: bool = True,
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_key): docs
+    agreeing on ALL rows of any band become candidates. Band key is the
+    md5 of the joined band values (cross-engine reproducible). Tune
+    (n_bands, rows_per_band) for the similarity s-curve: more bands =
+    higher recall at lower similarity, more candidates to verify.
+
+    ``distinct=False`` skips the final dedup SHUFFLE and may emit a pair
+    once per agreeing band — pass it when the consumer dedups anyway
+    (connected_components' union-find is idempotent over repeated
+    edges)."""
+    bands = band_keys(sigs, n_bands, rows_per_band)
     a = bands.alias("a")
     b = bands.alias("b")
     out = (

@@ -18,6 +18,7 @@ SKIP = {
     "stream_parse_counts",
     "stream_windowed_counts",
     "stream_paragraph_dedup",
+    "stream_minhash_dedup",
 }
 
 # Intentional broadcast nested-loop joins: a tiny broadcast side times the
