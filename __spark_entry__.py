@@ -1901,6 +1901,37 @@ def _q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_linear_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier serving path (text_quality.linear_
+    quality_score): hashed token buckets -> integer-arithmetic weight
+    table -> mean logit -> sigmoid, all column expressions; the oracle
+    reproduces scores exactly (integer weights, 4-dp rounding)."""
+    from access_log_parser_spark.operators.text_quality import linear_quality_score
+
+    return linear_quality_score(_docs_par(spark, sf_dir))
+
+
+def _q_script_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode script histogram + dominant script (text_quality.
+    script_signals): Cyrillic/CJK/Arabic snippets planted on a
+    deterministic doc_id schedule so every class and the tie/none paths
+    are exercised; counts are exact char-class subtractions, argmax is
+    first-wins — engine-exact, no floats."""
+    from access_log_parser_spark.operators.text_quality import script_signals
+
+    planted = _docs_par(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(F.col("doc_id") % 5 == 1, F.lit(" привет мир как дела сегодня"))
+            .when(F.col("doc_id") % 5 == 2, F.lit(" 你好世界今天天气很好谢谢再见"))
+            .when(F.col("doc_id") % 5 == 3, F.lit(" مرحبا بالعالم كيف حالك اليوم"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_signals(planted)
+
+
 def _q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming incremental near-dup dedup, hash-oracle-backed:
     300 docs replay as 4 deterministic doc_id-ordered micro-batches
@@ -1976,6 +2007,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "linear_quality",
+    "script_signals",
     "stream_minhash_dedup",
     "zorder_key",
     "repeated_ngram_removal",
@@ -2119,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "zorder_key": _q_zorder_key,
         "stream_minhash_dedup": _q_stream_minhash_dedup,
+        "linear_quality": _q_linear_quality,
+        "script_signals": _q_script_signals,
     }
     ordered = {k: base[k] for k in _GATE_FIRST}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3560,6 +3595,58 @@ WITH counts AS (
 SELECT r.source, CAST(r.n_in AS BIGINT) AS n_in, r.rate_ppm,
        CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
 FROM rates r LEFT JOIN kept k USING (source)
+"""
+
+_ORACLE["linear_quality"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS token
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         ((CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 1024)
+           * 2654435761) % 997 / 997.0 - 0.5 AS wt
+  FROM toks
+), s AS (
+  SELECT doc_id, COUNT(*) AS n, SUM(wt) AS z FROM w GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(1.0 / (1.0 + exp(-(z / n))), 4) AS score
+FROM s
+"""
+
+_ORACLE["script_signals"] = r"""
+WITH planted AS (
+  SELECT doc_id,
+         COALESCE(text, '') ||
+         CASE WHEN doc_id % 5 = 1 THEN ' привет мир как дела сегодня'
+              WHEN doc_id % 5 = 2 THEN ' 你好世界今天天气很好谢谢再见'
+              WHEN doc_id % 5 = 3 THEN ' مرحبا بالعالم كيف حالك اليوم'
+              ELSE '' END AS text
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+    length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS n_cjk,
+    length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic
+  FROM planted
+)
+SELECT doc_id,
+       CAST(n_latin AS BIGINT) AS n_latin,
+       CAST(n_digit AS BIGINT) AS n_digit,
+       CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+       CAST(n_cjk AS BIGINT) AS n_cjk,
+       CAST(n_arabic AS BIGINT) AS n_arabic,
+       CASE GREATEST(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic)
+         WHEN 0 THEN 'none'
+         WHEN n_latin THEN 'latin'
+         WHEN n_digit THEN 'digit'
+         WHEN n_cyrillic THEN 'cyrillic'
+         WHEN n_cjk THEN 'cjk'
+         ELSE 'arabic' END AS main_script
+FROM counts
 """
 
 _ORACLE["stream_minhash_dedup"] = f"""

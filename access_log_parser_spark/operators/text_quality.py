@@ -268,3 +268,99 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text —
     the exact-dedup key, stable across engines."""
     return df.select("doc_id", fingerprint_col(F.col(text_col)).alias("fp"))
+
+
+def linear_quality_score(
+    df: DataFrame, text_col: str = "text", dim: int = 1024, mod: int = 997
+) -> DataFrame:
+    """Serving path for a linear (fastText-style) quality classifier:
+    hash each token into a ``dim``-bucket feature space, sum the bucket
+    weights, average over tokens, squash with a sigmoid. This is how
+    trained quality/toxicity/language classifiers actually run inside a
+    Spark curation pipeline — the model is a weight table keyed by
+    feature hash, applied as pure column expressions (whole-stage
+    codegen, no UDF, no shuffle).
+
+    The weight table here is a deterministic placeholder,
+    ``w(j) = ((j * 2654435761) % mod) / mod - 0.5`` — integer arithmetic
+    on the bucket id, so the oracle reproduces scores bit-for-bit. A
+    deployment swaps in trained weights by replacing ``_w`` with an
+    ``element_at(lit(weights), j+1)`` lookup over a broadcast literal
+    array (same plan shape; the hash/fold/sigmoid scaffolding is what
+    this operator pins down).
+
+    Returns (doc_id, n_tokens, score) with score rounded to 4 dp (the
+    repo's standard float-drift absorber for cross-engine sums).
+    """
+    return df.select(
+        "doc_id",
+        F.size(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+        .cast("long")
+        .alias("n_tokens"),
+        linear_quality_score_col(F.col(text_col), dim, mod).alias("score"),
+    )
+
+
+def linear_quality_score_col(text, dim: int = 1024, mod: int = 997) -> Column:
+    """Column variant of :func:`linear_quality_score` — compose into an
+    existing projection (the curation composites gate on this without a
+    doc_id join-back)."""
+    toks = tokens(F.coalesce(text, F.lit("")))
+
+    def _w(tok):
+        j = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long") % dim
+        return ((j * F.lit(2654435761)) % mod) / F.lit(float(mod)) - F.lit(0.5)
+
+    z = F.aggregate(toks, F.lit(0.0), lambda acc, t: acc + _w(t))
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-(z / F.size(toks)))), 4)
+
+
+# Character classes shared by the Spark expression and the SQL oracle —
+# RE2 (DuckDB) and java.util.regex agree on \x{...} ranges.
+SCRIPT_CLASSES = (
+    ("n_latin", "[A-Za-z]"),
+    ("n_digit", "[0-9]"),
+    ("n_cyrillic", "[\\x{0400}-\\x{04FF}]"),
+    ("n_cjk", "[\\x{4E00}-\\x{9FFF}]"),
+    ("n_arabic", "[\\x{0600}-\\x{06FF}]"),
+)
+
+
+def script_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Unicode script histogram + dominant script — the
+    cheap writing-system gate that runs before any statistical lang-id
+    (a doc claiming lang='en' that is 90% CJK chars is mislabeled).
+    Counts are exact integers (``length(text) - length(strip(class))``),
+    so the dominant-script argmax is engine-exact with a fixed
+    first-wins tie order (declaration order of SCRIPT_CLASSES). Pure
+    projection, no shuffle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = script_count_cols(t)
+    return df.select(
+        "doc_id",
+        *[counts[name].alias(name) for name, _ in SCRIPT_CLASSES],
+        dominant_script_col(t).alias("main_script"),
+    )
+
+
+def script_count_cols(text) -> dict[str, Column]:
+    """Exact per-class character counts (column variants)."""
+    return {
+        name: (F.length(text) - F.length(F.regexp_replace(text, pat, ""))).cast(
+            "long"
+        )
+        for name, pat in SCRIPT_CLASSES
+    }
+
+
+def dominant_script_col(text) -> Column:
+    """First-wins argmax over :data:`SCRIPT_CLASSES` counts ('none' when
+    all zero) — compose into an existing projection."""
+    counts = script_count_cols(text)
+    best = F.lit("none")
+    best_n = F.lit(0).cast("long")
+    for name, _ in SCRIPT_CLASSES:  # first-wins: earlier class keeps ties
+        cond = counts[name] > best_n
+        best = F.when(cond, F.lit(name[2:])).otherwise(best)
+        best_n = F.when(cond, counts[name]).otherwise(best_n)
+    return best

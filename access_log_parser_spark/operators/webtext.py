@@ -701,11 +701,18 @@ def card_signals(
     cands = F.regexp_extract_all(
         F.coalesce(F.col(text_col), F.lit("")), F.lit(CARD_RE), 0
     )
-    valid = F.filter(
-        cands, lambda s: luhn_valid_col(F.regexp_replace(s, r"[^0-9]", ""))
-    )
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.size(cands).cast("long").alias("n_candidates"),
-        F.size(valid).cast("long").alias("n_luhn_valid"),
+        card_luhn_count_col(F.col(text_col)).alias("n_luhn_valid"),
     )
+
+
+def card_luhn_count_col(text) -> F.Column:
+    """Count of Luhn-valid card-shaped digit runs — column variant for
+    projection-composed curation gates (drop docs with real PANs)."""
+    cands = F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(CARD_RE), 0)
+    valid = F.filter(
+        cands, lambda s: luhn_valid_col(F.regexp_replace(s, r"[^0-9]", ""))
+    )
+    return F.size(valid).cast("long")
