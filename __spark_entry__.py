@@ -1932,6 +1932,90 @@ def _q_script_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return script_signals(planted)
 
 
+def _q_curation_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third-generation curation composite: the round-3 gates composed
+    as pure PROJECTIONS in ONE plan — linear quality-classifier score
+    (hashed-bucket weight fold), dominant-Unicode-script gate, and
+    card-PII (Luhn-valid PAN) gate — then a per-source aggregate. The
+    optimized plan has ZERO joins: the only exchange is the final
+    groupBy(source). Planted rows exercise every gate: doc_id%11==1
+    becomes pure Cyrillic (script gate drops), doc_id%13==0 gets a
+    Luhn-valid card appended (PII gate drops). The aggregate reports
+    the kept-score mass as an exact integer (sum of round(score*1e4))
+    so the oracle hash cannot drift on float summation order."""
+    from access_log_parser_spark.operators.text_quality import (
+        dominant_script_col,
+        linear_quality_score_col,
+    )
+    from access_log_parser_spark.operators.webtext import card_luhn_count_col
+
+    docs = _docs_par(spark, sf_dir)
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 11 == 1,
+            F.lit("привет мир как дела сегодня друзья"),
+        )
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" pay 4111 1111 1111 1111 now"),
+            ),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    gated = planted.select(
+        "source",
+        linear_quality_score_col(F.col("text")).alias("score"),
+        dominant_script_col(F.col("text")).alias("main_script"),
+        card_luhn_count_col(F.col("text")).alias("n_pan"),
+    ).filter(
+        (F.col("main_script") == "latin")
+        & (F.col("n_pan") == 0)
+        & (F.col("score") >= 0.45)
+    )
+    return gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum(F.round(F.col("score") * 10000).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_score_x1e4"),
+    )
+
+
+def _q_domain_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level quality gate (webtext.domain_quality_filter): score
+    every doc with the hashed linear classifier, aggregate per source
+    domain, drop WHOLE domains whose integer-exact mean falls below
+    0.45 — the FineWeb/RefinedWeb spam-domain move. Sources with suffix
+    % 3 == 0 get 200 copies of 'tok95' (bucket weight -0.496) planted,
+    dragging their domain mean to ~0.42; the other 13 domains sit at
+    ~0.50 and survive. Verdict arithmetic is all-integer (cross-
+    multiplied sum >= mean*n), so keep/drop cannot drift between
+    engines. Plan: one domain agg shuffle + broadcast verdict join."""
+    from access_log_parser_spark.operators.webtext import domain_quality_filter
+
+    docs = _docs_par(spark, sf_dir)
+    spam = F.lit(" tok95" * 200)
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.substring("source", 4, 10).cast("int") % 3 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), spam),
+        )
+        .otherwise(F.coalesce(F.col("text"), F.lit("")))
+        .alias("text"),
+    )
+    kept = domain_quality_filter(planted, min_mean_x1e4=4500, min_docs=20)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("score_x1e4").cast("bigint").alias("sum_score_x1e4"),
+    )
+
+
 def _q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE streaming incremental near-dup dedup, hash-oracle-backed:
     300 docs replay as 4 deterministic doc_id-ordered micro-batches
@@ -2007,6 +2091,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "curation_v3",
+    "domain_quality",
     "linear_quality",
     "script_signals",
     "stream_minhash_dedup",
@@ -2154,6 +2240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_minhash_dedup": _q_stream_minhash_dedup,
         "linear_quality": _q_linear_quality,
         "script_signals": _q_script_signals,
+        "curation_v3": _q_curation_v3,
+        "domain_quality": _q_domain_quality,
     }
     ordered = {k: base[k] for k in _GATE_FIRST}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3647,6 +3735,115 @@ SELECT doc_id,
          WHEN n_cjk THEN 'cjk'
          ELSE 'arabic' END AS main_script
 FROM counts
+"""
+
+_ORACLE["domain_quality"] = r"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+              THEN COALESCE(text, '') || repeat(' tok95', 200)
+              ELSE COALESCE(text, '') END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM planted
+), w AS (
+  SELECT doc_id,
+         ((CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 1024)
+           * 2654435761) % 997 / 997.0 - 0.5 AS wt
+  FROM toks
+), score AS (
+  SELECT doc_id,
+         ROUND(1.0 / (1.0 + exp(-(SUM(wt) / COUNT(*)))), 4) AS score
+  FROM w GROUP BY 1
+), sx AS (
+  SELECT p.doc_id, p.source,
+         CAST(ROUND(s.score * 10000) AS BIGINT) AS sx
+  FROM planted p JOIN score s USING (doc_id)
+), stats AS (
+  SELECT source, COUNT(*) AS n, SUM(sx) AS s FROM sx GROUP BY 1
+), good AS (
+  SELECT source FROM stats WHERE n >= 20 AND s >= 4500 * n
+)
+SELECT sx.source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(sx.sx) AS BIGINT) AS sum_score_x1e4
+FROM sx JOIN good USING (source)
+GROUP BY 1
+"""
+
+_ORACLE["curation_v3"] = r"""
+WITH planted AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 11 = 1 THEN 'привет мир как дела сегодня друзья'
+              WHEN doc_id % 13 = 0
+                THEN COALESCE(text, '') || ' pay 4111 1111 1111 1111 now'
+              ELSE COALESCE(text, '') END AS text
+  FROM documents
+), toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(trim(text), '\s+')) AS token
+  FROM planted
+), w AS (
+  SELECT doc_id,
+         ((CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 1024)
+           * 2654435761) % 997 / 997.0 - 0.5 AS wt
+  FROM toks
+), score AS (
+  SELECT doc_id,
+         ROUND(1.0 / (1.0 + exp(-(SUM(wt) / COUNT(*)))), 4) AS score
+  FROM w GROUP BY 1
+), counts AS (
+  SELECT doc_id,
+    length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_latin,
+    length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+    length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+    length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS n_cjk,
+    length(text) - length(regexp_replace(text, '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic
+  FROM planted
+), script AS (
+  SELECT doc_id,
+       CASE GREATEST(n_latin, n_digit, n_cyrillic, n_cjk, n_arabic)
+         WHEN 0 THEN 'none'
+         WHEN n_latin THEN 'latin'
+         WHEN n_digit THEN 'digit'
+         WHEN n_cyrillic THEN 'cyrillic'
+         WHEN n_cjk THEN 'cjk'
+         ELSE 'arabic' END AS main_script
+  FROM counts
+), cands AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '\b(?:[0-9][ -]?){12,18}[0-9]\b') AS cs
+  FROM planted
+), flat AS (
+  SELECT doc_id, regexp_replace(c, '[^0-9]', '', 'g') AS d
+  FROM cands, UNNEST(cs) u(c)
+), judged AS (
+  SELECT doc_id,
+         CASE WHEN length(d) >= 13 AND list_sum(list_transform(
+                generate_series(1, length(d)),
+                i -> CASE WHEN i % 2 = 0 THEN
+                       CASE WHEN (ascii(substr(d, length(d) - i + 1, 1)) - 48) * 2 > 9
+                            THEN (ascii(substr(d, length(d) - i + 1, 1)) - 48) * 2 - 9
+                            ELSE (ascii(substr(d, length(d) - i + 1, 1)) - 48) * 2 END
+                     ELSE ascii(substr(d, length(d) - i + 1, 1)) - 48 END
+              )) % 10 = 0 THEN 1 ELSE 0 END AS ok
+  FROM flat
+), pan AS (
+  SELECT p.doc_id, COALESCE(SUM(j.ok), 0) AS n_pan
+  FROM planted p LEFT JOIN judged j USING (doc_id)
+  GROUP BY 1
+)
+SELECT p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(CAST(ROUND(s.score * 10000) AS BIGINT)) AS BIGINT) AS sum_score_x1e4
+FROM planted p
+JOIN score s USING (doc_id)
+JOIN script sc USING (doc_id)
+JOIN pan USING (doc_id)
+WHERE sc.main_script = 'latin' AND pan.n_pan = 0 AND s.score >= 0.45
+GROUP BY 1
 """
 
 _ORACLE["stream_minhash_dedup"] = f"""

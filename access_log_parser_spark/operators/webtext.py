@@ -716,3 +716,50 @@ def card_luhn_count_col(text) -> F.Column:
         cands, lambda s: luhn_valid_col(F.regexp_replace(s, r"[^0-9]", ""))
     )
     return F.size(valid).cast("long")
+
+
+def domain_quality_filter(
+    df: DataFrame,
+    key_col: str = "source",
+    text_col: str = "text",
+    min_mean_x1e4: int = 4500,
+    min_docs: int = 20,
+) -> DataFrame:
+    """Domain-level quality gate — the crawl-curation move that per-row
+    filters cannot express: score every document, aggregate per domain
+    (here ``key_col``; on real crawl data, the registered host from
+    :func:`host_of`), and drop EVERY doc from domains whose mean score
+    is below threshold or whose sample is too small to trust. This is
+    how spam/SEO farms leave a corpus — whole domains at a time, not
+    row by row (FineWeb/RefinedWeb publish exactly this shape of rule).
+
+    Engine-exact by construction: scores are the 4-dp classifier output
+    scaled to integers (``round(score*1e4)``), and the mean threshold is
+    evaluated as the cross-multiplied integer inequality
+    ``sum_score_x1e4 >= min_mean_x1e4 * n_docs`` — no float division,
+    so the keep/drop verdict cannot drift between engines.
+
+    Scale shape: one shuffle for the per-domain aggregate (map-side
+    partial over |domains| keys), then the verdict table — bounded by
+    the number of domains, thousands-of-rows tiny against a 100 TB
+    corpus — broadcasts back for a hash equi-join. No corpus-sized
+    shuffle on the join side; AQE would pick the broadcast anyway at
+    these sizes, we pin it explicitly.
+
+    Returns the surviving rows of ``df`` plus their ``score_x1e4``.
+    """
+    from .text_quality import linear_quality_score_col
+
+    scored = df.withColumn(
+        "score_x1e4",
+        F.round(linear_quality_score_col(F.col(text_col)) * 10000).cast("long"),
+    )
+    stats = scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("score_x1e4").alias("_sum"),
+    )
+    good = stats.filter(
+        (F.col("_n") >= min_docs)
+        & (F.col("_sum") >= F.lit(min_mean_x1e4) * F.col("_n"))
+    ).select(key_col)
+    return scored.join(F.broadcast(good), key_col, "inner")

@@ -150,7 +150,8 @@ def _quiesce(target_load: float, max_wait: float = 120.0) -> float:
 
 def _scale_pair(
     n: int, big: int, frac: int = 1, trials: int = 4, runner=None,
-    cooldown: float = 8.0,
+    cooldown: float = 8.0, max_extra_trials: int = 4,
+    extra_budget_s: float = 600.0,
 ) -> dict:
     """Same job, same input, local[N] vs local[4N].
 
@@ -171,12 +172,22 @@ def _scale_pair(
     the theoretical 1.0. The median of the paired per-trial efficiencies
     rides along as a drift diagnostic: it is robust to regime drift but
     averages throttled trials into the estimate, so it under-reports the
-    quiet-state number when most trials land hot. When the two disagree
-    by more than 0.1 a ``regime_warning`` flags that one level's minimum
-    probably never sampled a quiet window (the r02 artifact) — re-run on
-    a quiet VM rather than trusting either number. Raw trials ride in
-    ``trials`` so any regime artifact is auditable in the archived
-    JSON."""
+    quiet-state number when most trials land hot. A ``regime_warning``
+    is emitted when the minima are UNCONFIRMED or cross-regime: a
+    level's minimum was sampled only once (never reproduced within
+    20%), the ratio reads super-linear, or the big level measured
+    slower than the small one — re-run on a quiet VM rather than
+    trusting the number. Raw trials ride in ``trials`` so any regime
+    artifact is auditable in the archived JSON.
+
+    When the minima DO look cross-regime (warning condition, or the
+    physically absurd big-level-slower-than-small), a bounded ADAPTIVE
+    EXTENSION keeps sampling — up to ``max_extra_trials`` more
+    alternating trials within ``extra_budget_s`` wall seconds. This is
+    statistically safe for a min estimator: each added sample can only
+    move a level's minimum toward (never past) its true quiet-state
+    time, so the extension rescues starved levels without ever
+    inflating the estimate beyond the engine's real scaling."""
     import statistics
     import subprocess
 
@@ -200,7 +211,8 @@ def _scale_pair(
         runner = run_one
     results: dict[int, dict | None] = {n: None, big: None}
     trial_rows: list[dict] = []
-    for trial in range(trials):
+
+    def do_trial(trial: int) -> None:
         order = (n, big) if trial % 2 == 0 else (big, n)
         load0 = round(os.getloadavg()[0], 2)
         by_cores: dict[int, dict] = {}
@@ -219,6 +231,50 @@ def _scale_pair(
             "paired_efficiency": round(eff, 3),
             "loadavg_at_start": load0,
         })
+
+    def _min_confirmed(key: str) -> bool:
+        """A level's minimum is trustworthy when it was REPRODUCED: at
+        least two samples within 20% of it. A single lucky (or unlucky)
+        window doesn't establish the quiet-state time."""
+        els = [t[key] for t in trial_rows]
+        m = min(els)
+        return sum(1 for e in els if e <= 1.2 * m) >= 2
+
+    def regime_suspect() -> bool:
+        t_n, t_4n = results[n]["elapsed"], results[big]["elapsed"]
+        eff_levels = (t_n / t_4n) / (big / n)
+        # suspect when: 4x cores measures slower than 1x (physically
+        # absurd for this embarrassingly parallel job), the ratio claims
+        # super-linear scaling, or either level's minimum was seen only
+        # once (never reproduced = likely a cross-regime artifact)
+        return (
+            t_4n >= t_n
+            or eff_levels > 1.0
+            or not _min_confirmed("elapsed_small")
+            or not _min_confirmed("elapsed_big")
+        )
+
+    for trial in range(trials):
+        do_trial(trial)
+
+    # Adaptive extension: while the minima look cross-regime, keep
+    # sampling (alternating order, bounded by count AND wall budget).
+    # min-of-levels is monotone — an extra sample can only move a
+    # level's min TOWARD its true quiet time, never past it — so the
+    # extension cannot inflate the estimate beyond the engine's real
+    # quiet-state scaling; it only rescues runs where a throttled host
+    # starved one level of quiet windows (observed: 8-core full-input
+    # min 130 s in one run vs 18 s capability minutes later).
+    extension_t0 = time.monotonic()
+    extra = 0
+    while (
+        extra < max_extra_trials
+        and regime_suspect()
+        and time.monotonic() - extension_t0 < extra_budget_s
+    ):
+        do_trial(trials + extra)
+        extra += 1
+
     t_n, t_4n = results[n]["elapsed"], results[big]["elapsed"]
     eff_levels = (t_n / t_4n) / (big / n)
     eff_paired = statistics.median(t["paired_efficiency"] for t in trial_rows)
@@ -232,12 +288,14 @@ def _scale_pair(
         "efficiency": round(min(eff_levels, 1.0), 3),
         "efficiency_min_of_levels": round(eff_levels, 3),
         "efficiency_paired_median": round(eff_paired, 3),
+        "extension_trials_run": extra,
         "trials": trial_rows,
     }
-    if abs(eff_levels - eff_paired) > 0.1 or eff_levels > 1.0:
+    if regime_suspect():
         out["regime_warning"] = (
-            "level minima and paired-trial median disagree — one level's "
-            "minimum likely never sampled a quiet window; re-run quiet"
+            "level minima unconfirmed or cross-regime (a minimum was "
+            "sampled only once, reads super-linear, or big-level measured "
+            "slower than small) — re-run on a quiet VM"
         )
     return out
 
@@ -264,7 +322,8 @@ def run_scaling(cpus: int) -> dict:
     out["loadavg_after_quiesce"] = quiesce_load
     if cpus >= 32:
         out["bandwidth_capped_pair"] = _scale_pair(
-            max(cpus // 4, 1), cpus, frac=2, trials=3
+            max(cpus // 4, 1), cpus, frac=2, trials=3,
+            max_extra_trials=2, extra_budget_s=240.0,
         )
     return out
 

@@ -68,7 +68,7 @@ def test_cross_regime_minima_raise_the_regime_warning():
     # diagnostic disagrees and `regime_warning` says to re-run quiet.
     t2, t8 = 40.0, 40.0 / 3.6  # true efficiency 0.9
     out = bench._scale_pair(
-        2, 8, trials=4, cooldown=0,
+        2, 8, trials=4, cooldown=0, max_extra_trials=0,
         runner=_runner_from({
             # one small-level sample lands quiet (trial 2) while every
             # big-level sample is throttled x1.5
@@ -87,7 +87,7 @@ def test_efficiency_is_capped_and_warned_in_the_inflation_mirror():
     # must not claim super-linear scaling: capped at 1.0 + warned.
     t2, t8 = 40.0, 40.0 / 3.6
     out = bench._scale_pair(
-        2, 8, trials=4, cooldown=0,
+        2, 8, trials=4, cooldown=0, max_extra_trials=0,
         runner=_runner_from({
             2: [t2 * 1.5, t2 * 1.5, t2 * 1.5, t2 * 1.5],
             8: [t8 * 1.5, t8, t8 * 1.5, t8 * 1.5],
@@ -111,3 +111,58 @@ def test_raw_trials_are_archived():
     # best-of-levels bookkeeping: min elapsed per level is what's reported
     assert out["elapsed_small"] == 40.0
     assert out["elapsed_big"] == 11.0
+
+
+def test_extension_rescues_a_starved_level():
+    # Base trials: the big level never samples quiet (the r03 artifact:
+    # 8-core full-input min 130 s vs 18 s capability). The adaptive
+    # extension keeps sampling; trial 6's big run lands quiet and the
+    # minima become same-regime: warning clears, efficiency reads ~0.9.
+    t2, t8 = 40.0, 40.0 / 3.6
+    out = bench._scale_pair(
+        2, 8, trials=4, cooldown=0, max_extra_trials=4,
+        runner=_runner_from({
+            2: [t2, t2 * 1.5, t2, t2 * 1.5, t2, t2 * 1.5, t2],
+            8: [t8 * 7, t8 * 7, t8 * 7, t8 * 7, t8 * 7, t8, t8],
+        }),
+    )
+    # extension runs until the big-level quiet minimum is REPRODUCED
+    # (two samples within 20%), then stops: minima confirmed, no warning
+    assert out["extension_trials_run"] == 3
+    assert abs(out["efficiency"] - 0.9) < 0.01
+    assert "regime_warning" not in out
+    assert len(out["trials"]) == 7
+
+
+def test_extension_is_bounded_and_keeps_the_warning():
+    # Disagreement persists through the whole extension budget: the
+    # estimator stops at max_extra_trials and STILL reports the warning
+    # (no papering over an unmeasurable regime).
+    t2, t8 = 40.0, 40.0 / 3.6
+    out = bench._scale_pair(
+        2, 8, trials=2, cooldown=0, max_extra_trials=2,
+        runner=_runner_from({
+            2: [t2, t2 * 1.5, t2, t2 * 1.5],
+            8: [t8 * 7, t8 * 7, t8 * 7, t8 * 7],
+        }),
+    )
+    assert out["extension_trials_run"] == 2
+    assert "regime_warning" in out
+    assert len(out["trials"]) == 4
+
+
+def test_absurd_big_slower_than_small_forces_extension():
+    # 8 cores "slower" than 2 cores on an embarrassingly parallel job is
+    # physically impossible quiet-state — even if the ratio diagnostics
+    # happened to agree, the extension must kick in.
+    out = bench._scale_pair(
+        2, 8, trials=2, cooldown=0, max_extra_trials=1,
+        runner=_runner_from({
+            2: [10.0, 10.0, 10.0],
+            8: [30.0, 30.0, 8.0],
+        }),
+    )
+    assert out["extension_trials_run"] == 1
+    assert out["elapsed_big"] == 8.0
+    # budget ran out before the 8.0 minimum could be reproduced
+    assert "regime_warning" in out

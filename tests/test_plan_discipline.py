@@ -122,3 +122,15 @@ def test_curate_corpus_single_action_stats(spark):
     assert vals[0] == docs.count()
     assert all(a >= b for a, b in zip(vals, vals[1:])), stats2
     assert stats2["after_exact_dedup"] == curated2.count()
+
+
+def test_curation_v3_zero_joins(spark):
+    """curation_v3 composes the round-3 gates (linear classifier score,
+    dominant script, card-Luhn PII) as pure projections: the optimized
+    plan is JOIN-FREE and the only exchanges are the _docs_par
+    repartition + the final groupBy(source)."""
+    import __spark_entry__ as entry
+
+    qe = entry.queries()["curation_v3"](spark, SF_DIR)._jdf.queryExecution()
+    assert _count(qe.optimizedPlan().toString(), "Join") == 0
+    assert _count(qe.executedPlan().toString(), "Exchange") <= 2

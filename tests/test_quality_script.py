@@ -72,3 +72,21 @@ def test_script_signals_counts_and_argmax(spark):
     assert got[6]["main_script"] == "none"
     assert got[7]["main_script"] == "none"
     assert got[8]["main_script"] == "latin"
+
+
+def test_domain_quality_filter_drops_spam_and_tiny_domains(spark):
+    from access_log_parser_spark.operators.webtext import domain_quality_filter
+
+    rows = (
+        [(i, "good", "tok28 " * 30) for i in range(25)]          # w(tok28)=+0.499
+        + [(100 + i, "spam", "tok95 " * 30) for i in range(25)]  # w(tok95)=-0.496
+        + [(200 + i, "tiny", "tok28 " * 30) for i in range(5)]   # too few docs
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kept = domain_quality_filter(df, min_mean_x1e4=4500, min_docs=20)
+    got = kept.groupBy("source").count().collect()
+    assert {r["source"]: r["count"] for r in got} == {"good": 25}
+    assert "score_x1e4" in kept.columns
+    # spam domain's per-doc score really is below the threshold
+    one = kept.limit(1).collect()[0]
+    assert one["score_x1e4"] >= 4500
