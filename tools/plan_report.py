@@ -101,6 +101,14 @@ SELECTED = [
     ("chunk_documents", False,
      "pure per-row HOF expansion (sequence -> transform -> posexplode): "
      "ZERO corpus shuffles beyond the ingest repartition"),
+    ("curation_v3", False,
+     "round-3 gates (linear classifier score, dominant script, card-Luhn "
+     "PII) composed as pure projections: ZERO joins; the only exchanges "
+     "are the ingest repartition + the final groupBy(source)"),
+    ("domain_quality", False,
+     "domain-level quality gate: one per-domain agg exchange, then the "
+     "bounded verdict table broadcasts back (BroadcastHashJoin) — no "
+     "corpus-sized shuffle on the join"),
 ]
 
 
