@@ -637,3 +637,76 @@ def embedding_near_dup(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def cross_snapshot_dedup(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str = "text",
+    near: bool = True,
+    n: int = 3,
+    n_bands: int = LSH_BANDS,
+    rows_per_band: int = LSH_ROWS,
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: keep only the rows of a NEW
+    crawl snapshot that are not duplicates of the PREVIOUS snapshot.
+    This is the monthly-Common-Crawl move — each dump is 2-3x redundant
+    against the previous one, and deduping new-against-old is far
+    cheaper than re-deduping the union from scratch (the old corpus was
+    already internally deduped; only its *keys* are needed again).
+
+    Two passes, both anti-joins against key sets derived from the old
+    snapshot:
+
+      1. EXACT: md5 of normalized text (same fingerprint as
+         :func:`exact_duplicates`) — drops byte-for-byte re-crawls.
+      2. NEAR (``near=True``): MinHash/LSH band keys from the same
+         shuffle-free HOF signature path as the batch and streaming
+         dedups (:func:`minhash_signatures_hof` -> :func:`band_keys`);
+         a new doc sharing ANY band with ANY old doc is dropped — the
+         same s-curve semantics as :func:`lsh_candidate_pairs`, with
+         the old snapshot as a static index.
+
+    Scale shape: the old-side key sets are digest/band projections of
+    the previous corpus — big, so both anti-joins are uniform-key hash
+    shuffles (md5 keys cannot skew); AQE downgrades them to broadcasts
+    when the old snapshot is small. No all-pairs path exists. The
+    banded index is exactly what the streaming variant
+    (streaming/neardup.py) persists incrementally — this operator is
+    its batch replay.
+
+    NULL-text rows are missing data, not content: they pass through the
+    exact stage unfiltered (md5(NULL) joins nothing) and the HOF
+    signature path ignores them, matching the batch dedup convention.
+
+    Returns the surviving rows of ``new_df`` (original columns).
+    """
+    fp = F.md5(normalized(F.col(text_col)))
+    old_fp = (
+        old_df.filter(F.col(text_col).isNotNull())
+        .select(fp.alias("_fp"))
+        .distinct()
+    )
+    kept = (
+        new_df.withColumn("_fp", fp)
+        .join(old_fp, "_fp", "left_anti")
+        .drop("_fp")
+    )
+    if not near:
+        return kept
+    old_bands = (
+        band_keys(
+            minhash_signatures_hof(old_df, text_col, n), n_bands, rows_per_band
+        )
+        .select("band_idx", "band_key")
+        .distinct()
+    )
+    new_bands = band_keys(
+        minhash_signatures_hof(kept, text_col, n), n_bands, rows_per_band
+    )
+    near_hit = (
+        new_bands.join(old_bands, ["band_idx", "band_key"], "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return kept.join(near_hit, "doc_id", "left_anti")

@@ -258,3 +258,126 @@ def lsh_ann(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column — the standard
+    storage/serving compression for billion-vector ANN indexes (4x
+    smaller than float32, SIMD-friendly dot products):
+
+        scale  = max(|x_i|) / 127          (per vector)
+        code_i = floor(x_i / scale + 0.5)  in [-127, 127]
+
+    Everything is a JVM array higher-order expression over one scan —
+    zero shuffle, zero Python, Arrow-free. The all-zero vector edge case
+    quantizes to all-zero codes (scale 0 kept rather than NULL so
+    dequantization `code * scale` stays well-defined).
+
+    Cross-engine exactness: inputs are float32 read from parquet, math
+    is IEEE-754 double in the same operation order on both engines, and
+    `floor(+0.5)` rounds half-up identically — the driver oracle
+    replays the codes bit-for-bit, no tolerance window.
+
+    Returns (id, codes:array<int>, scale:double).
+    """
+    v = _as_double(F.col(vec_col))
+    with_amax = emb.select(
+        F.col(id_col).alias("id"),
+        v.alias("v"),
+        F.array_max(F.transform(v, F.abs)).alias("amax"),
+    )
+    codes = F.when(
+        F.col("amax") == 0.0,
+        F.transform(F.col("v"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x * 127.0 / F.col("amax") + 0.5).cast("int"),
+        )
+    )
+    return with_amax.select(
+        "id",
+        codes.alias("codes"),
+        (F.col("amax") / 127.0).alias("scale"),
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and dropping all-but-one of
+    each within-cluster group of semantically identical items. The
+    point of the clustering is SCALE: pairwise cosine is only ever
+    computed within a cluster, so the quadratic blow-up is bounded by
+    the largest cluster, never the corpus.
+
+    This implementation:
+      1. assigns every vector to its nearest centroid with the same
+         unrolled argmax expression as :func:`ivf_assign` (broadcast
+         literal centroids, no join, no Python) — ties break to the
+         highest centroid id via the array_max struct ordering;
+      2. self-joins WITHIN each cell on the cell key (one hash-partition
+         exchange on a small integer key) and keeps pairs with
+         ``round(cosine, 6) >= threshold``;
+      3. drops a vector iff some LOWER-id vector in its cell clears the
+         threshold against it (the deterministic min-id-owner rule this
+         repo also uses for streaming near-dup; the paper keeps the
+         item closest to the centroid — with deterministic ids the two
+         rules differ only in which representative survives).
+
+    Returns the kept rows: (id, cell). The dropped set is the anti-join
+    complement.
+    """
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    a = assigned.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("cell"),
+        _norm(F.col("v")).alias("na"),
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("cell"),
+        _norm(F.col("v")).alias("nb"),
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), SIM_ROUND
+    )
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= F.lit(threshold))
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assigned.select("id", "cell").join(dropped, "id", "left_anti")
+
+
+def select_centroids_by_hash(
+    emb: DataFrame,
+    n: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random centroid pick: the ``n`` vectors with
+    the smallest ``(md5(id), id)`` key — a content-addressed sample the
+    driver oracle can replay in SQL. Bounded driver collect (n rows; the
+    same pattern ann_ivf uses). A production SemDedup would train real
+    k-means centroids (MLlib) — the assignment/prune plan is unchanged."""
+    rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .limit(n)
+        .collect()
+    )
+    return [(int(r["id"]), [float(x) for x in r["v"]]) for r in rows]

@@ -8,7 +8,7 @@ bit-for-bit (see ``__spark_entry__.oracle_sql``).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # deliberately tiny, deterministic per-language stopword sets (heuristic
@@ -364,3 +364,66 @@ def dominant_script_col(text) -> Column:
         best = F.when(cond, F.lit(name[2:])).otherwise(best)
         best_n = F.when(cond, counts[name]).otherwise(best_n)
     return best
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "source",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    document with the corpus-unigram LM (same model as
+    :func:`unigram_logprob`), then split each ``key_col`` group (CCNet
+    buckets per LANGUAGE; here per source domain) into ``n_buckets``
+    equal-frequency tiers — head / middle / tail. Downstream pipelines
+    keep the head, re-sample the middle, and drop or quarantine the
+    tail; the tier boundary being a per-group QUANTILE (not a global
+    threshold) is the point — it adapts to each language's score scale.
+
+    Bucket assignment is ``ntile`` over ``(mean_logprob DESC, doc_id)``
+    — a total order, so the cut is deterministic and the oracle replays
+    it exactly (scores are 4-dp rounded before ordering, the repo's
+    standard cross-engine float absorber).
+
+    Plan shape: the LM is one token-keyed count shuffle + a broadcast
+    score join (see :func:`unigram_logprob`); the bucketing is one
+    exchange on ``key_col`` + an in-partition sort. At 10^12 rows a
+    single language group exceeds one partition — the deploy-time
+    variant computes the two cutoff scores per group first (exact rank
+    via count + ordered aggregation, or approx quantiles when a ~1%%
+    boundary error is acceptable) and assigns tiers as a projection;
+    the equal-frequency semantics here are the reference the cheap
+    variant is validated against.
+
+    Returns (doc_id, <key_col>, n_tokens, mean_logprob, bucket) with
+    bucket 1 = most fluent (head).
+    """
+    toks = df.select(
+        F.col("doc_id"),
+        F.col(key_col).alias("_pb_key"),
+        F.explode(tokens(F.coalesce(F.col(text_col), F.lit("")))).alias("token"),
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    vocab = counts.join(F.broadcast(total)).select(
+        "token", F.log(F.col("c") / F.col("t")).alias("_logp")
+    )
+    scored = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy("doc_id", "_pb_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("_logp"), 4).alias("mean_logprob"),
+        )
+    )
+    w = Window.partitionBy("_pb_key").orderBy(
+        F.col("mean_logprob").desc(), F.col("doc_id")
+    )
+    return scored.withColumn("bucket", F.ntile(n_buckets).over(w)).select(
+        "doc_id",
+        F.col("_pb_key").alias(key_col),
+        "n_tokens",
+        "mean_logprob",
+        "bucket",
+    )

@@ -763,3 +763,112 @@ def domain_quality_filter(
         & (F.col("_sum") >= F.lit(min_mean_x1e4) * F.col("_n"))
     ).select(key_col)
     return scored.join(F.broadcast(good), key_col, "inner")
+
+
+def host_frequency_cap(
+    df: DataFrame,
+    key_col: str = "source",
+    k: int = 30,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-host document-frequency cap — keep at most ``k`` documents per
+    host/domain. Web crawls are power-law skewed (a handful of hosts
+    contribute millions of near-identical template pages); capping the
+    per-host contribution is the standard pre-training rebalancing move
+    (FineWeb and RefinedWeb both publish per-domain caps alongside the
+    domain-mean quality gate in :func:`domain_quality_filter`).
+
+    The pick within a host is CONTENT-ADDRESSED, not crawl-ordered:
+    rows rank by ``(md5(id), id)``, a deterministic pseudo-random
+    shuffle, so the survivors are an unbiased sample of the host's pages
+    rather than "whatever the crawler fetched first". md5-of-id is
+    engine-reproducible, so the driver oracle replays the exact pick.
+
+    Scale shape: ONE hash-partition exchange on the host key + an
+    in-partition window sort (row_number, no full global sort). The hot
+    hosts that motivate the cap are exactly the skewed partitions — at
+    a 10^12-row scale the rank cutoff drops rows as they stream through
+    the window, and AQE skew-split keeps a mega-host from pinning one
+    task.
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_hfc_rk", F.row_number().over(w))
+        .filter(F.col("_hfc_rk") <= k)
+        .drop("_hfc_rk")
+    )
+
+
+# Classic UTF-8-read-as-Latin-1 mojibake digraphs: the UTF-8 lead byte
+# 0xC3/0xC2 decoded as 'Ã'/'Â', and the Windows-1252 rendering
+# of the smart-quote/dash family ('â€™', ...). Spelled as
+# literal alternations (no classes, no metachars) so the Java-regex and
+# RE2 readings are identical; the bare two-char 'â€' prefix is
+# deliberately LAST so the longer digraphs win first-match.
+MOJIBAKE_RE = (
+    "Ã©|Ã¨|Ã¡|Ã¤|Ã¶"
+    "|Ã¼|Ã±|Ã³|Ãº|Ã§"
+    "|Ã |â€™|â€˜"
+    "|â€œ|â€“|â€”"
+    "|â€¦|Â·|Â°|Â®"
+    "|Â©|â€"
+)
+
+# C0 control characters that never belong in prose (tab/newline/CR
+# excluded). Hex escapes parse identically under Java regex and RE2.
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+
+REPLACEMENT_CHAR = "�"
+
+
+def encoding_signal_cols(text) -> dict[str, F.Column]:
+    """Column bundle of encoding-noise signals for a text column — the
+    ftfy-lite battery a crawl pipeline runs before any language or
+    quality model sees the bytes:
+
+    - ``n_replacement``: U+FFFD replacement characters (a decoder already
+      gave up upstream — the strongest single corruption signal);
+    - ``n_control``: C0 control characters other than tab/newline/CR
+      (binary-in-text, terminal escapes, truncated multibyte runs);
+    - ``n_mojibake``: classic UTF-8-decoded-as-Latin-1 digraphs
+      ('Ã©', 'â€™', ...) — text that *decoded*
+      fine but through the wrong codec.
+
+    All three are ``regexp_count`` projections: JVM-side, zero shuffle,
+    composable into the curation gate battery like every other
+    ``*_col`` signal. Counting (not boolean) keeps thresholds tunable
+    downstream — one stray artifact shouldn't kill a document, a
+    hundred should.
+    """
+    t = F.coalesce(text, F.lit(""))
+    return {
+        "n_replacement": F.regexp_count(t, F.lit(REPLACEMENT_CHAR)).cast("long"),
+        "n_control": F.regexp_count(t, F.lit(CONTROL_RE)).cast("long"),
+        "n_mojibake": F.regexp_count(t, F.lit(MOJIBAKE_RE)).cast("long"),
+    }
+
+
+def encoding_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_noise: int = 0,
+) -> DataFrame:
+    """Per-document encoding-noise report + keep verdict: a document is
+    ``enc_clean`` when its total noise count (replacement + control +
+    mojibake) is at or below ``max_noise``. Pure projection — one scan,
+    no shuffle, no Python.
+
+    Returns (doc_id, n_replacement, n_control, n_mojibake, enc_clean).
+    """
+    sig = encoding_signal_cols(F.col(text_col))
+    total = sig["n_replacement"] + sig["n_control"] + sig["n_mojibake"]
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        sig["n_replacement"].alias("n_replacement"),
+        sig["n_control"].alias("n_control"),
+        sig["n_mojibake"].alias("n_mojibake"),
+        (total <= F.lit(max_noise)).alias("enc_clean"),
+    )
