@@ -2076,6 +2076,172 @@ def _q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_host_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap (webtext.host_frequency_cap): keep at most
+    20 docs per source domain, picked content-addressed by
+    (md5(doc_id), doc_id) so the sample is crawl-order-free. The oracle
+    replays the exact pick with ROW_NUMBER over the same md5 key. Plan:
+    one exchange on the host key + in-partition window sort."""
+    from access_log_parser_spark.operators.webtext import host_frequency_cap
+
+    docs = _load(spark, sf_dir, "documents")
+    capped = host_frequency_cap(docs, "source", k=20)
+    return capped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
+
+
+def _q_encoding_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-noise battery (webtext.encoding_signals) with planted
+    corruption: docs with doc_id % 5 == 0 get a U+FFFD + two C0 control
+    bytes appended, docs with doc_id % 7 == 0 (and not % 5) get two
+    classic mojibake digraphs. Pure regexp_count projection, zero
+    shuffle; the oracle plants the identical bytes with chr() codes and
+    counts with regexp_extract_all."""
+    from access_log_parser_spark.operators.webtext import encoding_signals
+
+    docs = _load(spark, sf_dir, "documents")
+    noise = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\ufffd x \u0001\u0002"))
+        .when(F.col("doc_id") % 7 == 0, F.lit("Ã© q â€™"))
+        .otherwise(F.lit(""))
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.coalesce(F.col("text"), F.lit("")), noise).alias("text"),
+    )
+    sig = encoding_signals(planted)
+    return sig.select(
+        "doc_id",
+        "n_replacement",
+        "n_control",
+        "n_mojibake",
+        F.col("enc_clean").cast("bigint").alias("enc_clean"),
+    )
+
+
+def _q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (similarity.quantize_embeddings): per-vector scale = max|x|/127,
+    codes = floor(x/scale + 0.5) — array HOFs only, one scan, no
+    shuffle. Integer outputs (sum/min/max of codes) make the check
+    bit-exact; scale rides as a 9-dp rounded double. The oracle replays
+    the same IEEE-double expression with list_transform."""
+    from access_log_parser_spark.operators.similarity import quantize_embeddings
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        F.col("id").cast("bigint").alias("vec_id"),
+        F.size("codes").cast("bigint").alias("dim"),
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_codes"),
+        F.array_min("codes").cast("bigint").alias("min_code"),
+        F.array_max("codes").cast("bigint").alias("max_code"),
+        F.round(F.col("scale"), 9).alias("scale_r9"),
+    )
+
+
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup (similarity.semdedup): every vector whose vec_id is a
+    multiple of 10 is planted a second time (vec_id + 100000, same
+    embedding) — an exact semantic duplicate. Six centroids are the
+    content-addressed (md5(vec_id), vec_id) pick from the base set;
+    assignment is the unrolled broadcast argmax (dot score, ties to the
+    higher centroid id), pruning drops any vector with a lower-id
+    within-cell neighbor at round(cos,6) >= 0.95 — so every planted
+    copy dies, ambient pairs per the same rule. The oracle replays
+    centroid pick, argmax, and prune in SQL."""
+    from access_log_parser_spark.operators.similarity import (
+        select_centroids_by_hash,
+        semdedup,
+    )
+
+    base = _load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = base.unionByName(
+        base.filter(F.col("vec_id") % 10 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    cents = select_centroids_by_hash(base, 6)
+    kept = semdedup(planted, cents, threshold=0.95)
+    return kept.groupBy(F.col("cell").cast("bigint").alias("cell")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("id").cast("bigint").alias("sum_id"),
+    )
+
+
+def _q_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-snapshot dedup (dedup.cross_snapshot_dedup):
+    docs with doc_id % 7 == 0 form the OLD snapshot; the rest form the
+    NEW one, with plants — doc_id % 11 == 3 re-crawls its donor's text
+    verbatim (exact dup), % 11 == 5 appends ' zz tail' (near dup caught
+    by a shared LSH band). Survivors aggregate per source. The oracle
+    replays the plant, the md5 anti-join, and the full 16-perm/4-band
+    MinHash band anti-join in SQL."""
+    from access_log_parser_spark.operators.dedup import cross_snapshot_dedup
+
+    docs = _docs_par(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", "source", "text"
+    )
+    donors = old.select(
+        F.col("doc_id").alias("o_id"), F.col("text").alias("o_text")
+    )
+    planted = (
+        new.alias("n")
+        .join(
+            donors.alias("o"),
+            (F.col("n.doc_id") - F.col("n.doc_id") % 7) == F.col("o_id"),
+            "left",
+        )
+        .select(
+            "n.doc_id",
+            "n.source",
+            F.when(
+                (F.col("n.doc_id") % 11 == 3) & F.col("o_text").isNotNull(),
+                F.col("o_text"),
+            )
+            .when(
+                (F.col("n.doc_id") % 11 == 5) & F.col("o_text").isNotNull(),
+                F.concat(F.col("o_text"), F.lit(" zz tail")),
+            )
+            .otherwise(F.col("n.text"))
+            .alias("text"),
+        )
+    )
+    kept = cross_snapshot_dedup(planted, old)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
+
+
+def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity tiers (text_quality.perplexity_buckets):
+    corpus-unigram LM score per doc (same model as unigram_logprob),
+    then ntile(3) head/middle/tail per source over the total order
+    (mean_logprob DESC, doc_id). One token-count shuffle + broadcast
+    score join + one exchange on the group key. The oracle replays the
+    LM and the NTILE cut exactly."""
+    from access_log_parser_spark.operators.text_quality import (
+        perplexity_buckets,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    out = perplexity_buckets(docs, key_col="source", n_buckets=3)
+    return out.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "mean_logprob",
+        F.col("bucket").cast("bigint").alias("bucket"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse+route the CLF corpus derived from sf0.001 events,
     enrich per-sink counts — the north_rule pipeline in one DataFrame."""
@@ -2091,6 +2257,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "host_frequency_cap",
+    "encoding_signals",
+    "quantize_embeddings",
+    "semdedup",
+    "cross_snapshot_dedup",
+    "perplexity_buckets",
     "curation_v3",
     "domain_quality",
     "linear_quality",
@@ -2242,6 +2414,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_signals": _q_script_signals,
         "curation_v3": _q_curation_v3,
         "domain_quality": _q_domain_quality,
+        "host_frequency_cap": _q_host_frequency_cap,
+        "encoding_signals": _q_encoding_signals,
+        "quantize_embeddings": _q_quantize_embeddings,
+        "semdedup": _q_semdedup,
+        "cross_snapshot_dedup": _q_cross_snapshot_dedup,
+        "perplexity_buckets": _q_perplexity_buckets,
     }
     ordered = {k: base[k] for k in _GATE_FIRST}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -3907,6 +4085,197 @@ SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
        CAST(LEAST(64, n - start_pos) AS BIGINT) AS n_chunk_tokens,
        array_to_string(toks[start_pos + 1:start_pos + 64], ' ') AS chunk_text
 FROM chunks
+"""
+
+
+from access_log_parser_spark.operators.webtext import (
+    CONTROL_RE as _CONTROL_RE,
+    MOJIBAKE_RE as _MOJIBAKE_RE,
+)
+
+_ORACLE["host_frequency_cap"] = """
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM ranked WHERE rk <= 20 GROUP BY 1
+"""
+
+# the same regexes the operator uses (webtext.MOJIBAKE_RE / CONTROL_RE):
+# literal alternations and a \\x-escaped C0 class parse identically under
+# Java regex (Spark) and RE2 (DuckDB)
+_ORACLE["encoding_signals"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+    COALESCE(text, '') ||
+    CASE WHEN doc_id % 5 = 0 THEN chr(65533) || ' x ' || chr(1) || chr(2)
+         WHEN doc_id % 7 = 0 THEN chr(195) || chr(169) || ' q ' ||
+                                  chr(226) || chr(8364) || chr(8482)
+         ELSE '' END AS text
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+    CAST(len(regexp_extract_all(text, chr(65533))) AS BIGINT) AS n_replacement,
+    CAST(len(regexp_extract_all(text, '{_CONTROL_RE}')) AS BIGINT) AS n_control,
+    CAST(len(regexp_extract_all(text, '{_MOJIBAKE_RE}')) AS BIGINT) AS n_mojibake
+  FROM planted
+)
+SELECT doc_id, n_replacement, n_control, n_mojibake,
+       CAST(n_replacement + n_control + n_mojibake <= 0 AS BIGINT) AS enc_clean
+FROM sig
+"""
+
+_ORACLE["quantize_embeddings"] = """
+WITH a AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+  FROM embeddings
+), c AS (
+  SELECT vec_id, amax,
+         CASE WHEN amax = 0
+              THEN list_transform(v, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(
+                     v, x -> CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT))
+         END AS codes
+  FROM a
+)
+SELECT vec_id,
+       CAST(len(codes) AS BIGINT) AS dim,
+       CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+       CAST(list_min(codes) AS BIGINT) AS min_code,
+       CAST(list_max(codes) AS BIGINT) AS max_code,
+       ROUND(amax / 127.0, 9) AS scale_r9
+FROM c
+"""
+
+# SemDedup: centroid pick, dot-product argmax (ties to the HIGHER centroid
+# id — Spark's array_max over (score, cell) structs), min-id-owner prune.
+_ORACLE["semdedup"] = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), planted AS (
+  SELECT vec_id AS id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000 AS id, v FROM base WHERE vec_id % 10 = 0
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM base
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 6
+), scored AS (
+  SELECT p.id, p.v, c.cid, list_dot_product(p.v, c.cv) AS s
+  FROM planted p CROSS JOIN cent c
+), asg AS (
+  SELECT id, v, cid AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY id ORDER BY s DESC, cid DESC) AS rk
+    FROM scored) WHERE rk = 1
+), dropped AS (
+  SELECT DISTINCT b.id
+  FROM asg a JOIN asg b ON a.cell = b.cell AND a.id < b.id
+  WHERE ROUND(list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v))
+       * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.95
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(id) AS BIGINT) AS sum_id
+FROM asg WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id = asg.id)
+GROUP BY 1
+"""
+
+
+def _band_sql(src: str) -> str:
+    """The 4-band LSH key projection over a 16-column signature CTE —
+    same formula as _BAND_SELECTS, parameterized on the source CTE."""
+    return "\n  UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_idx, md5(concat_ws(',', {cols}))"
+        " AS band_key FROM {src}".format(
+            b=b,
+            cols=", ".join(
+                f"CAST(mh_{i} AS STRING)" for i in range(4 * b, 4 * b + 4)
+            ),
+            src=src,
+        )
+        for b in range(4)
+    )
+
+
+_ORACLE["cross_snapshot_dedup"] = f"""
+WITH old AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+), new0 AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 0
+), newp AS (
+  SELECT n.doc_id, n.source,
+    CASE WHEN n.doc_id % 11 = 3 AND o.text IS NOT NULL THEN o.text
+         WHEN n.doc_id % 11 = 5 AND o.text IS NOT NULL THEN o.text || ' zz tail'
+         ELSE n.text END AS text
+  FROM new0 n LEFT JOIN old o ON n.doc_id - n.doc_id % 7 = o.doc_id
+), oldfp AS (
+  SELECT DISTINCT md5({_NORM_TEXT}) AS fp FROM old WHERE text IS NOT NULL
+), kept1 AS (
+  SELECT * FROM newp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM oldfp WHERE oldfp.fp = md5({_NORM_TEXT}))
+), toks_old AS (
+  SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t
+  FROM old WHERE text IS NOT NULL
+), grams_old AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks_old, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+), sig_old AS (
+  SELECT doc_id, {_MH_ALL} FROM grams_old GROUP BY doc_id
+), bands_old AS (
+  {_band_sql('sig_old')}
+), toks_new AS (
+  SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t
+  FROM kept1 WHERE text IS NOT NULL
+), grams_new AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks_new, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+), sig_new AS (
+  SELECT doc_id, {_MH_ALL} FROM grams_new GROUP BY doc_id
+), bands_new AS (
+  {_band_sql('sig_new')}
+), near_hit AS (
+  SELECT DISTINCT n.doc_id
+  FROM bands_new n JOIN bands_old o
+    ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+FROM kept1
+WHERE NOT EXISTS (SELECT 1 FROM near_hit h WHERE h.doc_id = kept1.doc_id)
+GROUP BY 1
+"""
+
+_ORACLE["perplexity_buckets"] = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         UNNEST(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, COUNT(*) AS c FROM toks GROUP BY 1
+), tot AS (SELECT SUM(c) AS t FROM counts),
+scored AS (
+  SELECT toks.doc_id, toks.source,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         ROUND(AVG(ln(CAST(counts.c AS DOUBLE) / CAST(tot.t AS DOUBLE))), 4)
+           AS mean_logprob
+  FROM toks JOIN counts USING (token), tot
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, n_tokens, mean_logprob,
+       CAST(NTILE(3) OVER (
+         PARTITION BY source ORDER BY mean_logprob DESC, doc_id) AS BIGINT)
+         AS bucket
+FROM scored
 """
 
 

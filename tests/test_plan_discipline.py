@@ -28,6 +28,7 @@ BNLJ_ALLOWED = {
     "idf_tokens",       # 1-row broadcast side (corpus size scalar)
     "unigram_logprob",  # 1-row broadcast side (corpus token total scalar)
     "temperature_mixture",  # 1-row broadcast side (stratum-count totals) x |strata|
+    "perplexity_buckets",  # 1-row broadcast side (corpus token total scalar)
 }
 
 
