@@ -2242,6 +2242,80 @@ def _q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (sampling.dsir_select): raw corpus =
+    docs 0-399, target = docs 400-449; hashed-unigram (256-bucket)
+    importance log-weights, keep the 50 most target-like. Oracle replays
+    the md5 bucketing, add-1 smoothing and log-ratio sum in DuckDB —
+    weights are bit-exact, selection a total order."""
+    from access_log_parser_spark.operators.sampling import dsir_select
+
+    docs = _docs_par(spark, sf_dir)
+    raw = docs.filter(F.col("doc_id") < 400)
+    tgt = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450))
+    return dsir_select(raw, tgt, k=50, buckets=256)
+
+
+def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle (sampling.epoch_shuffle):
+    epoch-3 permutation of docs 0-499 by md5('3:'||doc_id) rank; the
+    oracle is the same ROW_NUMBER in DuckDB."""
+    from access_log_parser_spark.operators.sampling import epoch_shuffle
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    return epoch_shuffle(docs.select("doc_id"), epoch=3)
+
+
+def _q_keep_best_duplicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact-dup resolution (dedup.keep_best_duplicate):
+    THREE planted copies per doc (ids +0/+100000/+200000) with synthetic
+    score = doc_id % 7 — the winner per content group must be the
+    argmax-score copy (tie -> min id), NOT the min-id copy that plain
+    exact dedup keeps."""
+    from access_log_parser_spark.operators.dedup import keep_best_duplicate
+
+    base = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 200).select(
+        "doc_id", "text"
+    )
+    corpus = base.unionAll(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).unionAll(base.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    scored = corpus.withColumn("score", (F.col("doc_id") % 7).cast("double"))
+    return keep_best_duplicate(scored, "score")
+
+
+def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft URL-spam scoring (webtext.url_spam_score): every 10th doc
+    carries a lexicon-stuffed hyphenated-host URL, every 7th a
+    digit-heavy host, the rest clean news URLs; the oracle replays the
+    weighted substring counts + structural signals with
+    regexp_extract_all."""
+    from access_log_parser_spark.operators.webtext import url_spam_score
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    spam = F.concat(F.lit("http://free-porn-casino-7."), k, F.lit(".example/xxx?ad=viagra"))
+    digity = F.concat(F.lit("http://12345"), k, F.lit(".example/page/"), k)
+    clean = F.concat(F.lit("https://news.example"), (F.col("doc_id") % 5).cast("string"), F.lit(".org/article/"), k)
+    pages = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 == 0, spam)
+        .when(F.col("doc_id") % 7 == 0, digity)
+        .otherwise(clean)
+        .alias("url"),
+    )
+    return url_spam_score(pages)
+
+
+def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token Shannon entropy (text_quality.token_entropy) over
+    the whole documents table; oracle replays the ln(n) - sum(c ln c)/n
+    identity over the same (doc_id, token) counts."""
+    from access_log_parser_spark.operators.text_quality import token_entropy
+
+    return token_entropy(_docs_par(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse+route the CLF corpus derived from sf0.001 events,
     enrich per-sink counts — the north_rule pipeline in one DataFrame."""
@@ -2257,6 +2331,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "dsir_select",
+    "epoch_shuffle",
+    "keep_best_duplicate",
+    "url_spam_score",
+    "token_entropy",
     "host_frequency_cap",
     "encoding_signals",
     "quantize_embeddings",
@@ -2316,6 +2395,11 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "dsir_select": _q_dsir_select,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "keep_best_duplicate": _q_keep_best_duplicate,
+        "url_spam_score": _q_url_spam_score,
+        "token_entropy": _q_token_entropy,
         "parse_clf_fields": _q_parse_clf_fields,
         "parse_s3_fallbacks": _q_parse_s3_fallbacks,
         "parse_ltsv": _q_parse_ltsv,
@@ -4276,6 +4360,124 @@ SELECT doc_id, source, n_tokens, mean_logprob,
          PARTITION BY source ORDER BY mean_logprob DESC, doc_id) AS BIGINT)
          AS bucket
 FROM scored
+"""
+
+
+_ORACLE["dsir_select"] = r"""
+WITH raw_toks AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS bucket
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) u(tok)
+  WHERE doc_id < 400
+), tgt_toks AS (
+  SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS bucket
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) u(tok)
+  WHERE doc_id >= 400 AND doc_id < 450
+), rc AS (SELECT bucket, COUNT(*) AS c FROM raw_toks GROUP BY 1),
+   tc AS (SELECT bucket, COUNT(*) AS c FROM tgt_toks GROUP BY 1),
+   rt AS (SELECT SUM(c) AS t FROM rc),
+   tt AS (SELECT SUM(c) AS t FROM tc),
+   lam AS (
+     SELECT COALESCE(rc.bucket, tc.bucket) AS bucket,
+            ln((COALESCE(tc.c, 0) + 1.0) / (tt.t + 256.0))
+          - ln((COALESCE(rc.c, 0) + 1.0) / (rt.t + 256.0)) AS lam
+     FROM rc FULL OUTER JOIN tc ON rc.bucket = tc.bucket, rt, tt
+   ), w AS (
+     SELECT r.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            ROUND(SUM(l.lam), 4) AS logweight
+     FROM raw_toks r JOIN lam l USING (bucket)
+     GROUP BY 1
+   )
+SELECT doc_id, n_tokens, logweight FROM w
+ORDER BY logweight DESC, doc_id
+LIMIT 50
+"""
+
+_ORACLE["epoch_shuffle"] = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY md5('3:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS position
+FROM documents WHERE doc_id < 500
+"""
+
+_ORACLE["keep_best_duplicate"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+), corpus AS (
+  SELECT doc_id, text FROM base
+  UNION ALL SELECT doc_id + 100000, text FROM base
+  UNION ALL SELECT doc_id + 200000, text FROM base
+), scored AS (
+  SELECT doc_id, md5({_NORM_TEXT}) AS fp,
+         CAST(doc_id % 7 AS DOUBLE) AS score
+  FROM corpus WHERE text IS NOT NULL
+), r AS (
+  SELECT doc_id, fp, score,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY score DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY fp) AS n
+  FROM scored
+)
+SELECT doc_id, fp, score, CAST(n AS BIGINT) AS n_dups FROM r WHERE rk = 1
+"""
+
+from access_log_parser_spark.operators.webtext import (  # noqa: E402
+    URL_SPAM_TERMS as _URL_SPAM_TERMS,
+)
+
+_URL_TERM_SCORE_SQL = " + ".join(
+    f"{w} * len(regexp_extract_all(u, '{t}'))" for t, w in _URL_SPAM_TERMS
+)
+_ORACLE["url_spam_score"] = f"""
+WITH pages AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 10 = 0 THEN
+        'http://free-porn-casino-7.' || CAST(doc_id AS VARCHAR)
+          || '.example/xxx?ad=viagra'
+      WHEN doc_id % 7 = 0 THEN
+        'http://12345' || CAST(doc_id AS VARCHAR) || '.example/page/'
+          || CAST(doc_id AS VARCHAR)
+      ELSE
+        'https://news.example' || CAST(doc_id % 5 AS VARCHAR)
+          || '.org/article/' || CAST(doc_id AS VARCHAR)
+    END AS url
+  FROM documents WHERE doc_id < 500
+), lowered AS (
+  SELECT doc_id, url, lower(url) AS u,
+         regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/:?#]*)', 1)
+           AS host
+  FROM pages
+), scored AS (
+  SELECT doc_id, url,
+    ({_URL_TERM_SCORE_SQL})
+    + CASE WHEN CAST(len(regexp_extract_all(host, '[0-9]')) AS DOUBLE)
+                / GREATEST(length(host), 1) > 0.3 THEN 2 ELSE 0 END
+    + CASE WHEN len(regexp_extract_all(host, '-')) >= 3 THEN 2 ELSE 0 END
+      AS s
+  FROM lowered
+)
+SELECT doc_id, url, CAST(s AS BIGINT) AS spam_score, s >= 5 AS is_spam
+FROM scored
+"""
+
+_ORACLE["token_entropy"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'))
+           AS token
+  FROM documents
+), pt AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM toks GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       COALESCE(ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4), 0.0)
+         AS entropy
+FROM pt GROUP BY 1
 """
 
 

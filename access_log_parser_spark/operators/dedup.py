@@ -19,7 +19,7 @@ import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType,
     LongType,
@@ -710,3 +710,42 @@ def cross_snapshot_dedup(
         .distinct()
     )
     return kept.join(near_hit, "doc_id", "left_anti")
+
+
+def keep_best_duplicate(
+    df: DataFrame,
+    score_col: str,
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-aware exact-dedup resolution: within each group of
+    byte-identical (normalized) documents keep the HIGHEST-``score_col``
+    copy instead of the arbitrary min-id one — the policy real curation
+    pipelines want when duplicates differ in provenance metadata (e.g.
+    keep the copy from the cleanest snapshot / highest-quality mirror).
+    Ties break to the lowest doc_id so the winner is a total order and
+    engine-reproducible.
+
+    Returns (doc_id, fp, <score_col>, n_dups) — one row per group, the
+    surviving copy, with the group's duplicate count.
+
+    Plan at 100 TB: one exchange on the md5 fingerprint (same key as
+    :func:`exact_duplicates`), then a per-group window rank — output is
+    one row per distinct content, never wider than the input. Composes
+    with any score (quality_score_col, linear_quality_score_col, or a
+    provenance rank) as a plain column.
+    """
+    fp = F.md5(normalized(F.col(text_col)))
+    w = Window.partitionBy("fp").orderBy(
+        F.col(score_col).desc(), F.col("doc_id").asc()
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select("doc_id", F.col(score_col), fp.alias("fp"))
+        .withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_dups", F.count(F.lit(1)).over(Window.partitionBy("fp")).cast("long")
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .select("doc_id", "fp", score_col, "n_dups")
+    )

@@ -142,3 +142,137 @@ def temperature_mixture_sample(
         .filter(bucket < F.col("rate_ppm"))
         .drop("stratum", "n_in", "rate_ppm")
     )
+
+
+def dsir_logweights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    buckets: int = 4096,
+    smooth: float = 1.0,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection via
+    Importance Resampling"): score every raw-corpus document by how much
+    more likely its hashed-unigram bag is under the *target* corpus's
+    distribution than under the raw corpus's own —
+
+        lambda(b) = ln p_target(b) - ln p_raw(b)     (per hash bucket b)
+        logweight(doc) = round(sum over doc tokens of lambda(bucket(tok)), 4)
+
+    with add-``smooth`` smoothing on both distributions so unseen buckets
+    stay finite. Feature hashing uses the repo's engine-portable md5
+    bucket (:func:`hash_bucket`) so a DuckDB oracle reproduces weights
+    bit-for-bit — no RNG, no model file.
+
+    Returns (doc_id, n_tokens, logweight).
+
+    Plan shape at 100 TB: two token-keyed counts (ONE shuffle each, with
+    map-side partial agg) reduce both corpora to <= ``buckets`` rows;
+    the lambda table is a bucket-keyed outer join of those two tiny aggs
+    and is **broadcast** onto the exploded raw tokens (zero fact-side
+    join shuffle); the per-doc re-agg is the only other fact shuffle.
+    Same shape as text_quality.unigram_logprob, which this generalizes
+    from self-scoring to target-vs-raw scoring.
+    """
+    from .text_quality import tokens
+
+    def _bucketed(df: DataFrame):
+        return df.select(
+            F.col("doc_id"),
+            F.explode(
+                tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("token"),
+        ).select(
+            "doc_id", hash_bucket(F.col("token"), buckets).alias("bucket")
+        )
+
+    raw_toks = _bucketed(raw)
+    tgt_toks = _bucketed(target)
+
+    def _dist(toks: DataFrame, name: str):
+        counts = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+        total = counts.agg(F.sum("c").alias("t"))
+        return counts.join(F.broadcast(total)).select(
+            "bucket",
+            F.log(
+                (F.col("c") + F.lit(smooth))
+                / (F.col("t") + F.lit(smooth * buckets))
+            ).alias(f"_lp_{name}"),
+            F.col("t").alias(f"_t_{name}"),
+        )
+
+    p_raw = _dist(raw_toks, "raw")
+    p_tgt = _dist(tgt_toks, "tgt")
+    # Outer join over the (<= buckets)-row aggregates; a bucket missing
+    # from one side gets that side's smoothed floor ln(smooth / (t + s*B)).
+    t_raw = p_raw.agg(F.max("_t_raw").alias("tr"))
+    t_tgt = p_tgt.agg(F.max("_t_tgt").alias("tt"))
+    lam = (
+        p_raw.join(p_tgt, "bucket", "full_outer")
+        .join(F.broadcast(t_raw))
+        .join(F.broadcast(t_tgt))
+        .select(
+            "bucket",
+            (
+                F.coalesce(
+                    F.col("_lp_tgt"),
+                    F.log(F.lit(smooth) / (F.col("tt") + F.lit(smooth * buckets))),
+                )
+                - F.coalesce(
+                    F.col("_lp_raw"),
+                    F.log(F.lit(smooth) / (F.col("tr") + F.lit(smooth * buckets))),
+                )
+            ).alias("_lam"),
+        )
+    )
+    return (
+        raw_toks.join(F.broadcast(lam), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.sum("_lam"), 4).alias("logweight"),
+        )
+    )
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    text_col: str = "text",
+    buckets: int = 4096,
+    smooth: float = 1.0,
+) -> DataFrame:
+    """Select the ``k`` raw documents most target-like by DSIR log-weight
+    (ties broken by doc_id, so selection is a total order and
+    engine-reproducible). A global top-k is a TakeOrdered — per-partition
+    heaps then a driver merge of k rows, no full sort — so it scales to
+    any corpus size as long as k is driver-sized."""
+    w = dsir_logweights(raw, target, text_col, buckets, smooth)
+    return w.orderBy(F.col("logweight").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def epoch_shuffle(
+    df: DataFrame, key_col: str = "doc_id", epoch: int = 0
+) -> DataFrame:
+    """Deterministic training-order shuffle for one epoch: global position
+    = rank of md5(epoch || ':' || key). Every epoch is a different but
+    reproducible permutation; membership of position is a pure function
+    of (epoch, key), so two engines — or the same job re-run after
+    failure — emit the identical order (the shuffle a dataloader needs
+    to resume mid-epoch without replaying data).
+
+    Returns the input plus a 1-based ``position`` column.
+
+    Plan at scale: a total order is a range exchange + per-partition sort
+    (Spark samples the hash key space to build balanced range bounds);
+    md5 output is uniform, so the range partitions are balanced by
+    construction — no skew, no single-reducer sort. The window here is
+    over the WHOLE frame only to number rows; at 100 TB a deployment
+    writes `orderBy(_ord)` directly (positions implicit in file order)
+    or uses zipWithIndex-style per-partition offsets; the explicit
+    row_number keeps the operator's contract oracle-checkable.
+    """
+    ordk = F.md5(F.concat_ws(":", F.lit(str(epoch)), F.col(key_col).cast("string")))
+    w = Window.orderBy(ordk.asc(), F.col(key_col).asc())
+    return df.withColumn("position", F.row_number().over(w).cast("long"))

@@ -427,3 +427,47 @@ def perplexity_buckets(
         "mean_logprob",
         "bucket",
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the information-density quality signal: boilerplate and keyword-stuffed
+    spam repeat a few tokens (low entropy), fluent prose spreads mass
+    across its vocabulary (high entropy, bounded by ln(distinct)).
+
+    Computed by the shuffle-friendly identity
+
+        H = -sum (c/n) ln(c/n)  =  ln(n) - (sum c ln c) / n
+
+    so one (doc_id, token) count plus one per-doc agg suffices — no
+    window, no within-row O(distinct x n) scan. Returns
+    (doc_id, n_tokens, n_distinct, entropy), entropy rounded to 4 dp
+    (the repo's float-drift absorber). Empty/NULL text tokenizes to the
+    single empty token (the :func:`tokens` split semantics the oracles
+    share), so such docs yield (1, 1, 0.0).
+
+    Plan at 100 TB: explode -> two partial-agg shuffles keyed on
+    doc_id(+token); output one row per doc. Contrast
+    repetition_signals' top-word HOF, which trades the shuffle for a
+    capped within-row scan — entropy wants exact global-in-doc counts,
+    so the keyed agg is the right plan.
+    """
+    toks = df.select(
+        "doc_id",
+        F.explode_outer(
+            tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("token"),
+    )
+    per_tok = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    real = F.col("token").isNotNull()
+    n = F.sum(F.when(real, F.col("c")).otherwise(0)).cast("long")
+    s = F.sum(F.when(real, F.col("c") * F.log(F.col("c"))).otherwise(0.0))
+    return per_tok.groupBy("doc_id").agg(
+        n.alias("n_tokens"),
+        F.count(F.when(real, 1)).cast("long").alias("n_distinct"),
+        F.coalesce(
+            F.round(F.log(n) - s / n, 4), F.lit(0.0)
+        ).alias("entropy"),
+    )

@@ -872,3 +872,61 @@ def encoding_signals(
         sig["n_mojibake"].alias("n_mojibake"),
         (total <= F.lit(max_noise)).alias("enc_clean"),
     )
+
+
+# Soft URL-spam lexicon (public-knowledge adult/gambling/pharma tokens, the
+# UT1/FineWeb-style URL filtering move). Weights are integers so the score
+# is integer-exact across engines.
+URL_SPAM_TERMS: list[tuple[str, int]] = [
+    ("porn", 5),
+    ("xxx", 4),
+    ("casino", 4),
+    ("viagra", 5),
+    ("lottery", 3),
+    ("escort", 4),
+    ("poker", 3),
+    ("adult", 2),
+    ("webcam", 2),
+    ("pills", 2),
+]
+
+
+def url_spam_score(
+    df: DataFrame,
+    url_col: str = "url",
+    threshold: int = 5,
+    terms: list[tuple[str, int]] | None = None,
+) -> DataFrame:
+    """Soft (weighted-lexicon) URL spam scoring — the URL-level filter
+    FineWeb/RefinedWeb run before fetching or keeping a page: each
+    lexicon term contributes ``weight x occurrences`` in the lowercased
+    URL, plus two structural signals spam URLs over-index on — a
+    digit-heavy host (>30% digits scores 2) and a hyphen-stuffed host
+    (>= 3 '-' scores 2). ``is_spam`` = score >= threshold.
+
+    Complements :func:`host_suffix_filter` (the HARD blocklist): the
+    soft score catches hosts no list has seen yet. Returns
+    (doc_id, url, spam_score, is_spam).
+
+    Plan at 100 TB: pure per-row projection (regexp_count + length
+    arithmetic, whole-stage codegen) — zero shuffles, composes into any
+    curation gate as a column.
+    """
+    terms = URL_SPAM_TERMS if terms is None else terms
+    u = F.lower(F.coalesce(F.col(url_col), F.lit("")))
+    host = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1)
+    score = F.lit(0)
+    for term, weight in terms:
+        score = score + F.lit(weight) * F.regexp_count(u, F.lit(term))
+    host_len = F.greatest(F.length(host), F.lit(1))
+    digit_frac = F.regexp_count(host, F.lit(r"[0-9]")) / host_len
+    score = score + F.when(digit_frac > 0.3, F.lit(2)).otherwise(F.lit(0))
+    score = score + F.when(
+        F.regexp_count(host, F.lit("-")) >= 3, F.lit(2)
+    ).otherwise(F.lit(0))
+    return df.select(
+        "doc_id",
+        F.col(url_col).alias("url"),
+        score.cast("long").alias("spam_score"),
+        (score >= F.lit(threshold)).alias("is_spam"),
+    )

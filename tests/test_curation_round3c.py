@@ -1,0 +1,189 @@
+"""Round-3 third-wave operators: DSIR importance resampling, deterministic
+epoch shuffle, quality-aware exact-dup resolution, soft URL-spam scoring,
+per-doc token entropy.
+
+Each test checks semantics against a hand-computable or brute-force
+reference; the cross-engine value checks live in the driver oracle
+queries (__spark_entry__.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from access_log_parser_spark.operators.dedup import keep_best_duplicate
+from access_log_parser_spark.operators.sampling import (
+    dsir_logweights,
+    dsir_select,
+    epoch_shuffle,
+)
+from access_log_parser_spark.operators.text_quality import token_entropy
+from access_log_parser_spark.operators.webtext import url_spam_score
+
+
+def _bucket(tok: str, buckets: int) -> int:
+    return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % buckets
+
+
+def _dsir_brute(raw: dict[int, str], target: list[str], buckets: int,
+                smooth: float = 1.0) -> dict[int, float]:
+    """Python replay of the hashed-unigram importance weights."""
+    raw_c: Counter = Counter()
+    for text in raw.values():
+        raw_c.update(_bucket(t, buckets) for t in text.split())
+    tgt_c: Counter = Counter()
+    for text in target:
+        tgt_c.update(_bucket(t, buckets) for t in text.split())
+    tr, tt = sum(raw_c.values()), sum(tgt_c.values())
+
+    def lam(b: int) -> float:
+        lp_t = math.log((tgt_c.get(b, 0) + smooth) / (tt + smooth * buckets))
+        lp_r = math.log((raw_c.get(b, 0) + smooth) / (tr + smooth * buckets))
+        return lp_t - lp_r
+
+    return {
+        d: round(sum(lam(_bucket(t, buckets)) for t in text.split()), 4)
+        for d, text in raw.items()
+    }
+
+
+# ------------------------------------------------------------------- DSIR
+def test_dsir_logweights_match_brute_force(spark):
+    raw = {
+        0: "the cat sat on the mat",
+        1: "quantum flux capacitors reticulate splines",
+        2: "the dog sat on the log",
+        3: "cat mat the the",
+    }
+    target = ["the cat likes the mat", "a cat on a mat"]
+    df = spark.createDataFrame([Row(doc_id=d, text=t) for d, t in raw.items()])
+    tgt = spark.createDataFrame([Row(doc_id=i, text=t)
+                                 for i, t in enumerate(target)])
+    got = {r["doc_id"]: r["logweight"]
+           for r in dsir_logweights(df, tgt, buckets=64).collect()}
+    want = _dsir_brute(raw, target, 64)
+    assert got.keys() == want.keys()
+    for d in want:
+        assert abs(got[d] - want[d]) < 1e-9, (d, got[d], want[d])
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    # target-vocabulary docs must outrank the off-vocabulary one
+    raw = {
+        0: "alpha beta gamma alpha beta",
+        1: "zzz qqq xxx www vvv",
+        2: "alpha beta alpha beta gamma",
+    }
+    target = ["alpha beta gamma", "beta gamma alpha"]
+    df = spark.createDataFrame([Row(doc_id=d, text=t) for d, t in raw.items()])
+    tgt = spark.createDataFrame([Row(doc_id=i, text=t)
+                                 for i, t in enumerate(target)])
+    top = [r["doc_id"] for r in dsir_select(df, tgt, 2, buckets=64).collect()]
+    assert set(top) == {0, 2}
+
+
+# ---------------------------------------------------------- epoch shuffle
+def test_epoch_shuffle_matches_md5_order_and_varies_by_epoch(spark):
+    df = spark.createDataFrame([Row(doc_id=i) for i in range(40)])
+    got1 = {r["doc_id"]: r["position"]
+            for r in epoch_shuffle(df, epoch=1).collect()}
+    order = sorted(
+        range(40),
+        key=lambda i: (hashlib.md5(f"1:{i}".encode()).hexdigest(), i),
+    )
+    want = {d: p + 1 for p, d in enumerate(order)}
+    assert got1 == want
+    got2 = {r["doc_id"]: r["position"]
+            for r in epoch_shuffle(df, epoch=2).collect()}
+    assert got1 != got2  # different epoch -> different permutation
+    assert sorted(got2.values()) == list(range(1, 41))  # still a permutation
+
+
+# ------------------------------------------------------ keep_best_duplicate
+def test_keep_best_duplicate_picks_argmax_score(spark):
+    rows = [
+        Row(doc_id=1, text="same text", score=1.0),
+        Row(doc_id=2, text="same text", score=9.0),
+        Row(doc_id=3, text="same text", score=5.0),
+        Row(doc_id=4, text="unique", score=0.0),
+        Row(doc_id=5, text=None, score=7.0),  # NULL text dropped
+    ]
+    out = keep_best_duplicate(spark.createDataFrame(rows), "score")
+    got = {r["doc_id"]: (r["score"], r["n_dups"]) for r in out.collect()}
+    assert got == {2: (9.0, 3), 4: (0.0, 1)}
+
+
+def test_keep_best_duplicate_tie_breaks_to_min_id(spark):
+    rows = [Row(doc_id=i, text="t", score=3.0) for i in (7, 3, 9)]
+    out = keep_best_duplicate(spark.createDataFrame(rows), "score").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 3
+
+
+def test_keep_best_duplicate_normalizes_whitespace_and_case(spark):
+    rows = [
+        Row(doc_id=1, text="Hello  World", score=1.0),
+        Row(doc_id=2, text="hello world", score=2.0),
+    ]
+    out = keep_best_duplicate(spark.createDataFrame(rows), "score").collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 2
+
+
+# ------------------------------------------------------------ url spam
+def test_url_spam_score_weights_and_structural_signals(spark):
+    rows = [
+        Row(doc_id=0, url="https://news.example.org/article/12"),
+        # porn(5) + xxx(4) + viagra(5) = 14, host hyphens>=3 -> +2
+        Row(doc_id=1, url="http://free-porn-xxx-now.example/viagra"),
+        # digit-heavy host -> +2 only (no lexicon hit)
+        Row(doc_id=2, url="http://1234567.ab/page"),
+        Row(doc_id=3, url=None),
+    ]
+    out = {r["doc_id"]: r for r in
+           url_spam_score(spark.createDataFrame(rows)).collect()}
+    assert out[0]["spam_score"] == 0 and not out[0]["is_spam"]
+    assert out[1]["spam_score"] == 16 and out[1]["is_spam"]
+    assert out[2]["spam_score"] == 2 and not out[2]["is_spam"]
+    assert out[3]["spam_score"] == 0 and not out[3]["is_spam"]
+
+
+def test_url_spam_score_counts_repeats(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=0, url="http://h.example/casino/casino")]
+    )
+    out = url_spam_score(df).collect()[0]
+    assert out["spam_score"] == 8  # 2 x casino(4)
+
+
+# ------------------------------------------------------------ entropy
+def test_token_entropy_matches_closed_form(spark):
+    rows = [
+        Row(doc_id=0, text="a a b"),          # H = -2/3 ln 2/3 - 1/3 ln 1/3
+        Row(doc_id=1, text="x x x x"),        # H = 0
+        Row(doc_id=2, text="p q r s"),        # H = ln 4
+        Row(doc_id=3, text=""),               # single empty token
+        Row(doc_id=4, text=None),
+    ]
+    out = {r["doc_id"]: r for r in
+           token_entropy(spark.createDataFrame(rows)).collect()}
+    h0 = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert out[0]["entropy"] == round(h0, 4)
+    assert out[0]["n_tokens"] == 3 and out[0]["n_distinct"] == 2
+    assert out[1]["entropy"] == 0.0
+    assert out[2]["entropy"] == round(math.log(4), 4)
+    assert out[3]["n_tokens"] == 1 and out[3]["entropy"] == 0.0
+    assert out[4]["n_tokens"] == 1 and out[4]["entropy"] == 0.0
+
+
+def test_token_entropy_bounded_by_log_distinct(spark):
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(100)
+    bad = token_entropy(docs).filter(
+        (F.col("entropy") < -1e-9)
+        | (F.col("entropy") > F.round(F.log(F.col("n_distinct")), 4) + 1e-9)
+    )
+    assert bad.count() == 0
