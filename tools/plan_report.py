@@ -109,6 +109,36 @@ SELECTED = [
      "domain-level quality gate: one per-domain agg exchange, then the "
      "bounded verdict table broadcasts back (BroadcastHashJoin) — no "
      "corpus-sized shuffle on the join"),
+    ("semdedup", False,
+     "centroid assignment is a broadcast of the (k<=16)-row centroid "
+     "table onto the corpus (BroadcastHashJoin after the argmax "
+     "projection); the cosine prune pairs only WITHIN a cluster — the "
+     "self-join is keyed on cluster_id, never all-pairs"),
+    ("cross_snapshot_dedup", False,
+     "both anti-joins (exact md5, MinHash band keys) are keyed "
+     "equi-joins against the previous snapshot's key sets — the new "
+     "crawl shuffles once per key space, the old snapshot is reduced to "
+     "its keys before joining; no all-pairs comparison anywhere"),
+    ("host_frequency_cap", False,
+     "one exchange on the host key + window rank; the content-addressed "
+     "(md5(id), id) pick needs no second pass and output is <= k rows "
+     "per host regardless of skew"),
+    ("perplexity_buckets", False,
+     "the corpus-unigram LM score reuses unigram_logprob's ONE "
+     "token-keyed count + broadcast score join; the per-group ntile is "
+     "one exchange on the group key"),
+    ("dsir_select", False,
+     "both corpora reduce to <= buckets rows via token-keyed counts "
+     "(map-side partials); the lambda table is broadcast onto the "
+     "exploded raw tokens (zero fact-side join shuffle); top-k is "
+     "TakeOrderedAndProject, never a global sort"),
+    ("token_entropy", False,
+     "two keyed partial-agg shuffles — (doc_id, token) count then "
+     "per-doc agg via the ln(n) - sum(c ln c)/n identity; no window, "
+     "no within-row O(distinct x n) scan"),
+    ("keep_best_duplicate", False,
+     "one exchange on the md5 fingerprint + per-group window rank; "
+     "output one row per distinct content"),
 ]
 
 
