@@ -2307,6 +2307,24 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_cross_snapshot_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact cross-snapshot dedup
+    (dedup.cross_snapshot_dedup_bloom): old snapshot = docs 0-299, new
+    crawl = every doc re-keyed +10000 (so 300 re-crawls + 200 new
+    pages). The Bloom bitmap of the old fingerprints is built with
+    DataFrame bit_or aggregation and probed as a broadcast literal —
+    the output is provably identical to the plain anti-join, which is
+    exactly what the oracle runs."""
+    from access_log_parser_spark.operators.dedup import (
+        cross_snapshot_dedup_bloom,
+    )
+
+    docs = _docs_par(spark, sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 300)
+    new = docs.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    return cross_snapshot_dedup_bloom(new, old)
+
+
 def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token Shannon entropy (text_quality.token_entropy) over
     the whole documents table; oracle replays the ln(n) - sum(c ln c)/n
@@ -2331,6 +2349,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "cross_snapshot_bloom",
     "dsir_select",
     "epoch_shuffle",
     "keep_best_duplicate",
@@ -2395,6 +2414,7 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "cross_snapshot_bloom": _q_cross_snapshot_bloom,
         "dsir_select": _q_dsir_select,
         "epoch_shuffle": _q_epoch_shuffle,
         "keep_best_duplicate": _q_keep_best_duplicate,
@@ -4461,6 +4481,18 @@ WITH pages AS (
 )
 SELECT doc_id, url, CAST(s AS BIGINT) AS spam_score, s >= 5 AS is_spam
 FROM scored
+"""
+
+_ORACLE["cross_snapshot_bloom"] = f"""
+WITH old_fp AS (
+  SELECT DISTINCT md5({_NORM_TEXT}) AS fp
+  FROM documents WHERE doc_id < 300 AND text IS NOT NULL
+), nw AS (
+  SELECT doc_id + 10000 AS doc_id, text, md5({_NORM_TEXT}) AS fp
+  FROM documents
+)
+SELECT doc_id, text FROM nw
+WHERE fp IS NULL OR fp NOT IN (SELECT fp FROM old_fp)
 """
 
 _ORACLE["token_entropy"] = r"""

@@ -749,3 +749,130 @@ def keep_best_duplicate(
         .drop("_rk")
         .select("doc_id", "fp", score_col, "n_dups")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter prefilter for cross-snapshot dedup
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(key: Column, m_bits: int, k: int) -> Column:
+    """k deterministic bit positions for ``key``: disjoint 8-hex-char
+    slices of md5 reduced mod ``m_bits`` (k <= 4 — md5 yields 32 hex
+    chars). Engine-portable: no seed, no platform hash."""
+    if not 1 <= k <= 4:
+        raise ValueError("k must be in 1..4 (md5 provides 4 disjoint slices)")
+    h = F.md5(key)
+    return F.array(
+        *[
+            F.conv(F.substring(h, 1 + 8 * i, 8), 16, 10).cast("long")
+            % m_bits
+            for i in range(k)
+        ]
+    )
+
+
+def build_bloom(
+    df: DataFrame, key: Column, m_bits: int = 1 << 17, k: int = 4
+) -> list[int]:
+    """Aggregate a Bloom bitmap of ``key`` over ``df`` as ``m_bits/64``
+    packed int64 words — pure DataFrame ops (explode positions ->
+    word-keyed bit_or with map-side partials), then ONE bounded collect
+    of <= m_bits/64 rows (2^17 bits = 2048 longs = 16 KiB; even a
+    2^30-bit filter is 128 MiB, a legal broadcast). This is the
+    classical distributed Bloom build: commutative bit_or makes the
+    aggregation embarrassingly parallel and mergeable across executors.
+    """
+    if m_bits % 64:
+        raise ValueError("m_bits must be a multiple of 64")
+    pos = F.explode(_bloom_positions(key, m_bits, k)).alias("pos")
+    words = (
+        df.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("pos") % 64).cast("int"),
+            ).alias("bit"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    arr = [0] * (m_bits // 64)
+    for r in words.collect():
+        arr[int(r["w"])] = int(r["word"])
+    return arr
+
+
+def bloom_might_contain(
+    key: Column, bloom: list[int], k: int = 4
+) -> Column:
+    """Membership test against a :func:`build_bloom` bitmap shipped as a
+    broadcast literal array — true iff ALL k bits are set. No false
+    negatives by construction; false-positive rate ~ (1-e^(-k n/m))^k.
+    Pure expression (whole-stage codegen): element_at + bitwise AND per
+    probe, zero shuffles, zero UDFs."""
+    m_bits = len(bloom) * 64
+    words = F.lit(bloom)
+    return F.forall(
+        _bloom_positions(key, m_bits, k),
+        lambda p: (
+            F.element_at(words, (p / 64).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+            != 0
+        ),
+    )
+
+
+def cross_snapshot_dedup_bloom(
+    new_df: DataFrame,
+    old_df: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 17,
+    k: int = 4,
+) -> DataFrame:
+    """Exact cross-snapshot dedup with a Bloom prefilter — the
+    100-TB-scale variant of :func:`cross_snapshot_dedup` (exact stage):
+    instead of anti-joining the ENTIRE new crawl against the old
+    snapshot's fingerprint set, first probe a Bloom bitmap of the old
+    fingerprints (built once, broadcast as a literal array):
+
+      - bloom says ABSENT  -> definitely new, kept with ZERO join work
+        (no false negatives);
+      - bloom says PRESENT -> maybe-duplicate; only these rows enter the
+        exact anti-join, where false positives are weeded out.
+
+    The result is therefore EXACTLY the plain anti-join's output — the
+    Bloom never changes semantics, only shrinks the join's fact side
+    from |new| to |true dups| + |false positives|. For a monthly crawl
+    where 60-70%% of pages are re-crawls the join input still shrinks by
+    the new-page fraction; for a mostly-new crawl it shrinks by ~all of
+    it. Size ``m_bits`` ~ 10-15 bits/key for ~1%% FP (2^30 bits covers
+    ~10^8 keys at 1%%; per-partition region filters or the streaming
+    index take over beyond that).
+
+    NULL-text rows pass through unfiltered (missing data, not content —
+    same convention as :func:`cross_snapshot_dedup`).
+    """
+    fp = F.md5(normalized(F.col(text_col)))
+    old_keys = (
+        old_df.filter(F.col(text_col).isNotNull())
+        .select(fp.alias("_fp"))
+        .distinct()
+    )
+    bloom = build_bloom(old_keys, F.col("_fp"), m_bits, k)
+    probed = new_df.withColumn("_fp", fp).withColumn(
+        "_maybe",
+        F.when(
+            F.col(text_col).isNotNull(),
+            bloom_might_contain(F.col("_fp"), bloom, k),
+        ).otherwise(F.lit(False)),
+    )
+    definitely_new = probed.filter(~F.col("_maybe"))
+    confirmed = probed.filter(F.col("_maybe")).join(
+        old_keys, "_fp", "left_anti"
+    )
+    return definitely_new.unionByName(confirmed).drop("_fp", "_maybe")

@@ -187,3 +187,76 @@ def test_token_entropy_bounded_by_log_distinct(spark):
         | (F.col("entropy") > F.round(F.log(F.col("n_distinct")), 4) + 1e-9)
     )
     assert bad.count() == 0
+
+
+# ------------------------------------------------------ bloom prefilter
+def _bloom_brute_positions(s: str, m_bits: int, k: int) -> list[int]:
+    h = hashlib.md5(s.encode()).hexdigest()
+    return [int(h[8 * i:8 * i + 8], 16) % m_bits for i in range(k)]
+
+
+def test_build_bloom_sets_exactly_the_expected_bits(spark):
+    from access_log_parser_spark.operators.dedup import build_bloom
+
+    keys = ["alpha", "beta", "gamma"]
+    df = spark.createDataFrame([Row(key=s) for s in keys])
+    bloom = build_bloom(df, F.col("key"), m_bits=256, k=4)
+    want = [0] * 4
+    for s in keys:
+        for p in _bloom_brute_positions(s, 256, 4):
+            want[p // 64] |= 1 << (p % 64)
+    # python ints are unbounded; spark longs are signed 64-bit
+    want = [w - (1 << 64) if w >= (1 << 63) else w for w in want]
+    assert bloom == want
+
+
+def test_bloom_might_contain_no_false_negatives(spark):
+    from access_log_parser_spark.operators.dedup import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    members = [f"member-{i}" for i in range(50)]
+    df = spark.createDataFrame([Row(key=s) for s in members])
+    bloom = build_bloom(df, F.col("key"), m_bits=4096, k=4)
+    probe = spark.createDataFrame(
+        [Row(key=s) for s in members + [f"other-{i}" for i in range(50)]]
+    ).withColumn("hit", bloom_might_contain(F.col("key"), bloom, k=4))
+    got = {r["key"]: r["hit"] for r in probe.collect()}
+    assert all(got[s] for s in members)  # zero false negatives, always
+
+
+def test_cross_snapshot_bloom_equals_plain_anti_join(spark):
+    from access_log_parser_spark.operators.dedup import (
+        cross_snapshot_dedup,
+        cross_snapshot_dedup_bloom,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") < 300)
+    new = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    plain = {r["doc_id"] for r in
+             cross_snapshot_dedup(new, old, near=False).collect()}
+    # tiny m forces false positives: result must STILL equal the anti-join
+    for m_bits in (256, 1 << 14):
+        got = {r["doc_id"] for r in
+               cross_snapshot_dedup_bloom(new, old, m_bits=m_bits).collect()}
+        assert got == plain, m_bits
+
+
+def test_cross_snapshot_bloom_passes_null_text_through(spark):
+    from access_log_parser_spark.operators.dedup import (
+        cross_snapshot_dedup_bloom,
+    )
+
+    old = spark.createDataFrame([Row(doc_id=1, text="seen before")])
+    new = spark.createDataFrame(
+        [Row(doc_id=10, text="seen before"),
+         Row(doc_id=11, text=None),
+         Row(doc_id=12, text="brand new")]
+    )
+    got = {r["doc_id"] for r in
+           cross_snapshot_dedup_bloom(new, old, m_bits=256).collect()}
+    assert got == {11, 12}
