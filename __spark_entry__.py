@@ -2307,6 +2307,68 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta crawl-compliance signals (webtext.robots_meta_signals)
+    over synthesized html payloads: doc_id % 4 plants name-first
+    noindex+nofollow with a canonical link / content-first nofollow /
+    canonical-only / plain — both attribute orders and the indexable
+    default all take both branches."""
+    from access_log_parser_spark.operators.webtext import robots_meta_signals
+
+    docs = _docs_par(spark, sf_dir)
+    k = F.col("doc_id").cast("string")
+    h = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit('<html><head><meta name="robots" content="noindex, '
+                      'nofollow"><link rel="canonical" '
+                      'href="https://canon.example/'),
+                k,
+                F.lit('"></head><body>'),
+                F.col("text"),
+                F.lit("</body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit('<html><head><meta content="nofollow" '
+                      'name="robots"></head><body>'),
+                F.col("text"),
+                F.lit("</body></html>"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit('<html><head><link rel="canonical" '
+                      'href="https://canon.example/c'),
+                k,
+                F.lit('"></head><body>'),
+                F.col("text"),
+                F.lit("</body></html>"),
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("<html><body>"), F.col("text"),
+                     F.lit("</body></html>"))
+        )
+    )
+    pages = docs.select("doc_id", F.encode(h, "utf-8").alias("html"))
+    return robots_meta_signals(pages)
+
+
+def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram/unigram LM fluency
+    (text_quality.bigram_logprob) over the whole documents table; the
+    oracle replays positions, lag, both count tables and the exact
+    interpolation constants in DuckDB."""
+    from access_log_parser_spark.operators.text_quality import bigram_logprob
+
+    return bigram_logprob(_docs_par(spark, sf_dir))
+
+
 def _q_cross_snapshot_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact cross-snapshot dedup
     (dedup.cross_snapshot_dedup_bloom): old snapshot = docs 0-299, new
@@ -2349,6 +2411,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "robots_meta",
+    "bigram_logprob",
     "cross_snapshot_bloom",
     "dsir_select",
     "epoch_shuffle",
@@ -2414,6 +2478,8 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "robots_meta": _q_robots_meta,
+        "bigram_logprob": _q_bigram_logprob,
         "cross_snapshot_bloom": _q_cross_snapshot_bloom,
         "dsir_select": _q_dsir_select,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -4481,6 +4547,88 @@ WITH pages AS (
 )
 SELECT doc_id, url, CAST(s AS BIGINT) AS spam_score, s >= 5 AS is_spam
 FROM scored
+"""
+
+from access_log_parser_spark.operators.webtext import (  # noqa: E402
+    CANONICAL_RE as _CANONICAL_RE,
+    ROBOTS_CONTENT_FIRST_RE as _ROBOTS_CONTENT_FIRST_RE,
+    ROBOTS_CONTENT_RE as _ROBOTS_CONTENT_RE,
+)
+
+
+def _sqlq(s: str) -> str:
+    """Escape a string for embedding in a single-quoted SQL literal."""
+    return s.replace("'", "''")
+
+
+_ORACLE["robots_meta"] = f"""
+WITH pages AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 4 = 0 THEN
+        '<html><head><meta name="robots" content="noindex, nofollow">'
+        || '<link rel="canonical" href="https://canon.example/'
+        || CAST(doc_id AS VARCHAR) || '"></head><body>' || text
+        || '</body></html>'
+      WHEN doc_id % 4 = 1 THEN
+        '<html><head><meta content="nofollow" name="robots"></head><body>'
+        || text || '</body></html>'
+      WHEN doc_id % 4 = 2 THEN
+        '<html><head><link rel="canonical" href="https://canon.example/c'
+        || CAST(doc_id AS VARCHAR) || '"></head><body>' || text
+        || '</body></html>'
+      ELSE '<html><body>' || text || '</body></html>'
+    END AS html
+  FROM documents
+), lowered AS (
+  SELECT doc_id, lower(html) AS t FROM pages
+), sig AS (
+  SELECT doc_id,
+    COALESCE(
+      NULLIF(regexp_extract(t, '{_sqlq(_ROBOTS_CONTENT_RE)}', 1), ''),
+      NULLIF(regexp_extract(t, '{_sqlq(_ROBOTS_CONTENT_FIRST_RE)}', 1), ''),
+      '') AS robots_content,
+    regexp_extract(t, '{_sqlq(_CANONICAL_RE)}', 1) AS canonical_url
+  FROM lowered
+)
+SELECT doc_id, robots_content,
+       contains(robots_content, 'noindex') AS noindex,
+       contains(robots_content, 'nofollow') AS nofollow,
+       canonical_url,
+       NOT contains(robots_content, 'noindex') AS indexable
+FROM sig
+"""
+
+_ORACLE["bigram_logprob"] = f"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, i AS pos, t[i] AS token,
+         CASE WHEN i > 1 THEN t[i-1] END AS prev
+  FROM docs, UNNEST(generate_series(1, len(t))) u(i)
+), uni AS (
+  SELECT token, COUNT(*) AS c_uni FROM toks GROUP BY 1
+), tot AS (SELECT SUM(c_uni) AS total FROM uni),
+bi AS (
+  SELECT prev, token, COUNT(*) AS c_bi FROM toks
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+), scored AS (
+  SELECT tk.doc_id,
+    CASE WHEN tk.prev IS NULL
+      THEN ln(u.c_uni / tot.total)
+      ELSE ln({0.7!r} * (COALESCE(b.c_bi, 0) / up.c_uni)
+              + {1.0 - 0.7!r} * (u.c_uni / tot.total))
+    END AS lp
+  FROM toks tk
+  JOIN uni u USING (token)
+  LEFT JOIN uni up ON up.token = tk.prev
+  LEFT JOIN bi b ON b.prev = tk.prev AND b.token = tk.token, tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(lp), 4) AS mean_logprob
+FROM scored GROUP BY 1
 """
 
 _ORACLE["cross_snapshot_bloom"] = f"""

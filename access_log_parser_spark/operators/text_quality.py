@@ -471,3 +471,84 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.log(n) - s / n, 4), F.lit(0.0)
         ).alias("entropy"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    lam: float = 0.7,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document mean log-probability under an interpolated
+    bigram/unigram LM trained on the corpus itself — the next step up
+    from :func:`unigram_logprob` toward the KenLM-style perplexity
+    filter CCNet runs:
+
+        p(tok_i | tok_{i-1}) = lam * c(prev,tok)/c(prev)
+                             + (1-lam) * c(tok)/T          (i >= 1)
+        p(tok_0)             = c(tok_0)/T                   (doc start)
+        mean_logprob(doc)    = round(avg ln p, 4)
+
+    Self-contained (the model IS the corpus's own counts), so the
+    DuckDB oracle reproduces scores exactly; no external model file.
+    Returns (doc_id, n_tokens, mean_logprob).
+
+    Plan shape at scale: positions come from ONE posexplode; the
+    previous token is a lag window on the doc-keyed exchange (no
+    self-join); unigram counts are a token-keyed agg broadcast onto the
+    stream twice (once for tok, once for prev — web vocabs are
+    dimension-sized after counting; ``broadcast_vocab=False`` turns
+    both into uniform token-keyed shuffle joins); bigram counts join on
+    the (prev, tok) pair key. Interpolation guarantees every observed
+    token scores finite even for unseen bigrams.
+    """
+    toks = df.select(
+        F.col("doc_id"),
+        F.posexplode(
+            tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.withColumn("prev", F.lag("token").over(w))
+
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("t"))
+    uni = uni.join(F.broadcast(total)).select(
+        "token", "c_uni", (F.col("c_uni") / F.col("t")).alias("p_uni")
+    )
+    bi = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+
+    def _side(dim: DataFrame) -> DataFrame:
+        return F.broadcast(dim) if broadcast_vocab else dim
+
+    scored = (
+        seq.join(_side(uni.select("token", "p_uni")), "token")
+        .join(
+            _side(
+                uni.select(
+                    F.col("token").alias("prev"), F.col("c_uni").alias("c_prev")
+                )
+            ),
+            "prev",
+            "left",
+        )
+        .join(_side(bi), ["prev", "token"], "left")
+        .withColumn(
+            "_lp",
+            F.when(F.col("prev").isNull(), F.log(F.col("p_uni"))).otherwise(
+                F.log(
+                    F.lit(lam)
+                    * (F.coalesce(F.col("c_bi"), F.lit(0)) / F.col("c_prev"))
+                    + F.lit(1.0 - lam) * F.col("p_uni")
+                )
+            ),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.avg("_lp"), 4).alias("mean_logprob"),
+    )

@@ -930,3 +930,58 @@ def url_spam_score(
         score.cast("long").alias("spam_score"),
         (score >= F.lit(threshold)).alias("is_spam"),
     )
+
+
+# Robots-meta extraction patterns (shared verbatim with the DuckDB oracle;
+# the page html is lowercased first, so no case flags — RE2-safe: no
+# backrefs, no lookaround). Both attribute orders are handled.
+ROBOTS_CONTENT_RE = (
+    r'<meta\s[^>]*name\s*=\s*["\x27]?robots["\x27]?[^>]*'
+    r'content\s*=\s*["\x27]([^"\x27>]*)'
+)
+ROBOTS_CONTENT_FIRST_RE = (
+    r'<meta\s[^>]*content\s*=\s*["\x27]([^"\x27>]*)["\x27][^>]*'
+    r'name\s*=\s*["\x27]?robots'
+)
+CANONICAL_RE = (
+    r'<link\s[^>]*rel\s*=\s*["\x27]?canonical["\x27]?[^>]*'
+    r'href\s*=\s*["\x27]([^"\x27>]*)'
+)
+
+
+def robots_meta_signals(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Crawl-compliance signals from the page payload: the
+    ``<meta name="robots">`` directives and the ``rel=canonical`` URL —
+    the filter a crawl pipeline MUST run before keeping a page (pages
+    marked noindex may not be retained in a published corpus, and the
+    canonical URL is the dedup key search engines use for re-hosted
+    content).
+
+    Returns (doc_id, robots_content, noindex, nofollow, canonical_url,
+    indexable). ``indexable`` = no noindex directive (absent meta =
+    indexable, the robots default). Handles both attribute orders
+    (name-then-content and content-then-name); first match wins, like
+    a real parser reading head-order.
+
+    Plan at 100 TB: pure per-row projection (decode + lowercase + three
+    RE2-safe regexp_extracts) — zero shuffles; composes with
+    :func:`html_to_text` on the same decoded pass."""
+    t = F.lower(F.decode(F.col(html_col), "utf-8"))
+    content = F.coalesce(
+        F.nullif(F.regexp_extract(t, ROBOTS_CONTENT_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(t, ROBOTS_CONTENT_FIRST_RE, 1), F.lit("")),
+        F.lit(""),
+    )
+    canonical = F.regexp_extract(t, CANONICAL_RE, 1)
+    noindex = content.contains("noindex")
+    nofollow = content.contains("nofollow")
+    return df.select(
+        F.col(id_col),
+        content.alias("robots_content"),
+        noindex.alias("noindex"),
+        nofollow.alias("nofollow"),
+        canonical.alias("canonical_url"),
+        (~noindex).alias("indexable"),
+    )

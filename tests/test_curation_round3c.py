@@ -260,3 +260,69 @@ def test_cross_snapshot_bloom_passes_null_text_through(spark):
     got = {r["doc_id"] for r in
            cross_snapshot_dedup_bloom(new, old, m_bits=256).collect()}
     assert got == {11, 12}
+
+
+# ------------------------------------------------------------ robots meta
+def test_robots_meta_signals_both_attribute_orders(spark):
+    from access_log_parser_spark.operators.webtext import robots_meta_signals
+
+    pages = spark.createDataFrame([
+        Row(doc_id=0, html='<html><head><meta name="robots" '
+                           'content="noindex, nofollow"><link rel="canonical" '
+                           'href="https://ex.com/a"></head></html>'.encode()),
+        Row(doc_id=1, html='<META CONTENT="nofollow" NAME="robots">'.encode()),
+        Row(doc_id=2, html=b"<html><body>plain page</body></html>"),
+        Row(doc_id=3, html="<meta name='robots' content='NOINDEX'>".encode()),
+    ])
+    out = {r["doc_id"]: r for r in robots_meta_signals(pages).collect()}
+    assert out[0]["noindex"] and out[0]["nofollow"] and not out[0]["indexable"]
+    assert out[0]["canonical_url"] == "https://ex.com/a"
+    assert not out[1]["noindex"] and out[1]["nofollow"] and out[1]["indexable"]
+    assert out[2]["robots_content"] == "" and out[2]["indexable"]
+    assert out[3]["noindex"]  # single-quoted, uppercase directive
+
+
+# ------------------------------------------------------------ bigram LM
+def test_bigram_logprob_matches_brute_force(spark):
+    from access_log_parser_spark.operators.text_quality import bigram_logprob
+
+    corpus = {
+        0: "the cat sat on the mat",
+        1: "the cat sat again",
+        2: "zzz",
+    }
+    uni: Counter = Counter(t for d in corpus.values() for t in d.split())
+    T = sum(uni.values())
+    bi: Counter = Counter(
+        (d[i - 1], d[i])
+        for d in (s.split() for s in corpus.values())
+        for i in range(1, len(d))
+    )
+    lam = 0.7
+    want = {}
+    for did, s in corpus.items():
+        d = s.split()
+        lps = [math.log(uni[d[0]] / T)]
+        for i in range(1, len(d)):
+            p = (lam * bi[(d[i - 1], d[i])] / uni[d[i - 1]]
+                 + (1 - lam) * uni[d[i]] / T)
+            lps.append(math.log(p))
+        want[did] = (len(d), round(sum(lps) / len(lps), 4))
+    df = spark.createDataFrame(
+        [Row(doc_id=d, text=t) for d, t in corpus.items()]
+    )
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+           for r in bigram_logprob(df).collect()}
+    assert got == want
+
+
+def test_bigram_logprob_unseen_bigram_stays_finite(spark):
+    from access_log_parser_spark.operators.text_quality import bigram_logprob
+
+    # every bigram occurs once; interpolation must never hit log(0)
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="a b"), Row(doc_id=1, text="b a")]
+    )
+    out = bigram_logprob(df).collect()
+    assert all(r["mean_logprob"] is not None
+               and math.isfinite(r["mean_logprob"]) for r in out)

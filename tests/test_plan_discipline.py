@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "temperature_mixture",  # 1-row broadcast side (stratum-count totals) x |strata|
     "perplexity_buckets",  # 1-row broadcast side (corpus token total scalar)
     "dsir_select",  # 1-row broadcast sides (raw/target token-total scalars)
+    "bigram_logprob",  # 1-row broadcast side (corpus token total scalar)
 }
 
 
