@@ -2307,6 +2307,47 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup resolution to the BEST member: the
+    dedup_clusters corpus (three copies per doc) -> HOF MinHash -> LSH
+    pairs -> connected components -> cluster_canonical picks the
+    argmax-score copy per cluster (synthetic score = doc_id % 7). The
+    oracle replays the full chain: recursive-CTE closure + window
+    argmax."""
+    from access_log_parser_spark.operators.dedup import (
+        cluster_canonical,
+        connected_components,
+        lsh_candidate_pairs,
+        minhash_signatures_hof,
+    )
+
+    base = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 50).select(
+        "doc_id", "text"
+    )
+    corpus = base.unionAll(
+        base.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    ).unionAll(base.select((F.col("doc_id") + 200000).alias("doc_id"), "text"))
+    pairs = lsh_candidate_pairs(minhash_signatures_hof(corpus), distinct=False)
+    assign = connected_components(corpus.select("doc_id"), pairs)
+    scored = assign.withColumn("score", (F.col("doc_id") % 7).cast("double"))
+    return cluster_canonical(scored, "score")
+
+
+def _q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot token-distribution drift
+    (text_quality.token_distribution_drift): old = docs 0-249, new =
+    docs 250-499, 512 md5 buckets; per-bucket smoothed probabilities
+    and KL(new||old) contributions, replayed exactly in DuckDB."""
+    from access_log_parser_spark.operators.text_quality import (
+        token_distribution_drift,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 500))
+    return token_distribution_drift(old, new, buckets=512)
+
+
 def _q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robots-meta crawl-compliance signals (webtext.robots_meta_signals)
     over synthesized html payloads: doc_id % 4 plants name-first
@@ -2411,6 +2452,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "near_dup_keep_best",
+    "snapshot_drift",
     "robots_meta",
     "bigram_logprob",
     "cross_snapshot_bloom",
@@ -2478,6 +2521,8 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "near_dup_keep_best": _q_near_dup_keep_best,
+        "snapshot_drift": _q_snapshot_drift,
         "robots_meta": _q_robots_meta,
         "bigram_logprob": _q_bigram_logprob,
         "cross_snapshot_bloom": _q_cross_snapshot_bloom,
@@ -4560,6 +4605,77 @@ def _sqlq(s: str) -> str:
     """Escape a string for embedding in a single-quoted SQL literal."""
     return s.replace("'", "''")
 
+
+_ORACLE["near_dup_keep_best"] = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, {_NORM_TEXT} AS norm FROM documents WHERE doc_id < 50
+), corpus AS (
+  SELECT doc_id, norm FROM base
+  UNION ALL SELECT doc_id + 100000, norm FROM base
+  UNION ALL SELECT doc_id + 200000, norm FROM base
+), toks AS (
+  SELECT doc_id, string_split(norm, ' ') AS t FROM corpus
+), grams AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+), sig AS (
+  SELECT doc_id, {_MH_ALL}
+  FROM grams GROUP BY doc_id
+), bands AS (
+  {_BAND_SELECTS}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+), reach(a, b) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT r.a, e.d FROM reach r JOIN edges e ON r.b = e.s
+), assign AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY 1
+), r AS (
+  SELECT cluster_id, doc_id, CAST(doc_id % 7 AS DOUBLE) AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY cluster_id
+           ORDER BY CAST(doc_id % 7 AS DOUBLE) DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n
+  FROM assign
+)
+SELECT cluster_id, doc_id, score, CAST(n AS BIGINT) AS n_members
+FROM r WHERE rk = 1
+"""
+
+_ORACLE["snapshot_drift"] = r"""
+WITH ob AS (
+  SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 512 AS bucket
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) u(tok)
+  WHERE doc_id < 250
+), nb AS (
+  SELECT CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 512 AS bucket
+  FROM documents,
+       UNNEST(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) u(tok)
+  WHERE doc_id >= 250 AND doc_id < 500
+), oc AS (SELECT bucket, COUNT(*) AS c_old FROM ob GROUP BY 1),
+   nc AS (SELECT bucket, COUNT(*) AS c_new FROM nb GROUP BY 1),
+   toc AS (SELECT SUM(c_old) AS t FROM oc),
+   tnc AS (SELECT SUM(c_new) AS t FROM nc),
+   j AS (
+     SELECT COALESCE(oc.bucket, nc.bucket) AS bucket,
+            COALESCE(oc.c_old, 0) AS c_old, COALESCE(nc.c_new, 0) AS c_new,
+            (COALESCE(oc.c_old, 0) + 1.0) / (toc.t + 512.0) AS po,
+            (COALESCE(nc.c_new, 0) + 1.0) / (tnc.t + 512.0) AS pn
+     FROM oc FULL OUTER JOIN nc ON oc.bucket = nc.bucket, toc, tnc
+   )
+SELECT bucket, CAST(c_old AS BIGINT) AS c_old, CAST(c_new AS BIGINT) AS c_new,
+       ROUND(po, 6) AS p_old, ROUND(pn, 6) AS p_new,
+       ROUND(pn * ln(pn / po), 6) AS kl_term
+FROM j
+"""
 
 _ORACLE["robots_meta"] = f"""
 WITH pages AS (

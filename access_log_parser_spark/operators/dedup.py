@@ -876,3 +876,34 @@ def cross_snapshot_dedup_bloom(
         old_keys, "_fp", "left_anti"
     )
     return definitely_new.unionByName(confirmed).drop("_fp", "_maybe")
+
+
+def cluster_canonical(assign: DataFrame, score_col: str) -> DataFrame:
+    """Resolve NEAR-dup clusters to their best member: given a
+    (doc_id, cluster_id) assignment (:func:`connected_components`
+    output) joined with a per-doc quality score, keep the
+    argmax-``score_col`` member per cluster (tie -> min doc_id) — the
+    near-dup counterpart of :func:`keep_best_duplicate`, and the policy
+    FineWeb-style pipelines want when near-duplicates differ in
+    extraction quality (keep the cleanest rendering, drop the rest).
+
+    Input columns: (doc_id, cluster_id, <score_col>). Returns
+    (cluster_id, doc_id, <score_col>, n_members).
+
+    Plan at scale: one exchange on cluster_id + window rank — output one
+    row per cluster. Composes after the MinHash -> LSH ->
+    connected-components chain without touching it.
+    """
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col("doc_id").asc()
+    )
+    return (
+        assign.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .select("cluster_id", "doc_id", score_col, "n_members")
+    )

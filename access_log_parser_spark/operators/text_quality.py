@@ -552,3 +552,66 @@ def bigram_logprob(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.avg("_lp"), 4).alias("mean_logprob"),
     )
+
+
+def token_distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    text_col: str = "text",
+    buckets: int = 1024,
+    smooth: float = 1.0,
+) -> DataFrame:
+    """Corpus drift monitor between two snapshots: hashed-unigram
+    distributions of the OLD and NEW corpora over ``buckets`` md5
+    feature buckets (same engine-portable hashing as DSIR), add-
+    ``smooth`` smoothed, with each bucket's contribution to
+    KL(new || old) = sum p_new ln(p_new / p_old). Monthly crawl
+    pipelines run exactly this check before mixing a new snapshot in —
+    a drift spike on a bucket range flags an extraction or source
+    regression before it poisons the training mix.
+
+    Returns one row per union bucket:
+    (bucket, c_old, c_new, p_old, p_new, kl_term), probabilities and
+    KL terms rounded to 6 dp (ln is the only non-rational step).
+
+    Plan at 100 TB: each corpus reduces to <= ``buckets`` rows via ONE
+    token-keyed count with map-side partials; the outer join runs over
+    those two tiny aggregates. Nothing corpus-sized survives the
+    counts.
+    """
+    from .sampling import hash_bucket
+
+    def _counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.explode(
+                    tokens(F.coalesce(F.col(text_col), F.lit("")))
+                ).alias("token")
+            )
+            .select(hash_bucket(F.col("token"), buckets).alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    co, cn = _counts(old, "c_old"), _counts(new, "c_new")
+    t_old = co.agg(F.sum("c_old").alias("t_old"))
+    t_new = cn.agg(F.sum("c_new").alias("t_new"))
+    joined = (
+        co.join(cn, "bucket", "full_outer")
+        .join(F.broadcast(t_old))
+        .join(F.broadcast(t_new))
+    )
+    p_old = (F.coalesce(F.col("c_old"), F.lit(0)) + F.lit(smooth)) / (
+        F.col("t_old") + F.lit(smooth * buckets)
+    )
+    p_new = (F.coalesce(F.col("c_new"), F.lit(0)) + F.lit(smooth)) / (
+        F.col("t_new") + F.lit(smooth * buckets)
+    )
+    return joined.select(
+        "bucket",
+        F.coalesce(F.col("c_old"), F.lit(0)).cast("long").alias("c_old"),
+        F.coalesce(F.col("c_new"), F.lit(0)).cast("long").alias("c_new"),
+        F.round(p_old, 6).alias("p_old"),
+        F.round(p_new, 6).alias("p_new"),
+        F.round(p_new * F.log(p_new / p_old), 6).alias("kl_term"),
+    )

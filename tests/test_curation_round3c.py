@@ -326,3 +326,81 @@ def test_bigram_logprob_unseen_bigram_stays_finite(spark):
     out = bigram_logprob(df).collect()
     assert all(r["mean_logprob"] is not None
                and math.isfinite(r["mean_logprob"]) for r in out)
+
+
+# ---------------------------------------------------------- cluster pick
+def test_cluster_canonical_argmax_per_cluster(spark):
+    from access_log_parser_spark.operators.dedup import cluster_canonical
+
+    rows = [
+        Row(doc_id=1, cluster_id=1, score=2.0),
+        Row(doc_id=2, cluster_id=1, score=9.0),
+        Row(doc_id=3, cluster_id=1, score=9.0),   # tie -> min doc_id wins
+        Row(doc_id=4, cluster_id=4, score=0.5),   # singleton
+    ]
+    out = {r["cluster_id"]: r for r in
+           cluster_canonical(spark.createDataFrame(rows), "score").collect()}
+    assert out[1]["doc_id"] == 2 and out[1]["n_members"] == 3
+    assert out[4]["doc_id"] == 4 and out[4]["n_members"] == 1
+
+
+def test_cluster_canonical_composes_with_connected_components(spark):
+    from access_log_parser_spark.operators.dedup import (
+        cluster_canonical,
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([Row(doc_id=i) for i in range(6)])
+    pairs = spark.createDataFrame(
+        [Row(id_a=0, id_b=1), Row(id_a=1, id_b=2), Row(id_a=3, id_b=4)]
+    )
+    assign = connected_components(nodes, pairs)
+    scored = assign.withColumn("score", (F.col("doc_id") % 3).cast("double"))
+    out = {r["cluster_id"]: r["doc_id"] for r in
+           cluster_canonical(scored, "score").collect()}
+    # cluster {0,1,2}: scores 0,1,2 -> doc 2; cluster {3,4}: 0,1 -> doc 4
+    assert out == {0: 2, 3: 4, 5: 5}
+
+
+# ---------------------------------------------------------------- drift
+def test_token_distribution_drift_matches_brute_force(spark):
+    from access_log_parser_spark.operators.text_quality import (
+        token_distribution_drift,
+    )
+
+    old = {0: "a a b c", 1: "a b"}
+    new = {0: "a c c c", 1: "d"}
+    B, S = 32, 1.0
+    odf = spark.createDataFrame([Row(doc_id=k, text=v) for k, v in old.items()])
+    ndf = spark.createDataFrame([Row(doc_id=k, text=v) for k, v in new.items()])
+    got = {r["bucket"]: r for r in
+           token_distribution_drift(odf, ndf, buckets=B, smooth=S).collect()}
+
+    oc: Counter = Counter(_bucket(t, B) for v in old.values() for t in v.split())
+    nc: Counter = Counter(_bucket(t, B) for v in new.values() for t in v.split())
+    to, tn = sum(oc.values()), sum(nc.values())
+    assert set(got) == set(oc) | set(nc)
+    for b in got:
+        po = (oc.get(b, 0) + S) / (to + S * B)
+        pn = (nc.get(b, 0) + S) / (tn + S * B)
+        assert got[b]["c_old"] == oc.get(b, 0)
+        assert got[b]["c_new"] == nc.get(b, 0)
+        assert abs(got[b]["p_old"] - round(po, 6)) < 1e-12
+        assert abs(got[b]["p_new"] - round(pn, 6)) < 1e-12
+        assert abs(got[b]["kl_term"] - round(pn * math.log(pn / po), 6)) < 1e-12
+
+
+def test_token_distribution_drift_zero_for_identical_corpora(spark):
+    from access_log_parser_spark.operators.text_quality import (
+        token_distribution_drift,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(50)
+    total = (
+        token_distribution_drift(docs, docs, buckets=64)
+        .agg(F.sum(F.abs(F.col("kl_term"))))
+        .collect()[0][0]
+    )
+    assert abs(total) < 1e-9

@@ -31,6 +31,7 @@ BNLJ_ALLOWED = {
     "perplexity_buckets",  # 1-row broadcast side (corpus token total scalar)
     "dsir_select",  # 1-row broadcast sides (raw/target token-total scalars)
     "bigram_logprob",  # 1-row broadcast side (corpus token total scalar)
+    "snapshot_drift",  # 1-row broadcast sides (old/new token-total scalars)
 }
 
 
