@@ -139,6 +139,22 @@ SELECTED = [
     ("keep_best_duplicate", False,
      "one exchange on the md5 fingerprint + per-group window rank; "
      "output one row per distinct content"),
+    ("cross_snapshot_bloom", False,
+     "the Bloom bitmap is a broadcast LITERAL array probed with "
+     "element_at + bitwise AND inside codegen — bloom-absent rows never "
+     "reach the anti-join; only the maybe-duplicate residue shuffles "
+     "into the exact confirm join"),
+    ("bigram_logprob", False,
+     "positions from ONE posexplode; previous token via a lag window on "
+     "the doc-keyed exchange (no self-join); unigram/bigram count "
+     "tables broadcast back onto the stream"),
+    ("snapshot_drift", False,
+     "each corpus reduces to <= buckets rows via one token-keyed count "
+     "with map-side partials; the KL outer join runs over those two "
+     "tiny aggregates — nothing corpus-sized survives the counts"),
+    ("robots_meta", False,
+     "pure per-row projection: decode + lowercase + three RE2-safe "
+     "regexp_extracts, zero shuffles beyond the ingest repartition"),
 ]
 
 
