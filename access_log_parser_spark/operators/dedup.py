@@ -856,6 +856,20 @@ def cross_snapshot_dedup_bloom(
 
     NULL-text rows pass through unfiltered (missing data, not content —
     same convention as :func:`cross_snapshot_dedup`).
+
+    When to use (measured, BENCH.md): at 500 k new / 150 k old docs on
+    one box the prefilter cut the join input 82% (425 k -> 76 k rows)
+    but LOST wall time to the plain anti-join — small old sides
+    broadcast, and this path scans the new crawl twice (the
+    definitely-new branch and the confirm branch) plus once for the
+    bitmap build. It wins in the regime the name says: the OLD
+    snapshot's key set exceeds broadcast range (so the plain anti-join
+    must SHUFFLE the full new crawl) while scans stay cheap —
+    then trading two pruned scans for an 80%-smaller shuffle is the
+    right side of the ledger. Spark's runtime Bloom join
+    (``spark.sql.optimizer.runtime.bloomFilter.enabled``) automates the
+    same idea non-deterministically; this operator is the explicit,
+    engine-portable variant whose output equality is oracle-checked.
     """
     fp = F.md5(normalized(F.col(text_col)))
     old_keys = (
