@@ -2307,6 +2307,33 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-density main-content extraction
+    (webtext.main_content_extract) over synthesized pages: every doc is
+    wrapped in nav chrome + two prose paragraphs + a related-links block
+    + a footer; only the prose must survive. The oracle replays the
+    block split, per-block anchor-density scoring and the keep filter
+    with DuckDB list lambdas."""
+    from access_log_parser_spark.operators.webtext import main_content_extract
+
+    docs = _docs_par(spark, sf_dir)
+    h = F.concat(
+        F.lit('<html><head><script>nav()</script></head><body>'
+              '<div><a href="/">home</a> | <a href="/about">about</a> | '
+              '<a href="/contact">contact us</a></div><p>'),
+        F.col("text"),
+        F.lit('</p><p>a second paragraph of genuine prose content long '
+              'enough to clear the bar for doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('.</p><div>read more: <a href="/a">related story one</a> '
+              '<a href="/b">related story two</a></div>'
+              '<footer><a href="/tos">terms</a> '
+              '<a href="/priv">privacy</a></footer></body></html>'),
+    )
+    pages = docs.select("doc_id", F.encode(h, "utf-8").alias("html"))
+    return main_content_extract(pages)
+
+
 def _q_near_dup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup resolution to the BEST member: the
     dedup_clusters corpus (three copies per doc) -> HOF MinHash -> LSH
@@ -2452,6 +2479,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "main_content",
     "near_dup_keep_best",
     "snapshot_drift",
     "robots_meta",
@@ -2521,6 +2549,7 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "main_content": _q_main_content,
         "near_dup_keep_best": _q_near_dup_keep_best,
         "snapshot_drift": _q_snapshot_drift,
         "robots_meta": _q_robots_meta,
@@ -4605,6 +4634,57 @@ def _sqlq(s: str) -> str:
     """Escape a string for embedding in a single-quoted SQL literal."""
     return s.replace("'", "''")
 
+
+from access_log_parser_spark.operators.webtext import (  # noqa: E402
+    ANCHOR_TEXT_RE as _ANCHOR_TEXT_RE,
+    BLOCK_SPLIT_RE as _BLOCK_SPLIT_RE,
+)
+
+_ORACLE["main_content"] = f"""
+WITH pages AS (
+  SELECT doc_id,
+    '<html><head><script>nav()</script></head><body>'
+    || '<div><a href="/">home</a> | <a href="/about">about</a> | '
+    || '<a href="/contact">contact us</a></div><p>' || text
+    || '</p><p>a second paragraph of genuine prose content long '
+    || 'enough to clear the bar for doc ' || CAST(doc_id AS VARCHAR)
+    || '.</p><div>read more: <a href="/a">related story one</a> '
+    || '<a href="/b">related story two</a></div>'
+    || '<footer><a href="/tos">terms</a> '
+    || '<a href="/priv">privacy</a></footer></body></html>' AS html
+  FROM documents
+), prep AS (
+  SELECT doc_id,
+    regexp_split_to_array(
+      regexp_replace(
+        regexp_replace(lower(html), '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '{_BLOCK_SPLIT_RE}') AS blocks
+  FROM pages
+), scored AS (
+  SELECT doc_id,
+    list_transform(blocks, b -> struct_pack(
+      t := trim(regexp_replace(regexp_replace(b, '(?s)<[^>]*>', ' ', 'g'),
+                               '\\s+', ' ', 'g')),
+      lc := COALESCE(list_sum(list_transform(
+              regexp_extract_all(b, '{_ANCHOR_TEXT_RE}', 1),
+              a -> length(trim(regexp_replace(
+                     regexp_replace(a, '(?s)<[^>]*>', ' ', 'g'),
+                     '\\s+', ' ', 'g'))))), 0)
+    )) AS s
+  FROM prep
+), kept AS (
+  SELECT doc_id, s,
+    list_filter(s, x -> length(x.t) >= 25
+                    AND x.lc / GREATEST(length(x.t), 1) <= 0.33) AS k
+  FROM scored
+)
+SELECT doc_id,
+       CAST(len(s) AS BIGINT) AS n_blocks,
+       CAST(len(k) AS BIGINT) AS n_kept,
+       array_to_string(list_transform(k, x -> x.t), chr(10)) AS main_text
+FROM kept
+"""
 
 _ORACLE["near_dup_keep_best"] = f"""
 WITH RECURSIVE base AS (

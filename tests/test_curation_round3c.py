@@ -404,3 +404,46 @@ def test_token_distribution_drift_zero_for_identical_corpora(spark):
         .collect()[0][0]
     )
     assert abs(total) < 1e-9
+
+
+# --------------------------------------------------------- main content
+def test_main_content_extract_drops_link_dense_chrome(spark):
+    from access_log_parser_spark.operators.webtext import main_content_extract
+
+    html = (
+        b'<html><head><script>nav()</script></head><body>'
+        b'<div><a href="/">Home</a> | <a href="/about">About</a> | '
+        b'<a href="/contact">Contact us</a></div>'
+        b'<p>This is the actual article body with plenty of informative '
+        b'prose that goes on for a while.</p>'
+        b'<p>Second paragraph of real content, long enough to clear the '
+        b'minimum character bar easily.</p>'
+        b'<div>Read more: <a href="/a">related story one</a> '
+        b'<a href="/b">related story two</a></div>'
+        b'<footer><a href="/tos">Terms</a> <a href="/p">Privacy</a></footer>'
+        b'</body></html>'
+    )
+    out = main_content_extract(
+        spark.createDataFrame([Row(doc_id=0, html=html)])
+    ).collect()[0]
+    assert out["n_kept"] == 2
+    lines = out["main_text"].split("\n")
+    assert lines[0].startswith("this is the actual article body")
+    assert lines[1].startswith("second paragraph of real content")
+    assert "home" not in out["main_text"]       # nav dropped
+    assert "related story" not in out["main_text"]  # link-list dropped
+    assert "privacy" not in out["main_text"]    # footer dropped
+
+
+def test_main_content_extract_short_and_empty_blocks(spark):
+    from access_log_parser_spark.operators.webtext import main_content_extract
+
+    html = b"<p>tiny</p><p>a block of prose that is clearly above the minimum length bar</p>"
+    out = main_content_extract(
+        spark.createDataFrame([Row(doc_id=0, html=html)])
+    ).collect()[0]
+    assert out["n_kept"] == 1  # 'tiny' fails min_chars
+    plain = main_content_extract(
+        spark.createDataFrame([Row(doc_id=1, html=b"no tags at all but definitely long enough to keep around")])
+    ).collect()[0]
+    assert plain["n_kept"] == 1 and plain["main_text"].startswith("no tags")
