@@ -2307,6 +2307,16 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LID with confidence margin (text_quality.lang_id_margin) — the
+    CCNet monolingual-routing gate — over the whole documents table;
+    oracle replays the four stopword-hit counts, the list_sort margin
+    and the exact lang_id tie-break."""
+    from access_log_parser_spark.operators.text_quality import lang_id_margin
+
+    return lang_id_margin(_docs_par(spark, sf_dir))
+
+
 def _q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link-density main-content extraction
     (webtext.main_content_extract) over synthesized pages: every doc is
@@ -2479,6 +2489,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "lang_id_margin",
     "main_content",
     "near_dup_keep_best",
     "snapshot_drift",
@@ -2549,6 +2560,7 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "lang_id_margin": _q_lang_id_margin,
         "main_content": _q_main_content,
         "near_dup_keep_best": _q_near_dup_keep_best,
         "snapshot_drift": _q_snapshot_drift,
@@ -4639,6 +4651,31 @@ from access_log_parser_spark.operators.webtext import (  # noqa: E402
     ANCHOR_TEXT_RE as _ANCHOR_TEXT_RE,
     BLOCK_SPLIT_RE as _BLOCK_SPLIT_RE,
 )
+
+_ORACLE["lang_id_margin"] = rf"""
+WITH hits AS (
+  SELECT doc_id,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['en']})) AS h_en,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['de']})) AS h_de,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['fr']})) AS h_fr,
+    len(list_intersect(regexp_split_to_array(trim(text), '\s+'), {_SW['es']})) AS h_es
+  FROM documents
+), ranked AS (
+  SELECT doc_id, h_en, h_de, h_fr, h_es,
+         list_sort([h_en, h_de, h_fr, h_es]) AS a
+  FROM hits
+)
+SELECT doc_id,
+  CASE
+    WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+    WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+    WHEN h_en >= h_de THEN 'en'
+    ELSE 'de' END AS pred_lang,
+  CAST(a[4] AS BIGINT) AS pred_hits,
+  CAST(a[4] - a[3] AS BIGINT) AS margin,
+  (a[4] - a[3]) >= 2 AS confident
+FROM ranked
+"""
 
 _ORACLE["main_content"] = f"""
 WITH pages AS (

@@ -615,3 +615,40 @@ def token_distribution_drift(
         F.round(p_new, 6).alias("p_new"),
         F.round(p_new * F.log(p_new / p_old), 6).alias("kl_term"),
     )
+
+
+def lang_id_margin(
+    df: DataFrame, text_col: str = "text", min_margin: int = 2
+) -> DataFrame:
+    """Language-ID with a CONFIDENCE margin — the CCNet gate: keep a doc
+    only when the top language's evidence beats the runner-up by at
+    least ``min_margin`` stopword hits (ambiguous pages, code, and
+    mixed-language boilerplate sit near zero margin and should not be
+    routed into a monolingual training mix).
+
+    Returns (doc_id, pred_lang, pred_hits, margin, confident) —
+    ``pred_lang`` uses the exact :func:`lang_id` tie-break, ``margin``
+    = top hits - second-best hits.
+
+    Plan at 100 TB: pure per-row projection (four array_intersect
+    counts + an array_sort of a 4-element array); zero shuffles."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    hits = [
+        F.size(
+            F.array_intersect(
+                toks, F.array([F.lit(w) for w in STOPWORDS[lang]])
+            )
+        )
+        for lang in sorted(STOPWORDS)
+    ]
+    arr = F.array_sort(F.array(*hits))
+    top = F.element_at(arr, -1)
+    second = F.element_at(arr, -2)
+    return df.select(
+        "doc_id",
+        pred_lang_col(t).alias("pred_lang"),
+        top.cast("long").alias("pred_hits"),
+        (top - second).cast("long").alias("margin"),
+        ((top - second) >= min_margin).alias("confident"),
+    )

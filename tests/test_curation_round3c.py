@@ -447,3 +447,37 @@ def test_main_content_extract_short_and_empty_blocks(spark):
         spark.createDataFrame([Row(doc_id=1, html=b"no tags at all but definitely long enough to keep around")])
     ).collect()[0]
     assert plain["n_kept"] == 1 and plain["main_text"].startswith("no tags")
+
+
+# ------------------------------------------------------------ LID margin
+def test_lang_id_margin_confidence(spark):
+    from access_log_parser_spark.operators.text_quality import lang_id_margin
+
+    rows = [
+        # many distinct en stopwords, zero others -> confident
+        Row(doc_id=0, text="the and of to a in is it that for"),
+        # one en hit, one de hit -> margin 0, not confident
+        Row(doc_id=1, text="the der"),
+        # no stopwords at all -> margin 0
+        Row(doc_id=2, text="zzz qqq"),
+    ]
+    out = {r["doc_id"]: r for r in
+           lang_id_margin(spark.createDataFrame(rows)).collect()}
+    assert out[0]["pred_lang"] == "en" and out[0]["margin"] == 10
+    assert out[0]["confident"]
+    assert out[1]["margin"] == 0 and not out[1]["confident"]
+    assert out[2]["margin"] == 0 and not out[2]["confident"]
+
+
+def test_lang_id_margin_pred_matches_lang_id(spark):
+    from access_log_parser_spark.operators.text_quality import (
+        lang_id,
+        lang_id_margin,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(200)
+    a = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    b = {r["doc_id"]: r["pred_lang"] for r in lang_id_margin(docs).collect()}
+    assert a == b
