@@ -2307,6 +2307,16 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant per-shard integrity digests
+    (sampling.shard_checksums) over the documents table — the manifest
+    a shard writer emits so a trainer can verify downloads; the oracle
+    replays the md5 row digests and the bit_xor fold."""
+    from access_log_parser_spark.operators.sampling import shard_checksums
+
+    return shard_checksums(_docs_par(spark, sf_dir), n_shards=8)
+
+
 def _q_lang_id_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LID with confidence margin (text_quality.lang_id_margin) — the
     CCNet monolingual-routing gate — over the whole documents table;
@@ -2489,6 +2499,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "shard_checksums",
     "lang_id_margin",
     "main_content",
     "near_dup_keep_best",
@@ -2560,6 +2571,7 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "shard_checksums": _q_shard_checksums,
         "lang_id_margin": _q_lang_id_margin,
         "main_content": _q_main_content,
         "near_dup_keep_best": _q_near_dup_keep_best,
@@ -4651,6 +4663,19 @@ from access_log_parser_spark.operators.webtext import (  # noqa: E402
     ANCHOR_TEXT_RE as _ANCHOR_TEXT_RE,
     BLOCK_SPLIT_RE as _BLOCK_SPLIT_RE,
 )
+
+_ORACLE["shard_checksums"] = """
+WITH r AS (
+  SELECT
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 8
+      AS shard,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)
+                            || COALESCE(text, '')), 1, 15) AS BIGINT) AS h
+  FROM documents
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_rows, bit_xor(h) AS checksum
+FROM r GROUP BY 1
+"""
 
 _ORACLE["lang_id_margin"] = rf"""
 WITH hits AS (

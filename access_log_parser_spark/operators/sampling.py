@@ -276,3 +276,54 @@ def epoch_shuffle(
     ordk = F.md5(F.concat_ws(":", F.lit(str(epoch)), F.col(key_col).cast("string")))
     w = Window.orderBy(ordk.asc(), F.col(key_col).asc())
     return df.withColumn("position", F.row_number().over(w).cast("long"))
+
+
+def shard_checksums(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Per-shard integrity checksums for a training-shard manifest:
+    assign each row its content-addressed shard (:func:`hash_bucket`,
+    the same assignment ``sinks.write_training_shards`` uses) and fold
+    every row into an ORDER-INVARIANT shard digest —
+
+        row_h    = first 15 hex chars of md5(key <US> text)  (60-bit int)
+        checksum = bit_xor of row_h over the shard
+
+    XOR commutes, so the checksum is independent of partitioning and
+    task order — two clusters (or an engine and its oracle) writing the
+    same logical shard agree bit-for-bit, and a trainer can verify a
+    shard it just downloaded without any ordering contract. One keyed
+    exchange with map-side partial XOR; output is ``n_shards`` rows.
+
+    Caveat (documented, inherent to XOR): byte-identical duplicate
+    (key, text) row PAIRS cancel out — run this after dedup, where keys
+    are unique by construction.
+
+    Returns (shard, n_rows, checksum).
+    """
+    row_h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "\x1f",
+                    F.col(key_col).cast("string"),
+                    F.coalesce(F.col(text_col), F.lit("")),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.withColumn("shard", hash_bucket(F.col(key_col), n_shards))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.bit_xor(row_h).alias("checksum"),
+        )
+    )

@@ -481,3 +481,35 @@ def test_lang_id_margin_pred_matches_lang_id(spark):
     a = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
     b = {r["doc_id"]: r["pred_lang"] for r in lang_id_margin(docs).collect()}
     assert a == b
+
+
+# ------------------------------------------------------- shard checksums
+def test_shard_checksums_match_python_and_ignore_order(spark):
+    from access_log_parser_spark.operators.sampling import shard_checksums
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text").limit(100)
+    rows = docs.collect()
+
+    def bucket(k: int) -> int:
+        return int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 4
+
+    def row_h(k: int, t: str) -> int:
+        s = f"{k}\x1f{t if t is not None else ''}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    want: dict[int, tuple[int, int]] = {}
+    for r in rows:
+        b = bucket(r["doc_id"])
+        n, x = want.get(b, (0, 0))
+        want[b] = (n + 1, x ^ row_h(r["doc_id"], r["text"]))
+    got = {r["shard"]: (r["n_rows"], r["checksum"])
+           for r in shard_checksums(docs, n_shards=4).collect()}
+    assert got == want
+    # order/partitioning invariance
+    got2 = {r["shard"]: (r["n_rows"], r["checksum"])
+            for r in shard_checksums(
+                docs.orderBy(F.rand(7)).repartition(13), n_shards=4
+            ).collect()}
+    assert got2 == got
