@@ -2307,6 +2307,42 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-boundary manifest (packing.pack_manifest): documents
+    bin-filled into 500-token packs per content-addressed shard; the
+    manifest's ordered member ids and token offsets (serialized as
+    comma-joined strings for the value-hash compare) must match the
+    oracle's window-cumsum replay."""
+    from access_log_parser_spark.operators.packing import (
+        pack_manifest,
+        pack_streaming,
+    )
+    from access_log_parser_spark.operators.sampling import hash_bucket
+    from access_log_parser_spark.operators.text_quality import tokens
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        F.size(tokens(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("ws_tokens"),
+        hash_bucket(F.col("doc_id"), 4).alias("shard"),
+        F.col("doc_id").alias("position"),
+    )
+    packed = pack_streaming(
+        docs, budget=500, shard_col="shard",
+        order_col="position", token_col="ws_tokens",
+    )
+    m = pack_manifest(packed)
+    as_csv = lambda c: F.array_join(  # noqa: E731
+        F.transform(F.col(c), lambda x: x.cast("string")), ","
+    )
+    return m.select(
+        "shard", "pack_id", "n_docs", "pack_tokens",
+        as_csv("doc_ids").alias("doc_ids"),
+        as_csv("offsets").alias("offsets"),
+    )
+
+
 def _q_shard_checksums(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-invariant per-shard integrity digests
     (sampling.shard_checksums) over the documents table — the manifest
@@ -2499,6 +2535,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "pack_manifest",
     "shard_checksums",
     "lang_id_margin",
     "main_content",
@@ -2571,6 +2608,7 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "pack_manifest": _q_pack_manifest,
         "shard_checksums": _q_shard_checksums,
         "lang_id_margin": _q_lang_id_margin,
         "main_content": _q_main_content,
@@ -4663,6 +4701,36 @@ from access_log_parser_spark.operators.webtext import (  # noqa: E402
     ANCHOR_TEXT_RE as _ANCHOR_TEXT_RE,
     BLOCK_SPLIT_RE as _BLOCK_SPLIT_RE,
 )
+
+_ORACLE["pack_manifest"] = r"""
+WITH d AS (
+  SELECT doc_id,
+    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 4
+      AS shard,
+    len(regexp_split_to_array(trim(COALESCE(text, '')), '\s+')) AS t
+  FROM documents WHERE doc_id < 500
+), c AS (
+  SELECT *, COALESCE(SUM(t) OVER (
+      PARTITION BY shard ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM d
+), p AS (
+  SELECT shard, doc_id, t, CAST(FLOOR(cum / 500.0) AS BIGINT) AS pack_id,
+    COALESCE(SUM(t) OVER (
+      PARTITION BY shard, CAST(FLOOR(cum / 500.0) AS BIGINT)
+      ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM c
+)
+SELECT shard, pack_id,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(t) AS BIGINT) AS pack_tokens,
+  array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), ',')
+    AS doc_ids,
+  array_to_string(list(CAST(off AS VARCHAR) ORDER BY doc_id), ',')
+    AS offsets
+FROM p GROUP BY 1, 2
+"""
 
 _ORACLE["shard_checksums"] = """
 WITH r AS (

@@ -142,3 +142,60 @@ def chunk_documents(
         F.size("_c._ctoks").cast("long").alias("n_chunk_tokens"),
         F.array_join("_c._ctoks", " ").alias("chunk_text"),
     )
+
+
+def pack_manifest(
+    packed: DataFrame,
+    shard_col: str = "shard",
+    order_col: str = "position",
+    token_col: str = "ws_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boundary manifest for packed training sequences: for every
+    (shard, pack_id) emit the ordered member doc ids and each member's
+    token OFFSET inside the pack — the metadata an attention-mask-aware
+    trainer needs to reset attention at document boundaries instead of
+    attending across packed neighbors.
+
+    Input: :func:`pack_streaming` output. Returns
+    (shard, pack_id, n_docs, pack_tokens, doc_ids array<long>,
+    offsets array<long>) with offsets[i] = sum of tokens of members
+    0..i-1 (so offsets[0] = 0 and offsets[i+1]-offsets[i] = tokens[i]).
+
+    Plan at scale: ONE exchange on (shard, pack_id) with the members
+    collected per pack — pack size is budget-bounded by construction,
+    so the collect_list is bounded too; the offset scan is a per-row
+    HOF fold over that bounded array."""
+    members = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(order_col).alias("o"),
+                F.col(id_col).alias("id"),
+                F.col(token_col).alias("t"),
+            )
+        )
+    )
+    g = packed.groupBy(shard_col, "pack_id").agg(members.alias("m"))
+    toks = F.transform(F.col("m"), lambda s: s["t"])
+    offsets = F.aggregate(
+        toks,
+        F.struct(
+            F.array().cast("array<long>").alias("a"),
+            F.lit(0).cast("long").alias("p"),
+        ),
+        lambda acc, t: F.struct(
+            F.concat(acc["a"], F.array(acc["p"])).alias("a"),
+            (acc["p"] + t).cast("long").alias("p"),
+        ),
+        lambda acc: acc["a"],
+    )
+    return g.select(
+        shard_col,
+        "pack_id",
+        F.size("m").cast("long").alias("n_docs"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, t: a + t
+        ).alias("pack_tokens"),
+        F.transform(F.col("m"), lambda s: s["id"]).alias("doc_ids"),
+        offsets.alias("offsets"),
+    )

@@ -513,3 +513,41 @@ def test_shard_checksums_match_python_and_ignore_order(spark):
                 docs.orderBy(F.rand(7)).repartition(13), n_shards=4
             ).collect()}
     assert got2 == got
+
+
+# --------------------------------------------------------- pack manifest
+def test_pack_manifest_offsets_and_order(spark):
+    from access_log_parser_spark.operators.packing import (
+        pack_manifest,
+        pack_streaming,
+    )
+
+    rows = [Row(doc_id=i, shard=i % 2, position=i, ws_tokens=10 + i)
+            for i in range(10)]
+    packed = pack_streaming(
+        spark.createDataFrame(rows), budget=30,
+        shard_col="shard", order_col="position", token_col="ws_tokens",
+    )
+    out = pack_manifest(packed).collect()
+    by_key = {(r["shard"], r["pack_id"]): r for r in out}
+    # python replay of the streaming bin-fill + offsets
+    want: dict[tuple, list[tuple[int, int]]] = {}
+    for s in (0, 1):
+        cum = 0
+        for i in sorted(r["doc_id"] for r in rows if r["shard"] == s):
+            pack = cum // 30
+            want.setdefault((s, pack), []).append((i, 10 + i))
+            cum += 10 + i
+    assert set(by_key) == set(want)
+    for k, members in want.items():
+        r = by_key[k]
+        assert list(r["doc_ids"]) == [m[0] for m in members]
+        offs, acc = [], 0
+        for _, t in members:
+            offs.append(acc)
+            acc += t
+        assert list(r["offsets"]) == offs
+        assert r["pack_tokens"] == acc and r["n_docs"] == len(members)
+        # boundary identity: consecutive offset deltas are member tokens
+        for j in range(len(members) - 1):
+            assert offs[j + 1] - offs[j] == members[j][1]
