@@ -155,6 +155,22 @@ SELECTED = [
     ("robots_meta", False,
      "pure per-row projection: decode + lowercase + three RE2-safe "
      "regexp_extracts, zero shuffles beyond the ingest repartition"),
+    ("main_content", False,
+     "block split + per-block link-density scoring + keep filter are "
+     "one per-row HOF chain — zero shuffles beyond the ingest "
+     "repartition"),
+    ("near_dup_keep_best", False,
+     "the canonical pick adds ONE cluster_id exchange + window on top "
+     "of the banded-join + components chain; never all-pairs"),
+    ("shard_checksums", False,
+     "one keyed exchange with map-side partial bit_xor; output is "
+     "n_shards rows regardless of corpus size"),
+    ("pack_manifest", False,
+     "one (shard, pack_id) exchange; per-pack collect_list is "
+     "budget-bounded by construction; offsets are a per-row HOF fold"),
+    ("lang_id_margin", False,
+     "pure per-row projection: four array_intersect counts + a "
+     "4-element array_sort; zero shuffles"),
 ]
 
 
