@@ -69,7 +69,10 @@ def prepare(
         lsh_candidate_pairs,
         minhash_signatures_hof,
     )
-    from access_log_parser_spark.operators.packing import pack_streaming
+    from access_log_parser_spark.operators.packing import (
+        pack_manifest,
+        pack_streaming,
+    )
     from access_log_parser_spark.operators.sampling import (
         epoch_shuffle,
         temperature_mixture_sample,
@@ -160,6 +163,19 @@ def prepare(
         for r in sharded.groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
+    }
+    # pack boundaries (attention-reset metadata) + order-invariant
+    # integrity digests ride along as parquet/manifest artifacts
+    pack_manifest(packed).write.mode("overwrite").parquet(
+        str(Path(out_dir) / "_pack_manifest")
+    )
+    from access_log_parser_spark.operators.sampling import shard_checksums
+
+    manifest["checksums"] = {
+        str(r["shard"]): r["checksum"]
+        for r in shard_checksums(
+            curated, key_col="doc_id", n_shards=n_shards
+        ).collect()
     }
     manifest["epoch"] = epoch
     Path(out_dir, "_manifest.json").write_text(json.dumps(manifest, indent=2))

@@ -62,3 +62,16 @@ def test_prepare_training_data_is_deterministic(spark, tmp_path):
         epoch=1, budget=512, n_shards=2, quality_min=0.0, rep_max=1.0,
     )
     assert a == b  # same input + epoch -> identical manifest, bit for bit
+
+
+def test_prepare_training_data_emits_pack_manifest_and_checksums(spark, tmp_path):
+    out = str(tmp_path / "train")
+    m = prepare(
+        spark, _pages(spark), out,
+        epoch=0, budget=256, n_shards=4, quality_min=0.0, rep_max=1.0,
+    )
+    assert set(m["checksums"]) == set(m["shards"])
+    pm = spark.read.parquet(f"{out}/_pack_manifest")
+    assert pm.count() == m["packs"]["n_packs"]
+    # offsets[0] == 0 on every pack
+    assert pm.filter(F.element_at("offsets", 1) != 0).count() == 0
