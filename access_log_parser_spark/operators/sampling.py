@@ -189,41 +189,27 @@ def dsir_logweights(
     raw_toks = _bucketed(raw)
     tgt_toks = _bucketed(target)
 
-    def _dist(toks: DataFrame, name: str):
-        counts = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
-        total = counts.agg(F.sum("c").alias("t"))
-        return counts.join(F.broadcast(total)).select(
-            "bucket",
-            F.log(
-                (F.col("c") + F.lit(smooth))
-                / (F.col("t") + F.lit(smooth * buckets))
-            ).alias(f"_lp_{name}"),
-            F.col("t").alias(f"_t_{name}"),
-        )
-
-    p_raw = _dist(raw_toks, "raw")
-    p_tgt = _dist(tgt_toks, "tgt")
-    # Outer join over the (<= buckets)-row aggregates; a bucket missing
-    # from one side gets that side's smoothed floor ln(smooth / (t + s*B)).
-    t_raw = p_raw.agg(F.max("_t_raw").alias("tr"))
-    t_tgt = p_tgt.agg(F.max("_t_tgt").alias("tt"))
-    lam = (
-        p_raw.join(p_tgt, "bucket", "full_outer")
-        .join(F.broadcast(t_raw))
-        .join(F.broadcast(t_tgt))
-        .select(
-            "bucket",
-            (
-                F.coalesce(
-                    F.col("_lp_tgt"),
-                    F.log(F.lit(smooth) / (F.col("tt") + F.lit(smooth * buckets))),
-                )
-                - F.coalesce(
-                    F.col("_lp_raw"),
-                    F.log(F.lit(smooth) / (F.col("tr") + F.lit(smooth * buckets))),
-                )
-            ).alias("_lam"),
-        )
+    # ONE pass builds both distributions: tag the side, count per bucket
+    # with a conditional pivot — no per-side agg pair, no full-outer join
+    # of the two count tables (values identical to the two-table
+    # formulation; the DuckDB oracle keeps the textbook form).
+    tagged = raw_toks.select("bucket", F.lit(1).alias("_r")).unionByName(
+        tgt_toks.select("bucket", F.lit(0).alias("_r"))
+    )
+    counts = tagged.groupBy("bucket").agg(
+        F.sum("_r").alias("c_raw"),
+        F.sum(F.lit(1) - F.col("_r")).alias("c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("c_raw").alias("tr"), F.sum("c_tgt").alias("tt")
+    )
+    sb = F.lit(smooth * buckets)
+    lam = counts.join(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_tgt") + F.lit(smooth)) / (F.col("tt") + sb))
+            - F.log((F.col("c_raw") + F.lit(smooth)) / (F.col("tr") + sb))
+        ).alias("_lam"),
     )
     return (
         raw_toks.join(F.broadcast(lam), "bucket")
