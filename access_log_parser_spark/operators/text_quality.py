@@ -581,36 +581,42 @@ def token_distribution_drift(
     """
     from .sampling import hash_bucket
 
-    def _counts(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.select(
-                F.explode(
-                    tokens(F.coalesce(F.col(text_col), F.lit("")))
-                ).alias("token")
-            )
-            .select(hash_bucket(F.col("token"), buckets).alias("bucket"))
-            .groupBy("bucket")
-            .agg(F.count(F.lit(1)).alias(name))
+    def _buckets(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(
+            F.explode(
+                tokens(F.coalesce(F.col(text_col), F.lit("")))
+            ).alias("token")
+        ).select(
+            hash_bucket(F.col("token"), buckets).alias("bucket"),
+            F.lit(tag).alias("_o"),
         )
 
-    co, cn = _counts(old, "c_old"), _counts(new, "c_new")
-    t_old = co.agg(F.sum("c_old").alias("t_old"))
-    t_new = cn.agg(F.sum("c_new").alias("t_new"))
-    joined = (
-        co.join(cn, "bucket", "full_outer")
-        .join(F.broadcast(t_old))
-        .join(F.broadcast(t_new))
+    # ONE tagged-union count builds both distributions (same pivot move
+    # as sampling.dsir_logweights: no per-side agg pair, no full-outer
+    # join of the two count tables; the oracle keeps the textbook form)
+    counts = (
+        _buckets(old, 1)
+        .unionByName(_buckets(new, 0))
+        .groupBy("bucket")
+        .agg(
+            F.sum("_o").alias("c_old"),
+            F.sum(F.lit(1) - F.col("_o")).alias("c_new"),
+        )
     )
-    p_old = (F.coalesce(F.col("c_old"), F.lit(0)) + F.lit(smooth)) / (
+    totals = counts.agg(
+        F.sum("c_old").alias("t_old"), F.sum("c_new").alias("t_new")
+    )
+    joined = counts.join(F.broadcast(totals))
+    p_old = (F.col("c_old") + F.lit(smooth)) / (
         F.col("t_old") + F.lit(smooth * buckets)
     )
-    p_new = (F.coalesce(F.col("c_new"), F.lit(0)) + F.lit(smooth)) / (
+    p_new = (F.col("c_new") + F.lit(smooth)) / (
         F.col("t_new") + F.lit(smooth * buckets)
     )
     return joined.select(
         "bucket",
-        F.coalesce(F.col("c_old"), F.lit(0)).cast("long").alias("c_old"),
-        F.coalesce(F.col("c_new"), F.lit(0)).cast("long").alias("c_new"),
+        F.col("c_old").cast("long").alias("c_old"),
+        F.col("c_new").cast("long").alias("c_new"),
         F.round(p_old, 6).alias("p_old"),
         F.round(p_new, 6).alias("p_new"),
         F.round(p_new * F.log(p_new / p_old), 6).alias("kl_term"),
