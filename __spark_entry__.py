@@ -2307,6 +2307,43 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor extraction (webtext.extract_links): every page carries one
+    absolute and one relative link; each must come back paired with its
+    tag-stripped anchor text. Oracle unnests the same whole-tag regex
+    matches and replays the per-tag href/anchor extraction."""
+    from access_log_parser_spark.operators.webtext import extract_links
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    h = F.concat(
+        F.lit('<p>see <a href="https://ex'),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('.org/a/'), k, F.lit('">article <b>'), k,
+        F.lit('</b></a> and <a href="/rel/'), k,
+        F.lit('">related reading</a></p>'),
+    )
+    pages = docs.select("doc_id", F.encode(h, "utf-8").alias("html"))
+    return extract_links(pages)
+
+
+def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank (graph.pagerank) over a deterministic
+    20-host graph derived from doc ids (src = doc_id %% 20, dst =
+    (7*doc_id+3) %% 20); 3 unrolled power-iteration rounds, oracle
+    replays them as chained CTEs with the exact float constants."""
+    from access_log_parser_spark.operators.graph import pagerank
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+        ).alias("dst"),
+    )
+    return pagerank(edges, iterations=3)
+
+
 def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack-boundary manifest (packing.pack_manifest): documents
     bin-filled into 500-token packs per content-addressed shard; the
@@ -2535,6 +2572,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "extract_links",
+    "pagerank_hosts",
     "pack_manifest",
     "shard_checksums",
     "lang_id_margin",
@@ -2608,6 +2647,8 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "extract_links": _q_extract_links,
+        "pagerank_hosts": _q_pagerank_hosts,
         "pack_manifest": _q_pack_manifest,
         "shard_checksums": _q_shard_checksums,
         "lang_id_margin": _q_lang_id_margin,
@@ -4701,6 +4742,61 @@ from access_log_parser_spark.operators.webtext import (  # noqa: E402
     ANCHOR_TEXT_RE as _ANCHOR_TEXT_RE,
     BLOCK_SPLIT_RE as _BLOCK_SPLIT_RE,
 )
+
+from access_log_parser_spark.operators.webtext import (  # noqa: E402
+    ANCHOR_TAG_RE as _ANCHOR_TAG_RE,
+    HREF_RE as _HREF_RE,
+)
+
+_ORACLE["extract_links"] = f"""
+WITH pages AS (
+  SELECT doc_id,
+    '<p>see <a href="https://ex' || CAST(doc_id % 5 AS VARCHAR)
+    || '.org/a/' || CAST(doc_id AS VARCHAR) || '">article <b>'
+    || CAST(doc_id AS VARCHAR) || '</b></a> and <a href="/rel/'
+    || CAST(doc_id AS VARCHAR) || '">related reading</a></p>' AS html
+  FROM documents WHERE doc_id < 500
+), tags AS (
+  SELECT doc_id,
+         UNNEST(regexp_extract_all(html, '{_sqlq(_ANCHOR_TAG_RE)}', 0)) AS m
+  FROM pages
+)
+SELECT doc_id,
+  regexp_extract(m, '{_sqlq(_HREF_RE)}', 1) AS href,
+  trim(regexp_replace(regexp_replace(m, '(?s)<[^>]*>', ' ', 'g'),
+                      '\\s+', ' ', 'g')) AS anchor
+FROM tags
+"""
+
+
+def _pagerank_oracle(iters: int = 3, d: float = 0.85, n: int = 20) -> str:
+    """Unrolled power-iteration CTE chain with the EXACT float constants
+    the operator computes in Python (repr round-trips the doubles)."""
+    base, dd, init = repr((1.0 - d) / n), repr(d), repr(1.0 / n)
+    sql = f"""WITH e AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id < 500
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+r0 AS (SELECT node, {init} AS rank FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        sql += f""",
+m{i} AS (
+  SELECT e.dst AS node, SUM({prev}.rank / deg.deg) AS mass
+  FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+  GROUP BY 1
+), r{i} AS (
+  SELECT nodes.node, {base} + {dd} * COALESCE(m{i}.mass, 0.0) AS rank
+  FROM nodes LEFT JOIN m{i} USING (node)
+)"""
+        prev = f"r{i}"
+    return sql + f"\nSELECT node, ROUND(rank, 6) AS rank FROM {prev}"
+
+
+_ORACLE["pagerank_hosts"] = _pagerank_oracle()
 
 _ORACLE["pack_manifest"] = r"""
 WITH d AS (

@@ -1064,3 +1064,43 @@ def main_content_extract(
         F.array_join(F.transform(kept, lambda s: s["text"]), "\n")
         .alias("main_text"),
     )
+
+
+ANCHOR_TAG_RE = r"(?is)<a\b[^>]*>.*?</a>"
+HREF_RE = r'(?is)href\s*=\s*["\x27]?([^"\x27\s>]+)'
+
+
+def extract_links(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Anchor extraction — the edge list of the web graph plus the
+    anchor-text corpus search engines and link-quality models train on:
+    one output row per ``<a>`` tag with its href and its tag-stripped,
+    whitespace-normalized anchor text.
+
+    Returns (doc_id, href, anchor). Pages without links produce no
+    rows. href is taken verbatim (compose
+    :func:`normalize_url` downstream for canonical edges).
+
+    Plan at 100 TB: per-row HOF (regexp_extract_all of whole tags ->
+    transform into (href, text) structs) followed by ONE posexplode-free
+    explode; zero shuffles — the edge list streams straight into
+    whatever keyed agg consumes it (degree counts,
+    :func:`~access_log_parser_spark.operators.graph.pagerank`)."""
+    page = F.decode(F.col(html_col), "utf-8")
+    tags = F.regexp_extract_all(page, F.lit(ANCHOR_TAG_RE), 0)
+    pairs = F.transform(
+        tags,
+        lambda m: F.struct(
+            F.regexp_extract(m, HREF_RE, 1).alias("href"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(m, r"(?s)<[^>]*>", " "), r"\s+", " "
+                )
+            ).alias("anchor"),
+        ),
+    )
+    return df.select(
+        F.col(id_col), F.explode(pairs).alias("_l")
+    ).select(id_col, F.col("_l.href").alias("href"),
+             F.col("_l.anchor").alias("anchor"))

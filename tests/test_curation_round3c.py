@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import random
 from collections import Counter
 
 from pyspark.sql import Row
@@ -551,3 +552,66 @@ def test_pack_manifest_offsets_and_order(spark):
         # boundary identity: consecutive offset deltas are member tokens
         for j in range(len(members) - 1):
             assert offs[j + 1] - offs[j] == members[j][1]
+
+
+# ------------------------------------------------------------ link graph
+def test_extract_links_pairs_href_with_anchor(spark):
+    from access_log_parser_spark.operators.webtext import extract_links
+
+    html = (b'<p>intro <a href="https://a.example/x">First <b>Link</b></a>'
+            b' middle <A HREF=\'/rel\'>second</A>'
+            b' <a name="no-href">anchor only</a></p>')
+    out = extract_links(
+        spark.createDataFrame([Row(doc_id=7, html=html)])
+    ).collect()
+    got = {(r["href"], r["anchor"]) for r in out}
+    assert ("https://a.example/x", "First Link") in got
+    assert ("/rel", "second") in got
+    assert ("", "anchor only") in got  # tag without href -> empty href
+    assert extract_links(
+        spark.createDataFrame([Row(doc_id=8, html=b"<p>no links</p>")])
+    ).count() == 0
+
+
+def _pagerank_brute(edges: set[tuple[str, str]], iters: int, d: float):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    out = Counter(u for u, _ in edges)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        mass = {v: 0.0 for v in nodes}
+        for u, v in sorted(edges):
+            mass[v] += rank[u] / out[u]
+        rank = {v: (1 - d) / n + d * mass[v] for v in nodes}
+    return {v: round(r, 6) for v, r in rank.items()}
+
+
+def test_pagerank_matches_brute_force_and_sums_sensibly(spark):
+    from access_log_parser_spark.operators.graph import pagerank
+
+    rng = random.Random(23)
+    edges = {(f"h{rng.randint(0, 9)}", f"h{rng.randint(0, 9)}")
+             for _ in range(40)}
+    edges = {(u, v) for u, v in edges if u != v}
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in edges])
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=3).collect()}
+    want = _pagerank_brute(edges, 3, 0.85)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert abs(got[v] - want[v]) <= 1e-6, (v, got[v], want[v])
+    # hub check on a star graph: everyone links to 'hub'
+    star = spark.createDataFrame(
+        [Row(src=f"s{i}", dst="hub") for i in range(5)]
+    )
+    sr = {r["node"]: r["rank"] for r in pagerank(star, iterations=2).collect()}
+    assert sr["hub"] == max(sr.values())
+
+
+def test_pagerank_duplicate_edges_collapse(spark):
+    from access_log_parser_spark.operators.graph import pagerank
+
+    a = spark.createDataFrame([Row(src="a", dst="b")])
+    b = spark.createDataFrame([Row(src="a", dst="b")] * 5)
+    ra = {r["node"]: r["rank"] for r in pagerank(a, iterations=2).collect()}
+    rb = {r["node"]: r["rank"] for r in pagerank(b, iterations=2).collect()}
+    assert ra == rb
