@@ -2344,6 +2344,22 @@ def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, iterations=3)
 
 
+def _q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration HITS hub/authority scores (graph.hits) over the
+    same 20-host graph as pagerank_hosts; the oracle unrolls the
+    hub->authority->hub rounds with per-round L1 normalizers."""
+    from access_log_parser_spark.operators.graph import hits
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+        ).alias("dst"),
+    )
+    return hits(edges, iterations=3)
+
+
 def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack-boundary manifest (packing.pack_manifest): documents
     bin-filled into 500-token packs per content-addressed shard; the
@@ -2574,6 +2590,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_FIRST = [
     "extract_links",
     "pagerank_hosts",
+    "hits_hosts",
     "pack_manifest",
     "shard_checksums",
     "lang_id_margin",
@@ -2649,6 +2666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "extract_links": _q_extract_links,
         "pagerank_hosts": _q_pagerank_hosts,
+        "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
         "shard_checksums": _q_shard_checksums,
         "lang_id_margin": _q_lang_id_margin,
@@ -4797,6 +4815,44 @@ m{i} AS (
 
 
 _ORACLE["pagerank_hosts"] = _pagerank_oracle()
+
+
+def _hits_oracle(iters: int = 3, n: int = 20) -> str:
+    """Unrolled HITS rounds with per-round L1 normalizers (cross-joined
+    1-row sums), mirroring graph.hits exactly."""
+    sql = f"""WITH e AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id < 500
+), nodes AS (
+  SELECT src AS node FROM e UNION SELECT dst FROM e
+), h0 AS (SELECT node, {1.0 / n!r} AS h FROM nodes)"""
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        sql += f""",
+ar{i} AS (
+  SELECT e.dst AS node, SUM(p.h) AS raw
+  FROM e JOIN {prev_h} p ON e.src = p.node GROUP BY 1
+), a{i} AS (
+  SELECT nodes.node, COALESCE(ar{i}.raw, 0.0) / z.z AS a
+  FROM nodes LEFT JOIN ar{i} USING (node),
+       (SELECT SUM(raw) AS z FROM ar{i}) z
+), hr{i} AS (
+  SELECT e.src AS node, SUM(a{i}.a) AS raw
+  FROM e JOIN a{i} ON e.dst = a{i}.node GROUP BY 1
+), h{i} AS (
+  SELECT nodes.node, COALESCE(hr{i}.raw, 0.0) / z.z AS h
+  FROM nodes LEFT JOIN hr{i} USING (node),
+       (SELECT SUM(raw) AS z FROM hr{i}) z
+)"""
+        prev_h = f"h{i}"
+    return sql + f"""
+SELECT h{iters}.node, ROUND(h{iters}.h, 6) AS hub,
+       ROUND(a{iters}.a, 6) AS authority
+FROM h{iters} JOIN a{iters} USING (node)"""
+
+
+_ORACLE["hits_hosts"] = _hits_oracle()
 
 _ORACLE["pack_manifest"] = r"""
 WITH d AS (

@@ -45,15 +45,21 @@ def pagerank(
     absorbs engine summation-order drift — the repo's standard float
     convention).
     """
+    # Iterative lineage DOUBLES per round if left lazy (every reference
+    # to rank_t re-expands the whole prefix): cut it with a per-round
+    # localCheckpoint of the node-sized rank table and a cached edge
+    # list — the same discipline as dedup.connected_components. (At
+    # cluster scale swap localCheckpoint for a reliable checkpoint dir.)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    ).distinct().cache()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
     n = nodes.count()  # one small action; node table is dimension-sized
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -74,5 +80,86 @@ def pagerank(
                     + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
                 ).alias("rank"),
             )
+            .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999): hub and authority scores
+    over a directed edge list — the complementary link signal to
+    :func:`pagerank` (a page can be a great directory without being an
+    authority, and vice versa).
+
+        auth_{t}(v) = sum over in-edges  (u,v) of hub_{t-1}(u)
+        hub_{t}(u)  = sum over out-edges (u,v) of auth_{t}(v)
+
+    with L1 normalization after every update (sum of scores = 1; L1
+    instead of the textbook L2 keeps every quantity a ratio of sums —
+    reproducible across engines without sqrt drift). Scores start
+    uniform. Returns (node, hub, authority), both rounded to 6 dp at
+    the END only.
+
+    Plan at scale: per iteration, one edge shuffle per direction plus a
+    1-row broadcast for each normalizer — node tables stay
+    dimension-sized; each round's score tables are localCheckpointed so
+    lineage stays flat (as with connected_components).
+    """
+    # same lineage discipline as pagerank: cached edges, per-round
+    # localCheckpoint of the node-sized score tables
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    hub = nodes.withColumn("h", F.lit(1.0 / n))
+    auth = None
+    for _ in range(iterations):
+        raw_a = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("h").alias("a_raw"))
+        )
+        a_norm = raw_a.agg(F.sum("a_raw").alias("z"))
+        auth = (
+            nodes.join(raw_a, "node", "left")
+            .join(F.broadcast(a_norm))
+            .select(
+                "node",
+                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("z")).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        raw_h = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("a").alias("h_raw"))
+        )
+        h_norm = raw_h.agg(F.sum("h_raw").alias("z"))
+        hub = (
+            nodes.join(raw_h, "node", "left")
+            .join(F.broadcast(h_norm))
+            .select(
+                "node",
+                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("z")).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        hub.join(auth, "node")
+        .select(
+            "node",
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+    )

@@ -615,3 +615,52 @@ def test_pagerank_duplicate_edges_collapse(spark):
     ra = {r["node"]: r["rank"] for r in pagerank(a, iterations=2).collect()}
     rb = {r["node"]: r["rank"] for r in pagerank(b, iterations=2).collect()}
     assert ra == rb
+
+
+def _hits_brute(edges: set[tuple[str, str]], iters: int):
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    hub = {v: 1.0 / n for v in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw_a = {v: 0.0 for v in nodes}
+        for u, v in sorted(edges):
+            raw_a[v] += hub[u]
+        z = sum(raw_a.values())
+        auth = {v: raw_a[v] / z for v in nodes}
+        raw_h = {v: 0.0 for v in nodes}
+        for u, v in sorted(edges):
+            raw_h[u] += auth[v]
+        z = sum(raw_h.values())
+        hub = {v: raw_h[v] / z for v in nodes}
+    return {v: (round(hub[v], 6), round(auth[v], 6)) for v in nodes}
+
+
+def test_hits_matches_brute_force(spark):
+    from access_log_parser_spark.operators.graph import hits
+
+    rng = random.Random(31)
+    edges = {(f"h{rng.randint(0, 7)}", f"h{rng.randint(0, 7)}")
+             for _ in range(30)}
+    edges = {(u, v) for u, v in edges if u != v}
+    df = spark.createDataFrame([Row(src=u, dst=v) for u, v in edges])
+    got = {r["node"]: (r["hub"], r["authority"])
+           for r in hits(df, iterations=3).collect()}
+    want = _hits_brute(edges, 3)
+    assert got.keys() == want.keys()
+    for v in want:
+        assert abs(got[v][0] - want[v][0]) <= 1e-6, (v, got[v], want[v])
+        assert abs(got[v][1] - want[v][1]) <= 1e-6, (v, got[v], want[v])
+
+
+def test_hits_directory_vs_authority(spark):
+    from access_log_parser_spark.operators.graph import hits
+
+    # d1/d2 are pure directories linking to authorities a1/a2
+    df = spark.createDataFrame(
+        [Row(src=s, dst=d) for s in ("d1", "d2") for d in ("a1", "a2")]
+    )
+    out = {r["node"]: r for r in hits(df, iterations=2).collect()}
+    assert out["d1"]["hub"] > out["a1"]["hub"]
+    assert out["a1"]["authority"] > out["d1"]["authority"]
+    assert out["a1"]["authority"] == out["a2"]["authority"]  # symmetric
