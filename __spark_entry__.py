@@ -2307,6 +2307,57 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC record scan (sources/warc.py): every doc becomes a 2-record
+    WARC member (an HTTP response + a metadata record) BUILT with
+    expressions — Content-Length computed via octet_length — and the
+    byte-accurate parser must recover exactly the closed-form fields
+    the oracle states (it never re-parses; it asserts what the bytes
+    encode). Exercises multi-record iteration, HTTP body slicing and
+    the non-HTTP block path."""
+    from access_log_parser_spark.sources.warc import parse_warc_records
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body>"), F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</body></html>"),
+    )
+    uri = F.concat(F.lit("https://warc.example/"), k)
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+    )
+    def _rec(wtype, block):  # noqa: E306
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: "), F.lit(wtype),
+            F.lit("\r\nWARC-Target-URI: "), uri,
+            F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+            F.octet_length(block).cast("string"),
+            F.lit("\r\n\r\n"), block, F.lit("\r\n\r\n"),
+        )
+    meta_block = F.concat(
+        F.lit("len="), F.octet_length(html).cast("string")
+    )
+    files = docs.select(
+        F.concat(F.lit("mem://"), k).alias("path"),
+        F.encode(
+            F.concat(_rec("response", http), _rec("metadata", meta_block)),
+            "utf-8",
+        ).alias("content"),
+    )
+    parsed = parse_warc_records(files)
+    return parsed.select(
+        "source",
+        "record_idx",
+        "warc_type",
+        "target_uri",
+        F.coalesce(F.col("http_status"), F.lit(-1))
+        .cast("bigint")
+        .alias("http_status"),
+        F.decode(F.col("html"), "utf-8").alias("body"),
+    )
+
+
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (webtext.extract_links): every page carries one
     absolute and one relative link; each must come back paired with its
@@ -2588,6 +2639,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "warc_scan",
     "extract_links",
     "pagerank_hosts",
     "hits_hosts",
@@ -2664,6 +2716,7 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "warc_scan": _q_warc_scan,
         "extract_links": _q_extract_links,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
@@ -4765,6 +4818,29 @@ from access_log_parser_spark.operators.webtext import (  # noqa: E402
     ANCHOR_TAG_RE as _ANCHOR_TAG_RE,
     HREF_RE as _HREF_RE,
 )
+
+_ORACLE["warc_scan"] = """
+WITH d AS (
+  SELECT doc_id,
+         '<html><body>' || COALESCE(text, '') || '</body></html>' AS html
+  FROM documents WHERE doc_id < 500
+)
+SELECT 'mem://' || CAST(doc_id AS VARCHAR) AS source,
+       CAST(0 AS BIGINT) AS record_idx,
+       'response' AS warc_type,
+       'https://warc.example/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(200 AS BIGINT) AS http_status,
+       html AS body
+FROM d
+UNION ALL
+SELECT 'mem://' || CAST(doc_id AS VARCHAR),
+       CAST(1 AS BIGINT),
+       'metadata',
+       'https://warc.example/' || CAST(doc_id AS VARCHAR),
+       CAST(-1 AS BIGINT),
+       'len=' || CAST(octet_length(encode(html)) AS VARCHAR)
+FROM d
+"""
 
 _ORACLE["extract_links"] = f"""
 WITH pages AS (
