@@ -30,3 +30,7 @@ submit-check:
 	rm -f /tmp/alp.zip && zip -qr /tmp/alp.zip access_log_parser_spark
 	spark-submit --master 'local[4]' --py-files /tmp/alp.zip \
 	    scripts/run_pipeline.py --synth 50 --out /tmp/alp_submit_check
+
+train-prep-demo:
+	python scripts/prepare_training_data.py --synth 2000 --out /tmp/alp_train_demo \
+	    --epoch 1 --alpha 0.5 --quality-min 0.0 --rep-max 1.0
