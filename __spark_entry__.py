@@ -2307,6 +2307,45 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl gate end-to-end (webtext.robots_txt_rules +
+    robots_allowed): 7 hosts share a robots body with a comment, a
+    non-applicable googlebot group, an empty Disallow and a
+    longest-match Allow-inside-Disallow pair; URLs route by doc_id %% 3
+    into disallowed / allowed-override / unruled paths. The oracle is
+    CLOSED-FORM (it states what the planted rules imply per URL — the
+    parser itself is pinned by unit tests)."""
+    from access_log_parser_spark.operators.webtext import (
+        robots_allowed,
+        robots_txt_rules,
+    )
+
+    hosts = spark.range(7).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.lit(
+            "# crawl policy\n"
+            "User-agent: googlebot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /blocked/\n"
+            "Allow: /blocked/open/\nDisallow:\n"
+        ).alias("robots_txt"),
+    )
+    rules = robots_txt_rules(hosts)
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    h = F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".example"))
+    urls = docs.select(
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(h, F.lit("/blocked/p"), k))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(h, F.lit("/blocked/open/p"), k))
+        .otherwise(F.concat(h, F.lit("/fine/p"), k))
+        .alias("url")
+    )
+    return robots_allowed(urls, rules)
+
+
 def _q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC record scan (sources/warc.py): every doc becomes a 2-record
     WARC member (an HTTP response + a metadata record) BUILT with
@@ -2639,6 +2678,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "robots_gate",
     "warc_scan",
     "extract_links",
     "pagerank_hosts",
@@ -2716,6 +2756,7 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "robots_gate": _q_robots_gate,
         "warc_scan": _q_warc_scan,
         "extract_links": _q_extract_links,
         "pagerank_hosts": _q_pagerank_hosts,
@@ -4818,6 +4859,29 @@ from access_log_parser_spark.operators.webtext import (  # noqa: E402
     ANCHOR_TAG_RE as _ANCHOR_TAG_RE,
     HREF_RE as _HREF_RE,
 )
+
+_ORACLE["robots_gate"] = """
+SELECT
+  CASE
+    WHEN doc_id % 3 = 0 THEN
+      'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/blocked/p'
+        || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 3 = 1 THEN
+      'https://h' || CAST(doc_id % 7 AS VARCHAR)
+        || '.example/blocked/open/p' || CAST(doc_id AS VARCHAR)
+    ELSE
+      'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/fine/p'
+        || CAST(doc_id AS VARCHAR)
+  END AS url,
+  'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+  CASE
+    WHEN doc_id % 3 = 0 THEN '/blocked/p' || CAST(doc_id AS VARCHAR)
+    WHEN doc_id % 3 = 1 THEN '/blocked/open/p' || CAST(doc_id AS VARCHAR)
+    ELSE '/fine/p' || CAST(doc_id AS VARCHAR)
+  END AS path,
+  (doc_id % 3) <> 0 AS fetch_allowed
+FROM documents WHERE doc_id < 500
+"""
 
 _ORACLE["warc_scan"] = """
 WITH d AS (

@@ -1104,3 +1104,133 @@ def extract_links(
         F.col(id_col), F.explode(pairs).alias("_l")
     ).select(id_col, F.col("_l.href").alias("href"),
              F.col("_l.anchor").alias("anchor"))
+
+
+def robots_txt_rules(
+    df: DataFrame,
+    robots_col: str = "robots_txt",
+    host_col: str = "host",
+    agent: str = "*",
+) -> DataFrame:
+    """Parse robots.txt bodies (the REP grammar subset that governs
+    fetching: User-agent groups, Allow/Disallow path rules) into one row
+    per applicable rule — the host-level crawl-compliance layer that
+    complements the page-level :func:`robots_meta_signals` and the
+    manual :func:`host_suffix_filter`.
+
+    Grammar handled (robots.txt de-facto core): a GROUP is one or more
+    consecutive ``User-agent:`` lines followed by its rule lines; a rule
+    belongs to the nearest preceding group; a group applies when any of
+    its agents is ``*`` or equals ``agent`` (case-insensitive keys and
+    agent match); empty-path ``Disallow:`` means allow-all and yields no
+    rule; unknown directives are ignored.
+
+    Returns (host, allow boolean, path, path_len) for applicable rules.
+    Pair with :func:`robots_allowed` to gate URLs.
+
+    Plan at 100 TB: posexplode lines -> two window passes keyed on the
+    host (group id = running count of group starts; governing group =
+    running max over UA lines) — robots files are KB-sized, so the
+    per-host window sort is bounded; ONE host-keyed exchange. Windows
+    instead of a HOF fold keep the logic replayable in the oracle's
+    SQL dialect."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(robots_col), F.lit("")), r"\r?\n")
+        ).alias("ln", "line"),
+    )
+    key = F.lower(F.trim(F.regexp_extract("line", r"^([^:#]+):", 1)))
+    val = F.trim(F.regexp_extract("line", r"^[^:#]+:\s*([^#]*)", 1))
+    typed = lines.select(
+        "host", "ln", key.alias("k"), val.alias("v")
+    ).filter(F.col("k").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("host").orderBy("ln")
+    is_ua = (F.col("k") == "user-agent").cast("int")
+    prev_ua = F.coalesce(F.lag(is_ua).over(w), F.lit(0))
+    typed = typed.withColumn("_start", ((is_ua == 1) & (prev_ua == 0)).cast("int"))
+    typed = typed.withColumn("grp", F.sum("_start").over(w))
+    # groups that apply to our agent
+    applies = (
+        typed.filter(F.col("k") == "user-agent")
+        .groupBy("host", "grp")
+        .agg(
+            F.max(
+                (F.lower(F.col("v")) == agent.lower())
+                | (F.col("v") == "*")
+            ).alias("_ok")
+        )
+        .filter("_ok")
+        .drop("_ok")
+    )
+    rules = (
+        typed.filter(F.col("k") != "user-agent")
+        .filter(F.length("v") > 0)  # empty Disallow: = allow-all, no rule
+        .join(applies, ["host", "grp"], "left_semi")
+        .select(
+            "host",
+            (F.col("k") == "allow").alias("allow"),
+            F.col("v").alias("path"),
+            F.length("v").cast("long").alias("path_len"),
+        )
+    )
+    return rules
+
+
+def robots_allowed(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Gate URLs against :func:`robots_txt_rules` output with the REP
+    longest-match decision: among the URL's host's rules whose path is
+    a prefix of the URL path, the LONGEST wins, and on equal length
+    Allow beats Disallow (the documented REP tiebreak); a URL with no
+    matching rule is allowed. Returns one row per distinct input URL:
+    (url, host, path, fetch_allowed).
+
+    Plan at scale: one equi-join on host (the rule table is
+    hosts x rules — dimension-sized next to a crawl, broadcast when
+    small), then the winner is a single max() of a (path_len, allow)
+    struct per URL — the struct ordering IS the REP tiebreak, so no
+    window sort is needed; one (url)-keyed aggregation."""
+    u = F.col(url_col)
+    host = F.lower(F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1))
+    path = F.coalesce(
+        F.nullif(
+            F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://[^/]*(/[^?#]*)", 1),
+            F.lit(""),
+        ),
+        F.lit("/"),
+    )
+    pages = urls.select(
+        u.alias("url"), host.alias("host"), path.alias("path")
+    )
+    r = rules.select(
+        F.col("host"),
+        F.col("allow").cast("int").alias("r_allow"),
+        F.col("path").alias("r_path"),
+        F.col("path_len").alias("r_len"),
+    )
+    joined = pages.join(r, "host", "left")
+    hit = F.col("r_path").isNotNull() & F.col("path").startswith(
+        F.col("r_path")
+    )
+    winner = F.max(
+        F.when(
+            hit,
+            F.struct(F.col("r_len").alias("l"), F.col("r_allow").alias("a")),
+        )
+    )
+    return (
+        joined.groupBy("url", "host", "path")
+        .agg(winner.alias("_w"))
+        .select(
+            "url",
+            "host",
+            "path",
+            F.coalesce(F.col("_w.a") == 1, F.lit(True)).alias(
+                "fetch_allowed"
+            ),
+        )
+    )

@@ -664,3 +664,68 @@ def test_hits_directory_vs_authority(spark):
     assert out["d1"]["hub"] > out["a1"]["hub"]
     assert out["a1"]["authority"] > out["d1"]["authority"]
     assert out["a1"]["authority"] == out["a2"]["authority"]  # symmetric
+
+
+# ------------------------------------------------------------ robots.txt
+ROBOTS = """# comments ignored
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+User-agent: trainingbot
+Disallow: /tmp/
+Allow: /tmp/public/
+Disallow:
+
+Sitemap: https://h1.example/sitemap.xml
+"""
+
+
+def test_robots_txt_rules_groups_and_agent_match(spark):
+    from access_log_parser_spark.operators.webtext import robots_txt_rules
+
+    df = spark.createDataFrame([Row(host="h1.example", robots_txt=ROBOTS)])
+    got = {(r["allow"], r["path"]) for r in robots_txt_rules(df).collect()}
+    # the googlebot group does NOT apply to '*'; empty Disallow drops
+    assert got == {(False, "/tmp/"), (True, "/tmp/public/")}
+    named = {(r["allow"], r["path"])
+             for r in robots_txt_rules(df, agent="GoogleBot").collect()}
+    # googlebot matches its own group AND the * group
+    assert named == {(False, "/private/"), (False, "/tmp/"),
+                     (True, "/tmp/public/")}
+
+
+def test_robots_allowed_longest_match_and_tiebreak(spark):
+    from access_log_parser_spark.operators.webtext import (
+        robots_allowed,
+        robots_txt_rules,
+    )
+
+    df = spark.createDataFrame([Row(host="h1.example", robots_txt=ROBOTS)])
+    rules = robots_txt_rules(df)
+    urls = spark.createDataFrame([
+        Row(url="https://h1.example/tmp/secret"),        # /tmp/ disallow
+        Row(url="https://h1.example/tmp/public/ok"),     # longer allow wins
+        Row(url="https://h1.example/anything/else"),     # no rule -> allowed
+        Row(url="https://other.example/tmp/secret"),     # host w/o rules
+    ])
+    got = {r["url"]: r["fetch_allowed"]
+           for r in robots_allowed(urls, rules).collect()}
+    assert got == {
+        "https://h1.example/tmp/secret": False,
+        "https://h1.example/tmp/public/ok": True,
+        "https://h1.example/anything/else": True,
+        "https://other.example/tmp/secret": True,
+    }
+
+
+def test_robots_allowed_equal_length_allow_wins(spark):
+    from access_log_parser_spark.operators.webtext import robots_allowed
+
+    rules = spark.createDataFrame([
+        Row(host="h.example", allow=True, path="/a/", path_len=3),
+        Row(host="h.example", allow=False, path="/a/", path_len=3),
+    ])
+    urls = spark.createDataFrame([Row(url="https://h.example/a/x")])
+    out = robots_allowed(urls, rules).collect()[0]
+    assert out["fetch_allowed"] is True  # REP tiebreak: Allow wins
