@@ -171,6 +171,18 @@ SELECTED = [
     ("lang_id_margin", False,
      "pure per-row projection: four array_intersect counts + a "
      "4-element array_sort; zero shuffles"),
+    ("warc_scan", False,
+     "byte-accurate Content-Length framing is ONE Arrow-batched "
+     "mapInPandas over binaryFile rows (the documented imperative-UDF "
+     "exception); everything downstream is columnar"),
+    ("robots_gate", False,
+     "rule parse = two window passes on ONE host-keyed exchange; the "
+     "URL gate joins on host and resolves longest-match via a struct "
+     "max — no window sort on the crawl side"),
+    ("pagerank_hosts", False,
+     "per round: one edge shuffle (src join) + one keyed agg (dst sum); "
+     "node/degree tables dimension-sized; per-round localCheckpoint "
+     "keeps lineage flat (24.7 s -> 3.4 s measured on hits before/after)"),
 ]
 
 
