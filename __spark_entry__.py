@@ -2307,6 +2307,20 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-k-per-stratum selection (sampling.stratified_topk): the 5
+    longest documents per source, ties to the lower doc_id; oracle is
+    the same window rank in DuckDB."""
+    from access_log_parser_spark.operators.sampling import stratified_topk
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+        "doc_id", "source",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long")
+        .alias("n_chars"),
+    )
+    return stratified_topk(docs, "source", "n_chars", k=5)
+
+
 def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt crawl gate end-to-end (webtext.robots_txt_rules +
     robots_allowed): 7 hosts share a robots body with a comment, a
@@ -2678,6 +2692,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "stratified_topk",
     "robots_gate",
     "warc_scan",
     "extract_links",
@@ -2756,6 +2771,7 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "stratified_topk": _q_stratified_topk,
         "robots_gate": _q_robots_gate,
         "warc_scan": _q_warc_scan,
         "extract_links": _q_extract_links,
@@ -4859,6 +4875,19 @@ from access_log_parser_spark.operators.webtext import (  # noqa: E402
     ANCHOR_TAG_RE as _ANCHOR_TAG_RE,
     HREF_RE as _HREF_RE,
 )
+
+_ORACLE["stratified_topk"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id < 500
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+  FROM d
+)
+SELECT doc_id, source, n_chars FROM r WHERE rk <= 5
+"""
 
 _ORACLE["robots_gate"] = """
 SELECT

@@ -313,3 +313,30 @@ def shard_checksums(
             F.bit_xor(row_h).alias("checksum"),
         )
     )
+
+
+def stratified_topk(
+    df: DataFrame,
+    stratum_col: str,
+    score_col: str,
+    k: int,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the ``k`` HIGHEST-``score_col`` rows per stratum (tie -> min
+    key) — the selection move behind "best N pages per domain" /
+    "top-quality slice per language" curation budgets. Deterministic
+    counterpart of :func:`stratified_sample` (which draws a md5-random n
+    per stratum; this one draws the argmax set).
+
+    Plan at 100 TB: one exchange on the stratum key + bounded window
+    rank; output <= k x |strata| rows regardless of input size. AQE
+    skew-split keeps hot strata balanced; rank short-circuits the sort
+    buffer at k."""
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(score_col).desc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

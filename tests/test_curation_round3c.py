@@ -729,3 +729,24 @@ def test_robots_allowed_equal_length_allow_wins(spark):
     urls = spark.createDataFrame([Row(url="https://h.example/a/x")])
     out = robots_allowed(urls, rules).collect()[0]
     assert out["fetch_allowed"] is True  # REP tiebreak: Allow wins
+
+
+# -------------------------------------------------------- stratified topk
+def test_stratified_topk_argmax_per_stratum(spark):
+    from access_log_parser_spark.operators.sampling import stratified_topk
+
+    rows = [Row(doc_id=i, source=f"s{i % 3}", score=float((i * 7) % 11))
+            for i in range(30)]
+    out = stratified_topk(
+        spark.createDataFrame(rows), "source", "score", k=4
+    ).collect()
+    by_s: dict[str, list] = {}
+    for r in out:
+        by_s.setdefault(r["source"], []).append((r["score"], r["doc_id"]))
+    for s, got in by_s.items():
+        pool = sorted(
+            ((float((i * 7) % 11), i) for i in range(30) if f"s{i % 3}" == s),
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        assert sorted(got, key=lambda t: (-t[0], t[1])) == pool, s
+    assert all(len(v) == 4 for v in by_s.values())
