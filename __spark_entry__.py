@@ -2307,6 +2307,29 @@ def _q_url_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_spam_score(pages)
 
 
+def _q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap crawl seeding (webtext.sitemap_locs): every doc's host
+    publishes a 2-entry urlset (one loc whitespace-padded, one
+    uppercase-tagged); oracle replays the same regex extraction with
+    UNNEST WITH ORDINALITY-style positions."""
+    from access_log_parser_spark.operators.webtext import sitemap_locs
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc> https://s'),
+        k, F.lit('.example/a/'), k,
+        F.lit(' </loc></url><url><LOC>https://s'),
+        k, F.lit('.example/b/'), k,
+        F.lit('</LOC></url></urlset>'),
+    )
+    sites = docs.select(
+        F.concat(F.lit("s"), k, F.lit(".example")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+    return sitemap_locs(sites)
+
+
 def _q_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-k-per-stratum selection (sampling.stratified_topk): the 5
     longest documents per source, ties to the lower doc_id; oracle is
@@ -2692,6 +2715,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: round's gate (VERDICT r02 "Next round" item #1). NEW queries added in
 #: round 3+ go at the top of this list for the same reason.
 _GATE_FIRST = [
+    "sitemap_locs",
     "stratified_topk",
     "robots_gate",
     "warc_scan",
@@ -2771,6 +2795,7 @@ _GATE_FIRST = [
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
+        "sitemap_locs": _q_sitemap_locs,
         "stratified_topk": _q_stratified_topk,
         "robots_gate": _q_robots_gate,
         "warc_scan": _q_warc_scan,
@@ -4875,6 +4900,20 @@ from access_log_parser_spark.operators.webtext import (  # noqa: E402
     ANCHOR_TAG_RE as _ANCHOR_TAG_RE,
     HREF_RE as _HREF_RE,
 )
+
+_ORACLE["sitemap_locs"] = """
+SELECT 's' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+       CAST(1 AS BIGINT) AS position,
+       'https://s' || CAST(doc_id AS VARCHAR) || '.example/a/'
+         || CAST(doc_id AS VARCHAR) AS loc
+FROM documents WHERE doc_id < 500
+UNION ALL
+SELECT 's' || CAST(doc_id AS VARCHAR) || '.example',
+       CAST(2 AS BIGINT),
+       'https://s' || CAST(doc_id AS VARCHAR) || '.example/b/'
+         || CAST(doc_id AS VARCHAR)
+FROM documents WHERE doc_id < 500
+"""
 
 _ORACLE["stratified_topk"] = """
 WITH d AS (

@@ -1234,3 +1234,24 @@ def robots_allowed(
             ),
         )
     )
+
+
+SITEMAP_LOC_RE = r"(?is)<loc>\s*([^<]*?)\s*</loc>"
+
+
+def sitemap_locs(
+    df: DataFrame, xml_col: str = "sitemap_xml", host_col: str = "host"
+) -> DataFrame:
+    """Crawl seeding from sitemap.xml: extract every ``<loc>`` URL (works
+    for both urlset entries and sitemap-index children) with its
+    1-based position — the frontier input that pairs with
+    :func:`robots_allowed` and :func:`url_dedup_first`.
+
+    Returns (host, position, loc). Pure per-row projection
+    (regexp_extract_all + posexplode), zero shuffles."""
+    locs = F.regexp_extract_all(
+        F.coalesce(F.col(xml_col), F.lit("")), F.lit(SITEMAP_LOC_RE), 1
+    )
+    return df.select(
+        F.col(host_col).alias("host"), F.posexplode(locs).alias("pos", "loc")
+    ).select("host", (F.col("pos") + 1).cast("long").alias("position"), "loc")

@@ -750,3 +750,20 @@ def test_stratified_topk_argmax_per_stratum(spark):
         )[:4]
         assert sorted(got, key=lambda t: (-t[0], t[1])) == pool, s
     assert all(len(v) == 4 for v in by_s.values())
+
+
+# ------------------------------------------------------------- sitemaps
+def test_sitemap_locs_positions_and_whitespace(spark):
+    from access_log_parser_spark.operators.webtext import sitemap_locs
+
+    xml = ("<?xml version=\"1.0\"?><urlset>"
+           "<url><loc> https://h.example/a </loc></url>"
+           "<url><LOC>https://h.example/b</LOC></url>"
+           "<url><lastmod>2024-01-01</lastmod></url></urlset>")
+    out = sitemap_locs(
+        spark.createDataFrame([Row(host="h.example", sitemap_xml=xml),
+                               Row(host="empty.example", sitemap_xml=None)])
+    ).collect()
+    got = {(r["host"], r["position"]): r["loc"] for r in out}
+    assert got == {("h.example", 1): "https://h.example/a",
+                   ("h.example", 2): "https://h.example/b"}
