@@ -2431,6 +2431,7 @@ def _q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("http_status"),
         F.decode(F.col("html"), "utf-8").alias("body"),
+        "truncated",
     )
 
 
@@ -4962,7 +4963,8 @@ SELECT 'mem://' || CAST(doc_id AS VARCHAR) AS source,
        'response' AS warc_type,
        'https://warc.example/' || CAST(doc_id AS VARCHAR) AS target_uri,
        CAST(200 AS BIGINT) AS http_status,
-       html AS body
+       html AS body,
+       FALSE AS truncated
 FROM d
 UNION ALL
 SELECT 'mem://' || CAST(doc_id AS VARCHAR),
@@ -4970,7 +4972,8 @@ SELECT 'mem://' || CAST(doc_id AS VARCHAR),
        'metadata',
        'https://warc.example/' || CAST(doc_id AS VARCHAR),
        CAST(-1 AS BIGINT),
-       'len=' || CAST(octet_length(encode(html)) AS VARCHAR)
+       'len=' || CAST(octet_length(encode(html)) AS VARCHAR),
+       FALSE
 FROM d
 """
 

@@ -24,12 +24,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _round_cut(checkpoint_dir: str | None):
+    """Per-round lineage cut: ``localCheckpoint`` by default (correct and
+    cheap in-sandbox), or reliable ``checkpoint`` into ``checkpoint_dir``
+    on a real cluster — a localCheckpoint dies with its executor, so an
+    executor loss mid-iteration would fail the job instead of recovering
+    from the checkpoint (the same swap dedup.connected_components
+    documents)."""
+    if checkpoint_dir is not None:
+        def cut(df: DataFrame) -> DataFrame:
+            df.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+            return df.checkpoint()
+        return cut
+    return lambda df: df.localCheckpoint()
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -47,42 +63,52 @@ def pagerank(
     """
     # Iterative lineage DOUBLES per round if left lazy (every reference
     # to rank_t re-expands the whole prefix): cut it with a per-round
-    # localCheckpoint of the node-sized rank table and a cached edge
-    # list — the same discipline as dedup.connected_components. (At
-    # cluster scale swap localCheckpoint for a reliable checkpoint dir.)
+    # checkpoint of the node-sized rank table and a cached edge list —
+    # the same discipline as dedup.connected_components. Pass
+    # ``checkpoint_dir`` on a real cluster for executor-loss-safe
+    # reliable checkpoints (see _round_cut).
+    cut = _round_cut(checkpoint_dir)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().cache()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
-    n = nodes.count()  # one small action; node table is dimension-sized
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
-        contrib = (
-            e.join(ranks, e["src"] == ranks["node"])
-            .join(out_deg, "src")
-            .select(F.col("dst").alias("node"),
-                    (F.col("rank") / F.col("deg")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_mass"))
+    try:
+        nodes = cut(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
         )
-        ranks = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
-                ).alias("rank"),
+        n = nodes.count()  # one small action; node table is dimension-sized
+        if n == 0:
+            return nodes.select("node", F.lit(0.0).alias("rank"))
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(iterations):
+            contrib = (
+                e.join(ranks, e["src"] == ranks["node"])
+                .join(out_deg, "src")
+                .select(F.col("dst").alias("node"),
+                        (F.col("rank") / F.col("deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_mass"))
             )
-            .localCheckpoint()
-        )
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+            ranks = cut(
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+            )
+        return ranks.select("node", F.round("rank", 6).alias("rank"))
+    finally:
+        # every round already ran eagerly (the checkpoints), so the
+        # returned frame depends only on the final checkpointed ranks —
+        # the edge/degree caches can be released before returning
+        e.unpersist()
+        out_deg.unpersist()
 
 
 def hits(
@@ -90,6 +116,7 @@ def hits(
     iterations: int = 3,
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration HITS (Kleinberg 1999): hub and authority scores
     over a directed edge list — the complementary link signal to
@@ -111,55 +138,65 @@ def hits(
     lineage stays flat (as with connected_components).
     """
     # same lineage discipline as pagerank: cached edges, per-round
-    # localCheckpoint of the node-sized score tables
+    # checkpoint of the node-sized score tables (reliable when
+    # ``checkpoint_dir`` is given — see _round_cut)
+    cut = _round_cut(checkpoint_dir)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).distinct().cache()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
-    hub = nodes.withColumn("h", F.lit(1.0 / n))
-    auth = None
-    for _ in range(iterations):
-        raw_a = (
-            e.join(hub, e["src"] == hub["node"])
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("h").alias("a_raw"))
+    try:
+        nodes = cut(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
         )
-        a_norm = raw_a.agg(F.sum("a_raw").alias("z"))
-        auth = (
-            nodes.join(raw_a, "node", "left")
-            .join(F.broadcast(a_norm))
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                "node",
+                F.lit(0.0).alias("hub"),
+                F.lit(0.0).alias("authority"),
+            )
+        hub = nodes.withColumn("h", F.lit(1.0 / n))
+        auth = None
+        for _ in range(iterations):
+            raw_a = (
+                e.join(hub, e["src"] == hub["node"])
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("h").alias("a_raw"))
+            )
+            a_norm = raw_a.agg(F.sum("a_raw").alias("z"))
+            auth = cut(
+                nodes.join(raw_a, "node", "left")
+                .join(F.broadcast(a_norm))
+                .select(
+                    "node",
+                    (F.coalesce(F.col("a_raw"), F.lit(0.0))
+                     / F.col("z")).alias("a"),
+                )
+            )
+            raw_h = (
+                e.join(auth, e["dst"] == auth["node"])
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("a").alias("h_raw"))
+            )
+            h_norm = raw_h.agg(F.sum("h_raw").alias("z"))
+            hub = cut(
+                nodes.join(raw_h, "node", "left")
+                .join(F.broadcast(h_norm))
+                .select(
+                    "node",
+                    (F.coalesce(F.col("h_raw"), F.lit(0.0))
+                     / F.col("z")).alias("h"),
+                )
+            )
+        return (
+            hub.join(auth, "node")
             .select(
                 "node",
-                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("z")).alias("a"),
+                F.round("h", 6).alias("hub"),
+                F.round("a", 6).alias("authority"),
             )
-            .localCheckpoint()
         )
-        raw_h = (
-            e.join(auth, e["dst"] == auth["node"])
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.sum("a").alias("h_raw"))
-        )
-        h_norm = raw_h.agg(F.sum("h_raw").alias("z"))
-        hub = (
-            nodes.join(raw_h, "node", "left")
-            .join(F.broadcast(h_norm))
-            .select(
-                "node",
-                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("z")).alias("h"),
-            )
-            .localCheckpoint()
-        )
-    return (
-        hub.join(auth, "node")
-        .select(
-            "node",
-            F.round("h", 6).alias("hub"),
-            F.round("a", 6).alias("authority"),
-        )
-    )
+    finally:
+        e.unpersist()  # rounds ran eagerly; the result needs only hub/auth

@@ -1183,17 +1183,31 @@ def robots_allowed(
     url_col: str = "url",
 ) -> DataFrame:
     """Gate URLs against :func:`robots_txt_rules` output with the REP
-    longest-match decision: among the URL's host's rules whose path is
-    a prefix of the URL path, the LONGEST wins, and on equal length
-    Allow beats Disallow (the documented REP tiebreak); a URL with no
-    matching rule is allowed. Returns one row per distinct input URL:
-    (url, host, path, fetch_allowed).
+    longest-match decision: among the URL's host's rules that MATCH the
+    URL path, the rule with the LONGEST path string wins, and on equal
+    length Allow beats Disallow (the documented REP tiebreak); a URL
+    with no matching rule is allowed. Returns one row per distinct
+    input URL: (url, host, path, fetch_allowed).
+
+    Matching implements the full RFC 9309 rule grammar, not just
+    literal prefixes: ``*`` in a rule path matches any character
+    sequence (including ``/``) and a trailing ``$`` anchors the match
+    at the end of the URL path (``Disallow: /*.pdf$`` blocks exactly
+    the pdf paths). Wildcard rules are translated at plan time into
+    anchored regexes by pure expressions (escape regex metacharacters,
+    ``*`` -> ``.*``, trailing ``$`` -> end anchor); literal rules keep
+    the cheap prefix test. "Longest" counts the raw rule string
+    (wildcards included) — the googlebot-matcher convention. Failing
+    OPEN on an unsupported rule shape is therefore impossible: every
+    RFC 9309 rule either prefix-matches or regex-matches exactly.
 
     Plan at scale: one equi-join on host (the rule table is
     hosts x rules — dimension-sized next to a crawl, broadcast when
     small), then the winner is a single max() of a (path_len, allow)
     struct per URL — the struct ordering IS the REP tiebreak, so no
-    window sort is needed; one (url)-keyed aggregation."""
+    window sort is needed; one (url)-keyed aggregation. The regex
+    branch only evaluates on wildcard rules (a ``when`` guard), so a
+    wildcard-free rule table pays nothing for the RFC 9309 support."""
     u = F.col(url_col)
     host = F.lower(F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1))
     path = F.coalesce(
@@ -1206,16 +1220,34 @@ def robots_allowed(
     pages = urls.select(
         u.alias("url"), host.alias("host"), path.alias("path")
     )
+    # RFC 9309 wildcard translation (rule -> anchored regex), all plan-time
+    # expressions: a trailing '$' anchors, any '*' becomes '.*', every
+    # other regex metacharacter in the rule is escaped literally.
+    rp = F.col("path")
+    anchored = rp.endswith("$")
+    body = F.when(anchored, rp.substr(F.lit(1), F.length(rp) - 1)).otherwise(rp)
+    esc = F.regexp_replace(body, r"([\\.\[\]\{\}\(\)\+\?\^\$\|])", r"\\$1")
+    translated = F.replace(esc, F.lit("*"), F.lit(".*"))
+    wild = rp.contains("*") | anchored
     r = rules.select(
         F.col("host"),
         F.col("allow").cast("int").alias("r_allow"),
         F.col("path").alias("r_path"),
         F.col("path_len").alias("r_len"),
+        F.when(
+            wild,
+            F.concat(
+                F.lit("^"),
+                translated,
+                F.when(anchored, F.lit("$")).otherwise(F.lit("")),
+            ),
+        ).alias("r_re"),
     )
     joined = pages.join(r, "host", "left")
-    hit = F.col("r_path").isNotNull() & F.col("path").startswith(
-        F.col("r_path")
-    )
+    hit = F.col("r_path").isNotNull() & F.when(
+        F.col("r_re").isNotNull(),
+        F.regexp_like(F.col("path"), F.col("r_re")),
+    ).otherwise(F.col("path").startswith(F.col("r_path")))
     winner = F.max(
         F.when(
             hit,

@@ -20,7 +20,9 @@ Scale shape (100 TB): Common Crawl segments are ~1 GB gzip members; the
 binaryFile source gives one file per task, records stream through one
 Python pass per file (no per-record round trips), and everything after
 this scan is ordinary columnar work. Malformed trailing bytes end the
-scan for that file (counted in ``truncated``), matching how real CC
+scan for that file and SURFACE as the per-file ``truncated`` boolean on
+every emitted record of that file (torn tails are never silent — the
+counters discipline of the rest of the repo), matching how real CC
 readers behave.
 """
 
@@ -34,6 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -50,6 +53,7 @@ WARC_SCHEMA = StructType(
         StructField("warc_date", StringType()),
         StructField("http_status", IntegerType()),
         StructField("html", BinaryType()),
+        StructField("truncated", BooleanType()),
     ]
 )
 
@@ -67,18 +71,24 @@ def _parse_http(block: bytes) -> tuple[int | None, bytes]:
     return status, body if sep else b""
 
 
-def iter_warc_records(data: bytes):
-    """Yield (warc_headers dict, block bytes) per record; stop at the
-    first malformed frame (StopIteration semantics mirror real readers:
-    a torn tail ends the member, it does not corrupt earlier records)."""
+def scan_warc_records(
+    data: bytes,
+) -> tuple[list[tuple[dict[str, str], bytes]], bool]:
+    """Parse a WARC member into ``(records, truncated)``: records is a
+    list of (warc_headers dict, block bytes); ``truncated`` is True iff
+    the scan stopped before consuming every byte (torn tail, malformed
+    frame, or bad/short Content-Length). A torn tail ends the member —
+    it never corrupts earlier records — but it is REPORTED, not
+    swallowed."""
+    records: list[tuple[dict[str, str], bytes]] = []
     pos = 0
     n = len(data)
     while pos < n:
         if data[pos:pos + 5] != b"WARC/":
-            return
+            return records, True
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0:
-            return
+            return records, True
         headers: dict[str, str] = {}
         for line in data[pos:head_end].split(b"\r\n")[1:]:
             name, _, value = line.partition(b":")
@@ -88,15 +98,24 @@ def iter_warc_records(data: bytes):
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return
+            return records, True
         block_start = head_end + 4
         if block_start + length > n:
-            return
-        yield headers, data[block_start:block_start + length]
+            return records, True
+        records.append((headers, data[block_start:block_start + length]))
         pos = block_start + length
         # per spec: two CRLFs terminate the record
         if data[pos:pos + 4] == b"\r\n\r\n":
             pos += 4
+    return records, False
+
+
+def iter_warc_records(data: bytes):
+    """Yield (warc_headers dict, block bytes) per record; stop at the
+    first malformed frame (StopIteration semantics mirror real readers:
+    a torn tail ends the member, it does not corrupt earlier records).
+    Use :func:`scan_warc_records` when the truncation flag matters."""
+    yield from scan_warc_records(data)[0]
 
 
 def parse_warc_records(
@@ -104,8 +123,15 @@ def parse_warc_records(
 ) -> DataFrame:
     """binaryFile rows -> one row per WARC record:
     (source, record_idx, warc_type, target_uri, warc_date, http_status,
-    html). For response records ``html`` is the HTTP body; for other
-    record types it is the raw block."""
+    html, truncated). For response records ``html`` is the HTTP body;
+    for other record types it is the raw block. ``truncated`` is the
+    per-file torn-tail indicator (constant across the file's records):
+    True means trailing bytes after the last emitted record did not
+    parse as a complete frame, so the file's record list MAY be
+    incomplete — route such files to a quarantine sink or re-fetch.
+    (A file whose FIRST frame is already malformed emits zero rows and
+    therefore no flag; gate on a per-file record count upstream if
+    whole-file garbage must also be surfaced.)"""
     sel = df.select(
         F.col(source_col).alias("source"), F.col(data_col).alias("data")
     )
@@ -114,9 +140,8 @@ def parse_warc_records(
         for pdf in batches:
             rows = []
             for src, data in zip(pdf["source"], pdf["data"]):
-                for i, (hdr, block) in enumerate(
-                    iter_warc_records(bytes(data))
-                ):
+                records, truncated = scan_warc_records(bytes(data))
+                for i, (hdr, block) in enumerate(records):
                     status, body = _parse_http(block)
                     rows.append(
                         (
@@ -127,6 +152,7 @@ def parse_warc_records(
                             hdr.get("warc-date", ""),
                             status,
                             body,
+                            truncated,
                         )
                     )
             yield pd.DataFrame(

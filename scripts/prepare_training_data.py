@@ -58,8 +58,14 @@ def prepare(
     c4_lines: bool = False,
     quality_min: float = 0.3,
     rep_max: float = 0.9,
+    checkpoint_dir: str | None = None,
 ) -> dict:
-    """Run the full preparation pass; returns the manifest dict."""
+    """Run the full preparation pass; returns the manifest dict.
+
+    ``checkpoint_dir`` (optional) makes the iterative
+    connected-components stage use reliable checkpoints instead of
+    localCheckpoint — pass a durable path on a real cluster so an
+    executor loss mid-iteration recovers instead of failing the job."""
     from pyspark.sql import functions as F
 
     from access_log_parser_spark.operators.dedup import (
@@ -104,7 +110,9 @@ def prepare(
     pairs = lsh_candidate_pairs(
         minhash_signatures_hof(curated), distinct=False
     )
-    assign = connected_components(curated.select("doc_id"), pairs)
+    assign = connected_components(
+        curated.select("doc_id"), pairs, checkpoint_dir=checkpoint_dir
+    )
     scored = assign.join(
         curated.select(
             "doc_id", quality_score_col(F.col("text")).alias("_q")
@@ -112,71 +120,85 @@ def prepare(
         "doc_id",
     )
     winners = cluster_canonical(scored, "_q").select("doc_id")
-    curated = curated.join(winners, "doc_id", "left_semi")
-    manifest["stages"]["after_near_dup"] = curated.count()
+    # PERSIST the post-near-dup corpus: everything downstream (stage
+    # counts, packing, shard write, checksums) is an eager action over
+    # it — without the persist each action re-runs the full
+    # curate -> MinHash -> LSH -> components chain from scratch.
+    curated = _pinned = curated.join(winners, "doc_id", "left_semi").persist()
+    try:
+        manifest["stages"]["after_near_dup"] = curated.count()
 
-    # 4. optional temperature-flattened domain mixture
-    if alpha > 0:
-        host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/:?#]*)", 1)
-        curated = temperature_mixture_sample(
-            curated.withColumn("_host", host),
-            stratum_col="_host",
-            key_col="doc_id",
-            alpha=alpha,
-        ).drop("_host")
-        manifest["stages"]["after_mixture"] = curated.count()
+        # 4. optional temperature-flattened domain mixture
+        if alpha > 0:
+            host = F.regexp_extract(F.col("url"), r"^[a-z]+://([^/:?#]*)", 1)
+            curated = temperature_mixture_sample(
+                curated.withColumn("_host", host),
+                stratum_col="_host",
+                key_col="doc_id",
+                alpha=alpha,
+            ).drop("_host")
+            manifest["stages"]["after_mixture"] = curated.count()
 
-    # 5. deterministic epoch order; 6. token counts -> packs -> shards
-    ordered = epoch_shuffle(curated, key_col="doc_id", epoch=epoch)
-    ordered = ordered.withColumn(
-        "ws_tokens", F.size(tokens(F.col("text"))).cast("long")
-    )
-    from access_log_parser_spark.operators.sampling import hash_bucket
-
-    ordered = ordered.withColumn(
-        "shard", hash_bucket(F.col("doc_id"), n_shards)
-    )
-    packed = pack_streaming(
-        ordered, budget=budget, shard_col="shard",
-        order_col="position", token_col="ws_tokens",
-    )
-    sharded = write_training_shards(
-        packed, out_dir, key_col="doc_id", n_shards=n_shards
-    )
-
-    pack_stats = (
-        packed.groupBy("shard", "pack_id")
-        .agg(F.sum("ws_tokens").alias("toks"))
-        .agg(
-            F.count(F.lit(1)).alias("n_packs"),
-            F.max("toks").alias("max_pack_tokens"),
+        # 5. deterministic epoch order; 6. token counts -> packs -> shards
+        ordered = epoch_shuffle(curated, key_col="doc_id", epoch=epoch)
+        ordered = ordered.withColumn(
+            "ws_tokens", F.size(tokens(F.col("text"))).cast("long")
         )
-        .collect()[0]
-    )
-    manifest["packs"] = {
-        "n_packs": pack_stats["n_packs"],
-        "max_pack_tokens": pack_stats["max_pack_tokens"],
-        "budget": budget,
-    }
-    manifest["shards"] = {
-        str(r["shard"]): r["n"]
-        for r in sharded.groupBy("shard")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    # pack boundaries (attention-reset metadata) + order-invariant
-    # integrity digests ride along as parquet/manifest artifacts
-    pack_manifest(packed).write.mode("overwrite").parquet(
-        str(Path(out_dir) / "_pack_manifest")
-    )
-    from access_log_parser_spark.operators.sampling import shard_checksums
+        from access_log_parser_spark.operators.sampling import hash_bucket
 
-    manifest["checksums"] = {
-        str(r["shard"]): r["checksum"]
-        for r in shard_checksums(
-            curated, key_col="doc_id", n_shards=n_shards
-        ).collect()
-    }
+        ordered = ordered.withColumn(
+            "shard", hash_bucket(F.col("doc_id"), n_shards)
+        )
+        # packed feeds THREE actions (shard write, pack stats, manifest
+        # parquet) — persist it so the pack window runs once
+        packed = pack_streaming(
+            ordered, budget=budget, shard_col="shard",
+            order_col="position", token_col="ws_tokens",
+        ).persist()
+        try:
+            sharded = write_training_shards(
+                packed, out_dir, key_col="doc_id", n_shards=n_shards
+            )
+
+            pack_stats = (
+                packed.groupBy("shard", "pack_id")
+                .agg(F.sum("ws_tokens").alias("toks"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_packs"),
+                    F.max("toks").alias("max_pack_tokens"),
+                )
+                .collect()[0]
+            )
+            manifest["packs"] = {
+                "n_packs": pack_stats["n_packs"],
+                # empty post-filter corpus: max() is NULL — keep the
+                # manifest machine-readable with an explicit 0
+                "max_pack_tokens": pack_stats["max_pack_tokens"] or 0,
+                "budget": budget,
+            }
+            manifest["shards"] = {
+                str(r["shard"]): r["n"]
+                for r in sharded.groupBy("shard")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            # pack boundaries (attention-reset metadata) + order-invariant
+            # integrity digests ride along as parquet/manifest artifacts
+            pack_manifest(packed).write.mode("overwrite").parquet(
+                str(Path(out_dir) / "_pack_manifest")
+            )
+        finally:
+            packed.unpersist()
+        from access_log_parser_spark.operators.sampling import shard_checksums
+
+        manifest["checksums"] = {
+            str(r["shard"]): r["checksum"]
+            for r in shard_checksums(
+                curated, key_col="doc_id", n_shards=n_shards
+            ).collect()
+        }
+    finally:
+        _pinned.unpersist()  # alpha>0 rebinds curated; release the persisted frame
     manifest["epoch"] = epoch
     Path(out_dir, "_manifest.json").write_text(json.dumps(manifest, indent=2))
     return manifest
@@ -197,6 +219,9 @@ def main() -> None:
     ap.add_argument("--rep-max", type=float, default=0.9)
     ap.add_argument("--gopher", action="store_true")
     ap.add_argument("--c4-lines", action="store_true")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="reliable checkpoint dir for the iterative "
+                         "connected-components stage (cluster deploys)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -221,6 +246,7 @@ def main() -> None:
         budget=args.budget, n_shards=args.shards, alpha=args.alpha,
         gopher=args.gopher, c4_lines=args.c4_lines,
         quality_min=args.quality_min, rep_max=args.rep_max,
+        checkpoint_dir=args.checkpoint_dir,
     )
     print(json.dumps(manifest))
 

@@ -1,0 +1,207 @@
+"""Round-4 regression tests: RFC 9309 wildcard rules in the robots
+gate (ADVICE r03 medium — wildcard rules used to fail OPEN), graph
+operator empty-input/unpersist/reliable-checkpoint behavior, and the
+prepare_training_data empty-corpus manifest guard."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------- robots wildcards
+def _gate(spark, rules_rows, urls):
+    from access_log_parser_spark.operators.webtext import robots_allowed
+
+    rules = spark.createDataFrame(
+        [Row(host="h.example", allow=a, path=p, path_len=len(p))
+         for a, p in rules_rows]
+    )
+    u = spark.createDataFrame(
+        [Row(url=f"https://h.example{p}") for p in urls]
+    )
+    return {
+        r["path"]: r["fetch_allowed"]
+        for r in robots_allowed(u, rules).collect()
+    }
+
+
+def test_robots_wildcard_star_matches_any_sequence(spark):
+    got = _gate(
+        spark,
+        [(False, "/private*")],
+        ["/private", "/privateX", "/private/deep/x", "/public"],
+    )
+    assert got == {
+        "/private": False,
+        "/privateX": False,
+        "/private/deep/x": False,
+        "/public": True,
+    }
+
+
+def test_robots_dollar_anchors_end_of_path(spark):
+    # the ADVICE example: 'Disallow: /*.pdf$' must actually block pdfs
+    got = _gate(
+        spark,
+        [(False, "/*.pdf$")],
+        ["/a/file.pdf", "/file.pdf", "/a/file.pdfx", "/a/file.html"],
+    )
+    assert got == {
+        "/a/file.pdf": False,
+        "/file.pdf": False,
+        "/a/file.pdfx": True,   # $ anchors: .pdfx does not end in .pdf
+        "/a/file.html": True,
+    }
+
+
+def test_robots_dollar_exact_path(spark):
+    got = _gate(spark, [(False, "/fish$")], ["/fish", "/fish/", "/fishy"])
+    assert got == {"/fish": False, "/fish/": True, "/fishy": True}
+
+
+def test_robots_wildcard_allow_overrides_by_length(spark):
+    # REP precedence uses the raw rule-string length, wildcards included
+    got = _gate(
+        spark,
+        [(False, "/dir/*"), (True, "/dir/*/open")],
+        ["/dir/a", "/dir/a/open"],
+    )
+    assert got == {"/dir/a": False, "/dir/a/open": True}
+
+
+def test_robots_regex_metachars_in_rules_stay_literal(spark):
+    # a rule path containing regex metachars must match literally, not
+    # as a pattern — '+', '(', '.', '[' are all legal URL-path bytes
+    got = _gate(
+        spark,
+        [(False, "/a+b(c)*"), (False, "/x.y$")],
+        ["/a+b(c)d", "/aab(c)d", "/x.y", "/xzy"],
+    )
+    assert got == {
+        "/a+b(c)d": False,  # literal prefix /a+b(c) then wildcard
+        "/aab(c)d": True,   # '+' is NOT one-or-more
+        "/x.y": False,
+        "/xzy": True,       # '.' is NOT any-char
+    }
+
+
+def test_robots_wildcards_end_to_end_from_robots_txt(spark):
+    from access_log_parser_spark.operators.webtext import (
+        robots_allowed,
+        robots_txt_rules,
+    )
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /*.pdf$\n"
+        "Disallow: /tmp*\n"
+        "Allow: /tmp/public*\n"
+    )
+    rules = robots_txt_rules(
+        spark.createDataFrame([Row(host="h.example", robots_txt=body)])
+    )
+    urls = spark.createDataFrame(
+        [Row(url=f"https://h.example{p}")
+         for p in ["/doc/x.pdf", "/tmp/a", "/tmp/public/a", "/ok"]]
+    )
+    got = {r["path"]: r["fetch_allowed"]
+           for r in robots_allowed(urls, rules).collect()}
+    assert got == {
+        "/doc/x.pdf": False,
+        "/tmp/a": False,
+        "/tmp/public/a": True,
+        "/ok": True,
+    }
+
+
+# ------------------------------------------------------- graph operators
+def test_pagerank_empty_edges_returns_empty(spark):
+    from access_log_parser_spark.operators.graph import pagerank
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = pagerank(empty, iterations=2)
+    assert out.columns == ["node", "rank"]
+    assert out.count() == 0
+
+
+def test_hits_empty_edges_returns_empty(spark):
+    from access_log_parser_spark.operators.graph import hits
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    out = hits(empty, iterations=2)
+    assert out.columns == ["node", "hub", "authority"]
+    assert out.count() == 0
+
+
+def test_graph_ops_release_their_caches(spark, monkeypatch):
+    # spy on DataFrame.cache: every frame the operators cache must be
+    # un-persisted by the time they return (storage level back to NONE)
+    from pyspark.sql.classic.dataframe import DataFrame  # runtime class
+
+    from access_log_parser_spark.operators.graph import hits, pagerank
+
+    cached: list[DataFrame] = []
+    orig_cache = DataFrame.cache
+
+    def spy(self):
+        out = orig_cache(self)
+        cached.append(out)
+        return out
+
+    monkeypatch.setattr(DataFrame, "cache", spy)
+    edges = spark.createDataFrame(
+        [Row(src=f"h{i % 4}", dst=f"h{(i * 3 + 1) % 4}") for i in range(12)]
+    )
+    pagerank(edges, iterations=2).collect()
+    hits(edges, iterations=2).collect()
+    assert len(cached) >= 3  # pagerank e + out_deg, hits e
+    for c in cached:
+        lvl = c.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+
+
+def test_pagerank_reliable_checkpoint_matches_local(spark, tmp_path):
+    from access_log_parser_spark.operators.graph import hits, pagerank
+
+    edges = spark.createDataFrame(
+        [Row(src=f"h{i % 5}", dst=f"h{(i * 7 + 3) % 5}") for i in range(20)]
+    )
+    local = {r["node"]: r["rank"]
+             for r in pagerank(edges, iterations=3).collect()}
+    reliable = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, iterations=3, checkpoint_dir=str(tmp_path / "ck")
+        ).collect()
+    }
+    assert local == reliable
+    h_local = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(edges, iterations=2).collect()}
+    h_rel = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(
+            edges, iterations=2, checkpoint_dir=str(tmp_path / "ck2")
+        ).collect()
+    }
+    assert h_local == h_rel
+
+
+# ------------------------------------- prepare_training_data empty guard
+def test_prepare_manifest_survives_empty_corpus(spark, tmp_path):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from prepare_training_data import prepare
+
+    from access_log_parser_spark.pages import synth_pages
+
+    pages = synth_pages(spark, 50)
+    # quality_min above the score ceiling filters EVERY page
+    manifest = prepare(
+        spark, pages, str(tmp_path / "out"), quality_min=2.0, n_shards=2
+    )
+    assert manifest["stages"]["after_near_dup"] == 0
+    assert manifest["packs"]["n_packs"] == 0
+    assert manifest["packs"]["max_pack_tokens"] == 0  # not None

@@ -42,6 +42,41 @@ def test_iter_warc_records_stops_at_torn_tail():
     assert len(recs) == 1  # torn record dropped, earlier ones intact
 
 
+def test_scan_warc_records_reports_truncation():
+    from access_log_parser_spark.sources.warc import scan_warc_records
+
+    good = _record("https://a.example/1", b"<html>ok</html>")
+    recs, truncated = scan_warc_records(good)
+    assert len(recs) == 1 and truncated is False
+    # torn tail after a good record: records intact, flag raised
+    recs, truncated = scan_warc_records(
+        good + b"WARC/1.0\r\nContent-Length: 999\r\n\r\nshort"
+    )
+    assert len(recs) == 1 and truncated is True
+    # non-numeric Content-Length and trailing garbage both flag
+    assert scan_warc_records(
+        good + b"WARC/1.0\r\nContent-Length: x\r\n\r\n"
+    )[1] is True
+    assert scan_warc_records(good + b"garbage")[1] is True
+    assert scan_warc_records(b"")[1] is False
+
+
+def test_parse_warc_records_truncated_column(spark):
+    good = _record("https://a.example/1", b"<html>one</html>")
+    files = [
+        Row(path="clean.warc", content=good + _record(
+            "meta:x", b"rawblock", wtype="metadata")),
+        Row(path="torn.warc",
+            content=good + b"WARC/1.0\r\nContent-Length: 999\r\n\r\nsh"),
+    ]
+    out = parse_warc_records(spark.createDataFrame(files)).collect()
+    flags = {}
+    for r in out:
+        flags.setdefault(r["source"], set()).add(r["truncated"])
+    # constant per file: every clean.warc row False, every torn.warc True
+    assert flags == {"clean.warc": {False}, "torn.warc": {True}}
+
+
 def test_parse_warc_records_end_to_end(spark):
     files = [
         Row(path="f1.warc",
