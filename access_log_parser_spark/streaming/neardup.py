@@ -34,12 +34,21 @@ The driver oracle (``_ORACLE['stream_minhash_dedup']``) evaluates that
 closed form in SQL over the same signature formula — a TRUE streaming
 query with a hash-checked oracle.
 
-State story at 100 TB: the index is an append-only columnar table keyed
-by band_key — the semi-join prunes with a broadcast when the index is
+State story at 100 TB: the index is an append-only columnar table
+PARTITIONED BY a hash bucket of the band key (``kb``, plus
+``batch_id``), so the per-batch probe never re-scans the whole history:
+the processor collects the batch's distinct ``kb`` values (bounded by
+``n_key_buckets``) and pushes them as a PARTITION FILTER into the index
+read — only directories that can possibly hold a colliding band key
+are touched (asserted by test_streaming_neardup's plan check). The
+semi-join then prunes further with a broadcast when the probed slice is
 dimension-sized and degrades to a shuffle hash join when it is not; a
-real deployment points ``index_dir`` at an Iceberg table, compacts it,
-and optionally fronts it with a bloom filter. State size is
-``n_bands`` rows per ingested doc, independent of text length.
+real deployment points ``index_dir`` at an Iceberg table bucketed the
+same way, compacts it, and optionally fronts it with a bloom filter
+(dedup.build_bloom). State size is ``n_bands`` rows per ingested doc,
+independent of text length. Per-batch metrics count the batch's KEPT
+frame directly (one count over a localCheckpointed batch-sized frame) —
+they never re-read the accumulated output.
 """
 
 from __future__ import annotations
@@ -85,6 +94,26 @@ def write_ordered_batches(
     return paths
 
 
+def probe_index(
+    spark: SparkSession,
+    index_dir: str,
+    batch_id: int,
+    kbs: list[int],
+) -> DataFrame:
+    """The pruned cross-batch probe: read ONLY the index partitions whose
+    key bucket appears in this batch (``kb IN kbs`` — a partition
+    filter, the index is partitioned by kb/batch_id) and that belong to
+    OTHER batches (replay idempotence: a re-run batch cannot see its own
+    half-written keys). Exposed so tests can assert the partition
+    filters actually reach the scan."""
+    return (
+        spark.read.parquet(index_dir)
+        .filter(F.col("batch_id") != batch_id)
+        .filter(F.col("kb").isin([int(k) for k in kbs]))
+        .select("band_idx", "band_key")
+    )
+
+
 def make_batch_processor(
     spark: SparkSession,
     out_dir: str,
@@ -94,16 +123,25 @@ def make_batch_processor(
     n_bands: int = LSH_BANDS,
     rows_per_band: int = LSH_ROWS,
     metrics: list | None = None,
+    n_key_buckets: int = 64,
 ):
     """The foreachBatch function (exposed for direct testing of replay
     idempotence). Drops a doc iff a band key has an earlier owner in
-    this batch or exists in the index from OTHER batch_ids."""
+    this batch or exists in the index from OTHER batch_ids. The index
+    is partitioned by ``kb = pmod(hash(band_key), n_key_buckets)`` so
+    the probe reads only the buckets this batch can collide with —
+    never the full history (see module docstring). ``kb`` is a physical
+    layout detail only: it never changes which documents are kept."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         sigs = minhash_signatures_hof(
             batch_df.filter(F.col(text_col).isNotNull()), text_col=text_col, n=n
         )
-        bands = band_keys(sigs, n_bands, rows_per_band).localCheckpoint(eager=True)
+        bands = (
+            band_keys(sigs, n_bands, rows_per_band)
+            .withColumn("kb", F.pmod(F.hash("band_key"), F.lit(n_key_buckets)))
+            .localCheckpoint(eager=True)
+        )
         w = Window.partitionBy("band_idx", "band_key")
         within_drops = (
             bands.withColumn("_owner", F.min("doc_id").over(w))
@@ -113,21 +151,25 @@ def make_batch_processor(
         # local-path probe; an object-store index_dir would use the
         # Hadoop FS API (or just an Iceberg table, which reads empty)
         if os.path.isdir(index_dir) and any(
-            f.startswith("batch_id=") for f in os.listdir(index_dir)
+            f.startswith("kb=") for f in os.listdir(index_dir)
         ):
-            seen = (
-                spark.read.parquet(index_dir)
-                .filter(F.col("batch_id") != batch_id)
-                .select("band_idx", "band_key")
-            )
+            # the batch's distinct key buckets: bounded by n_key_buckets,
+            # tiny driver collect, becomes a PARTITION filter on the read
+            kbs = [r["kb"] for r in bands.select("kb").distinct().collect()]
+            seen = probe_index(spark, index_dir, batch_id, kbs)
             cross_drops = bands.join(
                 seen, ["band_idx", "band_key"], "left_semi"
             ).select("doc_id")
             drops = within_drops.union(cross_drops).distinct()
         else:  # first batch: no index yet
             drops = within_drops.distinct()
-        kept = batch_df.join(drops, "doc_id", "left_anti")
+        # batch-sized frame; checkpoint so the count and the write run
+        # the dedup decision once (and never re-read the output dir)
+        kept = batch_df.join(drops, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
         n_in = batch_df.count()
+        n_kept = kept.count()
         (
             kept.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -138,14 +180,11 @@ def make_batch_processor(
         (
             bands.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
-            .partitionBy("batch_id")
+            .partitionBy("kb", "batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(index_dir)
         )
         if metrics is not None:
-            n_kept = spark.read.parquet(out_dir).filter(
-                F.col("batch_id") == batch_id
-            ).count()
             metrics.append(
                 {"batch_id": int(batch_id), "n_in": n_in, "n_kept": n_kept}
             )
@@ -165,11 +204,13 @@ def run_streaming_minhash_dedup(
     n_bands: int = LSH_BANDS,
     rows_per_band: int = LSH_ROWS,
     max_files_per_trigger: int = 1,
+    n_key_buckets: int = 64,
 ) -> list[dict]:
     """availableNow run of the incremental near-dup dedup over a parquet
     file stream; returns per-batch {batch_id, n_in, n_kept} metrics.
     Kept docs land in ``out_dir`` (partitioned by batch_id), the band
-    index accumulates in ``index_dir``."""
+    index accumulates in ``index_dir`` (partitioned by key bucket +
+    batch_id so later probes prune — see make_batch_processor)."""
     metrics: list[dict] = []
     process = make_batch_processor(
         spark,
@@ -180,6 +221,7 @@ def run_streaming_minhash_dedup(
         n_bands=n_bands,
         rows_per_band=rows_per_band,
         metrics=metrics,
+        n_key_buckets=n_key_buckets,
     )
     stream = (
         spark.readStream.schema(schema)

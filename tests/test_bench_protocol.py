@@ -151,6 +151,77 @@ def test_extension_is_bounded_and_keeps_the_warning():
     assert len(out["trials"]) == 4
 
 
+def test_near_gate_efficiency_forces_extension():
+    # r04 fix: eff 0.768 with both minima "confirmed" (reproduced within
+    # 20%) never extended in r03, even though the small level had only
+    # sampled a lucky-fast window. Landing within gate_margin of the 0.8
+    # criterion must now keep sampling; here the extension finds the big
+    # level's true quiet time and the estimate crosses the gate.
+    t2 = 40.0
+    out = bench._scale_pair(
+        2, 8, trials=4, cooldown=0, max_extra_trials=2,
+        runner=_runner_from({
+            # minima reproduce within 20% at both levels -> no regime
+            # warning, but efficiency reads 40/(4*13) = 0.769
+            2: [t2, t2, t2 * 1.1, t2 * 1.1, t2, t2],
+            8: [13.0, 13.0, 13.0, 13.0, 11.77, 11.8],
+        }),
+    )
+    assert out["extension_trials_run"] >= 1
+    assert out["efficiency"] >= 0.8
+    assert "regime_warning" not in out
+
+
+def test_gate_extension_is_bounded_for_truly_sublinear_jobs():
+    # a job that REALLY scales at 0.5 exhausts max_extra_trials and
+    # reports the honest number (no inflation, no infinite loop)
+    out = bench._scale_pair(
+        2, 8, trials=2, cooldown=0, max_extra_trials=2,
+        runner=_runner_from({2: [40.0] * 4, 8: [20.0] * 4}),
+    )
+    assert out["extension_trials_run"] == 2
+    assert out["efficiency"] == 0.5
+
+
+def test_gate_none_disables_proximity_extension():
+    out = bench._scale_pair(
+        2, 8, trials=2, cooldown=0, max_extra_trials=2, gate=None,
+        runner=_runner_from({2: [40.0, 40.0], 8: [20.0, 20.0]}),
+    )
+    assert out["extension_trials_run"] == 0
+
+
+def test_headline_best_of_extends_on_spread(monkeypatch):
+    # the headline run is taken after the scaling block heats the box:
+    # when the base runs disagree >30%, _best_of must extend and flag
+    seq = iter([10.0, 14.0, 10.2, 9.9, 13.0])
+    monkeypatch.setattr(
+        bench, "parse_route_job",
+        lambda spark, n, out: {
+            "elapsed": next(seq), "docs": n, "lines": n,
+            "docs_per_sec": 1.0, "lines_per_sec": 1.0,
+        },
+    )
+    head = bench._best_of(None, 100, runs=3, max_extra=2)
+    assert head["regime"]["runs"] == 5
+    assert head["regime"]["throttled"] is True
+    assert head["elapsed"] == 9.9  # min-of-N bookkeeping intact
+
+
+def test_headline_best_of_stops_when_quiet(monkeypatch):
+    seq = iter([10.0, 10.1, 10.2, 1.0, 1.0])
+    monkeypatch.setattr(
+        bench, "parse_route_job",
+        lambda spark, n, out: {
+            "elapsed": next(seq), "docs": n, "lines": n,
+            "docs_per_sec": 1.0, "lines_per_sec": 1.0,
+        },
+    )
+    head = bench._best_of(None, 100, runs=3, max_extra=2)
+    assert head["regime"]["runs"] == 3
+    assert head["regime"]["throttled"] is False
+
+
 def test_absurd_big_slower_than_small_forces_extension():
     # 8 cores "slower" than 2 cores on an embarrassingly parallel job is
     # physically impossible quiet-state — even if the ratio diagnostics

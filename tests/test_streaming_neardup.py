@@ -127,6 +127,35 @@ def test_null_text_docs_pass_through(spark, tmp_path):
     assert kept == {1, 2}
 
 
+def test_probe_prunes_index_partitions(spark, tmp_path):
+    """The r03 scale-killer fix: the per-batch cross-batch probe must
+    reach the index scan as PARTITION filters (kb bucket + batch_id),
+    never a full-history scan."""
+    from access_log_parser_spark.streaming.neardup import probe_index
+
+    docs = _corpus(spark, n_unique=20, n_dups=8)
+    write_ordered_batches(docs, str(tmp_path / "in"), n_batches=3)
+    run_streaming_minhash_dedup(
+        spark,
+        str(tmp_path / "in"),
+        docs.schema,
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+    )
+    probe = probe_index(spark, str(tmp_path / "idx"), 2, [1, 5, 9])
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters: [")[1].split("]")[0]
+    assert "kb" in pf and "batch_id" in pf
+    # and the probed slice still sees only OTHER batches' keys
+    assert probe.count() > 0
+    full = spark.read.parquet(str(tmp_path / "idx"))
+    assert full.filter(F.col("batch_id") != 2).filter(
+        F.col("kb").isin([1, 5, 9])
+    ).count() == probe.count()
+
+
 def test_index_has_n_bands_rows_per_doc(spark, tmp_path):
     docs = _corpus(spark, n_unique=5, n_dups=0)
     write_ordered_batches(docs, str(tmp_path / "in"), n_batches=1)
