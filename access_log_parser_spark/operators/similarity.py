@@ -151,6 +151,51 @@ def ivf_assign(
     )
 
 
+def ivf_assign_join(
+    emb: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Join-based nearest-centroid assignment — the production-k path.
+
+    :func:`ivf_assign` unrolls the argmax into a literal Catalyst
+    expression: ideal for tens of centroids (zero shuffle), but the
+    plan grows linearly with k, so at web-scale k (thousands of
+    k-means cells) the centroids belong in a DataFrame instead: a
+    BROADCAST hash join fans each vector out against the k-row
+    centroid table, then ONE per-id ``max(struct(score, cell, v))``
+    aggregation picks the argmax — map-side partial combine means the
+    single exchange carries one row per vector. The struct ordering
+    reproduces :func:`ivf_assign`'s tie-break exactly (highest score,
+    then highest centroid id; scores are identical doubles since both
+    paths evaluate the same zip_with/aggregate dot product).
+
+    Returns (id, v, cell) — the same contract as :func:`ivf_assign`.
+    """
+    cdf = emb.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in cvec]) for cid, cvec in centroids],
+        "cell int, cvec array<double>",
+    )
+    v = _as_double(F.col(vec_col))
+    base = emb.select(F.col(id_col).alias("id"), v.alias("v"))
+    score = _dot(F.col("v"), F.col("cvec"))
+    return (
+        base.join(F.broadcast(cdf))
+        .groupBy("id")
+        .agg(
+            F.max(
+                F.struct(
+                    score.alias("score"),
+                    F.col("cell").alias("cell"),
+                    F.col("v").alias("v"),
+                )
+            ).alias("_b")
+        )
+        .select("id", F.col("_b.v").alias("v"), F.col("_b.cell").alias("cell"))
+    )
+
+
 def ivf_assign_multi(
     emb: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -312,6 +357,7 @@ def semdedup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assign_join_threshold: int = 100,
 ) -> DataFrame:
     """SemDedup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by clustering embeddings and dropping all-but-one of
@@ -321,10 +367,15 @@ def semdedup(
     the largest cluster, never the corpus.
 
     This implementation:
-      1. assigns every vector to its nearest centroid with the same
+      1. assigns every vector to its nearest centroid — via the same
          unrolled argmax expression as :func:`ivf_assign` (broadcast
-         literal centroids, no join, no Python) — ties break to the
-         highest centroid id via the array_max struct ordering;
+         literal centroids, no join, no Python) when the centroid list
+         is small, switching to :func:`ivf_assign_join` (broadcast hash
+         join + one per-id argmax aggregation) when
+         ``len(centroids) > assign_join_threshold``, so production-k
+         k-means cell counts don't unroll into a plan-sized expression;
+         both paths break ties to the highest centroid id and produce
+         identical assignments (pinned by test);
       2. self-joins WITHIN each cell on the cell key (one hash-partition
          exchange on a small integer key) and keeps pairs with
          ``round(cosine, 6) >= threshold``;
@@ -337,7 +388,10 @@ def semdedup(
     Returns the kept rows: (id, cell). The dropped set is the anti-join
     complement.
     """
-    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    if len(centroids) > assign_join_threshold:
+        assigned = ivf_assign_join(emb, centroids, id_col, vec_col)
+    else:
+        assigned = ivf_assign(emb, centroids, id_col, vec_col)
     a = assigned.select(
         F.col("id").alias("id_a"),
         F.col("v").alias("va"),

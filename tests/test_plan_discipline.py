@@ -25,6 +25,8 @@ SKIP = {
 # corpus IS the chosen plan (|queries| is small by contract).
 BNLJ_ALLOWED = {
     "ann_cosine_topk",  # corpus x broadcast(query-set) product, then top-k
+    "semdedup_join",    # corpus x broadcast(k-row centroid table) fan-out,
+                        # then one per-id argmax agg (ivf_assign_join)
     "idf_tokens",       # 1-row broadcast side (corpus size scalar)
     "unigram_logprob",  # 1-row broadcast side (corpus token total scalar)
     "temperature_mixture",  # 1-row broadcast side (stratum-count totals) x |strata|

@@ -115,6 +115,67 @@ def test_robots_wildcards_end_to_end_from_robots_txt(spark):
     }
 
 
+# -------------------------------------------- semdedup production-k path
+def test_ivf_assign_join_matches_literal(spark):
+    import random
+
+    from access_log_parser_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_join,
+        semdedup,
+    )
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)])
+         for i in range(80)]
+    )
+    cents = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    lit_path = {(r["id"], r["cell"])
+                for r in ivf_assign(emb, cents).collect()}
+    join_path = {(r["id"], r["cell"])
+                 for r in ivf_assign_join(emb, cents).collect()}
+    assert lit_path == join_path
+    # end-to-end: semdedup with the join path forced equals the default
+    k_lit = {(r["id"], r["cell"])
+             for r in semdedup(emb, cents, threshold=0.9).collect()}
+    k_join = {
+        (r["id"], r["cell"])
+        for r in semdedup(
+            emb, cents, threshold=0.9, assign_join_threshold=0
+        ).collect()
+    }
+    assert k_lit == k_join and len(k_lit) > 0
+
+
+def test_ivf_assign_join_tiebreak_highest_cell(spark):
+    from access_log_parser_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_join,
+    )
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0, 0.0]), Row(vec_id=2, embedding=[0.5, 0.5])]
+    )
+    # two identical centroids: exact score tie -> highest cell id wins
+    cents = [(3, [0.6, 0.4]), (9, [0.6, 0.4])]
+    for fn in (ivf_assign, ivf_assign_join):
+        assert {r["cell"] for r in fn(emb, cents).collect()} == {9}
+
+
+def test_ivf_assign_join_is_broadcast(spark):
+    from access_log_parser_spark.operators.similarity import ivf_assign_join
+
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(10)]
+    )
+    out = ivf_assign_join(emb, [(0, [1.0, 0.0]), (1, [0.0, 1.0])])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
 # ------------------------------------------------------- graph operators
 def test_pagerank_empty_edges_returns_empty(spark):
     from access_log_parser_spark.operators.graph import pagerank
