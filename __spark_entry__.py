@@ -2453,6 +2453,55 @@ def _q_robots_gate_wildcards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return robots_allowed(urls, rules)
 
 
+def _q_robots_sitemap_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap directives from robots.txt (webtext.robots_sitemaps):
+    every doc becomes a host whose robots body carries two Sitemap
+    lines (one upper-cased, RFC key case-insensitivity) interleaved
+    with groups, rules and comments — Sitemap is GLOBAL, so both come
+    back in order regardless of the surrounding groups. Closed-form
+    oracle."""
+    from access_log_parser_spark.operators.webtext import robots_sitemaps
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    body = F.concat(
+        F.lit("# policy\nUser-agent: *\nDisallow: /x\n"
+              "Sitemap: https://s"), k, F.lit(".example/sm1.xml\n"
+              "User-agent: googlebot\nDisallow: /\n"
+              "SITEMAP: https://s"), k, F.lit(".example/sm2.xml\n"),
+    )
+    hosts = docs.select(
+        F.concat(F.lit("s"), k, F.lit(".example")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return robots_sitemaps(hosts)
+
+
+def _q_robots_crawl_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-delay politeness extraction (webtext.robots_crawl_delay):
+    each doc-host plants a googlebot group (delay 1, must NOT apply to
+    '*'), TWO applicable '*' groups with delays (doc_id%7)+0.5 and
+    (doc_id%7)+2 (min wins), and a non-numeric directive (ignored).
+    Closed-form oracle: crawl_delay = doc_id%7 + 0.5 per host."""
+    from access_log_parser_spark.operators.webtext import robots_crawl_delay
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    d7 = (F.col("doc_id") % 7).cast("string")
+    body = F.concat(
+        F.lit("User-agent: googlebot\nCrawl-delay: 1\n\n"
+              "User-agent: *\nCrawl-delay: "), d7, F.lit(".5\n\n"
+              "User-agent: *\nCrawl-delay: "),
+        ((F.col("doc_id") % 7) + 2).cast("string"),
+        F.lit("\n\nUser-agent: slowbot\nCrawl-delay: oops\n"),
+    )
+    hosts = docs.select(
+        F.concat(F.lit("d"), k, F.lit(".example")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    return robots_crawl_delay(hosts)
+
+
 def _q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC record scan (sources/warc.py): every doc becomes a 2-record
     WARC member (an HTTP response + a metadata record) BUILT with
@@ -2817,6 +2866,8 @@ _GATE_FIRST = [
     # -- new in round 4 --
     "semdedup_join",
     "robots_gate_wildcards",
+    "robots_sitemap_urls",
+    "robots_crawl_delay",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -2878,6 +2929,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_topk": _q_stratified_topk,
         "robots_gate": _q_robots_gate,
         "robots_gate_wildcards": _q_robots_gate_wildcards,
+        "robots_sitemap_urls": _q_robots_sitemap_urls,
+        "robots_crawl_delay": _q_robots_crawl_delay,
         "warc_scan": _q_warc_scan,
         "extract_links": _q_extract_links,
         "pagerank_hosts": _q_pagerank_hosts,
@@ -5063,6 +5116,27 @@ SELECT
   -- rescued by the LONGER 'Allow: /tmp/public*'; %4=3 misses the $
   -- anchor ('.pdfx' does not end in '.pdf') and no other rule applies
   (doc_id % 4) IN (2, 3) AS fetch_allowed
+FROM documents WHERE doc_id < 500
+"""
+
+_ORACLE["robots_sitemap_urls"] = """
+SELECT 's' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+       CAST(1 AS BIGINT) AS position,
+       'https://s' || CAST(doc_id AS VARCHAR) || '.example/sm1.xml'
+         AS sitemap_url
+FROM documents WHERE doc_id < 500
+UNION ALL
+SELECT 's' || CAST(doc_id AS VARCHAR) || '.example',
+       CAST(2 AS BIGINT),
+       'https://s' || CAST(doc_id AS VARCHAR) || '.example/sm2.xml'
+FROM documents WHERE doc_id < 500
+"""
+
+_ORACLE["robots_crawl_delay"] = """
+-- closed form: googlebot group never applies to '*'; the two '*'
+-- groups set (doc_id%7)+0.5 and (doc_id%7)+2 -> min; 'oops' ignored
+SELECT 'd' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+       CAST(doc_id % 7 AS DOUBLE) + 0.5 AS crawl_delay
 FROM documents WHERE doc_id < 500
 """
 

@@ -233,7 +233,11 @@ def boilerplate_line_removal(
     whose exact text appears in ``min_docs`` or more DISTINCT documents
     of the same group (host/source) is navigation/footer chrome, not
     content — remove it from every document of that group, keep the
-    remaining lines in order.
+    remaining lines in order. For CORPUS-GLOBAL line dedup (CCNet's
+    cross-shard variant) pass a constant group column
+    (``df.withColumn("source", F.lit(""))``): the exchange key is
+    (group, digest), so a constant group still hash-partitions by the
+    high-cardinality digest — no skew is introduced.
 
     Scale shape: explode to (group, line-digest, doc, pos); ONE exchange
     on (group, digest) serves both windows — a ``lag(doc_id)``
@@ -1265,6 +1269,103 @@ def robots_allowed(
                 "fetch_allowed"
             ),
         )
+    )
+
+
+def robots_sitemaps(
+    df: DataFrame,
+    robots_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Sitemap directives from robots.txt — the third leg of the crawl
+    compliance surface (with :func:`robots_txt_rules`/:func:`robots_allowed`
+    and :func:`robots_crawl_delay`). Per RFC 9309 §2.2.4 ``Sitemap:`` is
+    a GLOBAL record: it is not scoped to a User-agent group, so every
+    line counts regardless of position. Returns
+    (host, position, sitemap_url) with 1-based position among the
+    host's Sitemap lines — feed the URLs to :func:`sitemap_locs` for
+    frontier seeding.
+
+    Pure per-row projection (split -> transform -> filter ->
+    posexplode), zero shuffles."""
+    lines = F.split(F.coalesce(F.col(robots_col), F.lit("")), r"\r?\n")
+    kv = F.transform(
+        lines,
+        lambda ln: F.struct(
+            F.lower(F.trim(F.regexp_extract(ln, r"^([^:#]+):", 1))).alias("k"),
+            F.trim(F.regexp_extract(ln, r"^[^:#]+:\s*([^#]*)", 1)).alias("v"),
+        ),
+    )
+    urls = F.transform(
+        F.filter(kv, lambda s: (s["k"] == "sitemap") & (F.length(s["v"]) > 0)),
+        lambda s: s["v"],
+    )
+    return df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(urls).alias("pos", "sitemap_url"),
+    ).select(
+        "host",
+        (F.col("pos") + 1).cast("long").alias("position"),
+        "sitemap_url",
+    )
+
+
+def robots_crawl_delay(
+    df: DataFrame,
+    robots_col: str = "robots_txt",
+    host_col: str = "host",
+    agent: str = "*",
+) -> DataFrame:
+    """Per-host ``Crawl-delay`` for the given agent — the de-facto REP
+    extension most large crawlers honor for politeness budgeting. Like
+    Allow/Disallow (and unlike Sitemap) it is GROUP-SCOPED: a directive
+    belongs to the nearest preceding User-agent group and applies when
+    that group names ``agent`` or ``*``. When several applicable groups
+    set it, the MINIMUM wins (the conservative politeness choice).
+    Non-numeric values are ignored. Returns (host, crawl_delay:double);
+    hosts with no applicable directive are absent — join 'left' and
+    coalesce to the crawler's default.
+
+    Plan shape: identical to :func:`robots_txt_rules` (posexplode ->
+    two window passes -> group semi-join), ONE host-keyed exchange; the
+    final min() rides the same key."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(robots_col), F.lit("")), r"\r?\n")
+        ).alias("ln", "line"),
+    )
+    key = F.lower(F.trim(F.regexp_extract("line", r"^([^:#]+):", 1)))
+    val = F.trim(F.regexp_extract("line", r"^[^:#]+:\s*([^#]*)", 1))
+    typed = lines.select(
+        "host", "ln", key.alias("k"), val.alias("v")
+    ).filter(F.col("k").isin("user-agent", "crawl-delay"))
+    w = Window.partitionBy("host").orderBy("ln")
+    is_ua = (F.col("k") == "user-agent").cast("int")
+    prev_ua = F.coalesce(F.lag(is_ua).over(w), F.lit(0))
+    typed = typed.withColumn(
+        "_start", ((is_ua == 1) & (prev_ua == 0)).cast("int")
+    )
+    typed = typed.withColumn("grp", F.sum("_start").over(w))
+    applies = (
+        typed.filter(F.col("k") == "user-agent")
+        .groupBy("host", "grp")
+        .agg(
+            F.max(
+                (F.lower(F.col("v")) == agent.lower())
+                | (F.col("v") == "*")
+            ).alias("_ok")
+        )
+        .filter("_ok")
+        .drop("_ok")
+    )
+    return (
+        typed.filter(F.col("k") == "crawl-delay")
+        .withColumn("_delay", F.col("v").try_cast("double"))  # ANSI-safe
+        .filter(F.col("_delay").isNotNull())
+        .join(applies, ["host", "grp"], "left_semi")
+        .groupBy("host")
+        .agg(F.min("_delay").alias("crawl_delay"))
     )
 
 

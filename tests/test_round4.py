@@ -115,6 +115,60 @@ def test_robots_wildcards_end_to_end_from_robots_txt(spark):
     }
 
 
+# ------------------------------------- robots sitemap / crawl-delay
+ROBOTS_FULL = """# politeness policy
+User-agent: googlebot
+Crawl-delay: 1
+Disallow: /g/
+
+Sitemap: https://h.example/sm1.xml
+User-agent: *
+User-agent: trainingbot
+Crawl-delay: 2.5
+Disallow: /tmp/
+
+User-agent: *
+Crawl-delay: 4
+SITEMAP: https://h.example/sm2.xml
+
+User-agent: slowbot
+Crawl-delay: not-a-number
+"""
+
+
+def test_robots_sitemaps_are_global_and_ordered(spark):
+    from access_log_parser_spark.operators.webtext import robots_sitemaps
+
+    df = spark.createDataFrame([Row(host="h.example", robots_txt=ROBOTS_FULL)])
+    got = [(r["position"], r["sitemap_url"])
+           for r in robots_sitemaps(df).orderBy("position").collect()]
+    # Sitemap is NOT group-scoped: both lines count, case-insensitive key
+    assert got == [
+        (1, "https://h.example/sm1.xml"),
+        (2, "https://h.example/sm2.xml"),
+    ]
+
+
+def test_robots_crawl_delay_group_scope_and_min(spark):
+    from access_log_parser_spark.operators.webtext import robots_crawl_delay
+
+    df = spark.createDataFrame([Row(host="h.example", robots_txt=ROBOTS_FULL)])
+    # '*' agent: the googlebot group (1) does NOT apply; the two '*'
+    # groups set 2.5 and 4 -> min 2.5; slowbot's non-numeric is ignored
+    out = robots_crawl_delay(df).collect()
+    assert [(r["host"], r["crawl_delay"]) for r in out] == [("h.example", 2.5)]
+    # named agent matches its own group AND the '*' groups -> min 1.0
+    out = robots_crawl_delay(df, agent="GoogleBot").collect()
+    assert out[0]["crawl_delay"] == 1.0
+    # an agent with only the non-numeric directive yields NO row
+    assert robots_crawl_delay(df, agent="slowbot").count() == 1  # * groups apply
+    only = spark.createDataFrame(
+        [Row(host="x.example",
+             robots_txt="User-agent: slowbot\nCrawl-delay: nan-ish\n")]
+    )
+    assert robots_crawl_delay(only, agent="slowbot").count() == 0
+
+
 # -------------------------------------------- semdedup production-k path
 def test_ivf_assign_join_matches_literal(spark):
     import random
