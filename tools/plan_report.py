@@ -183,6 +183,24 @@ SELECTED = [
      "per round: one edge shuffle (src join) + one keyed agg (dst sum); "
      "node/degree tables dimension-sized; per-round localCheckpoint "
      "keeps lineage flat (24.7 s -> 3.4 s measured on hits before/after)"),
+    ("semdedup_join", False,
+     "production-k assignment path: the centroid fan-out is an "
+     "INTENTIONAL BroadcastNestedLoopJoin of a k-row table (every "
+     "vector scores every centroid by contract), then the argmax is "
+     "ONE id-keyed aggregate with map-side partial combine — the only "
+     "corpus exchange in the assignment; the downstream within-cell "
+     "self-join stays a cell-keyed EQUI-join (SortMergeJoin here, "
+     "shuffle-hash under AQE at scale — either is key-partitioned, "
+     "never all-pairs)"),
+    ("robots_gate_wildcards", False,
+     "RFC 9309 wildcard rules ride the SAME host equi-join + struct-max "
+     "plan as the literal robots_gate: the regex translation is a "
+     "row-level projection and the wildcard match a `when` branch — "
+     "zero extra exchanges for full-grammar compliance"),
+    ("robots_crawl_delay", False,
+     "group attribution is two window passes on ONE host-keyed "
+     "exchange; the group semi-join and the final min() reuse the same "
+     "(host) key — no second corpus shuffle"),
 ]
 
 
