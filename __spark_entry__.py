@@ -2554,6 +2554,86 @@ def _q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET extracted-text scan (sources/warc.wet_records): every doc
+    becomes a WET member (one conversion record whose block IS the
+    text, plus a request record that must be filtered out) built with
+    expressions; the closed-form oracle asserts the recovered text and
+    framing fields."""
+    from access_log_parser_spark.sources.warc import wet_records
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    body = F.coalesce(F.col("text"), F.lit(""))
+    uri = F.concat(F.lit("https://wet.example/"), k)
+    def _rec(wtype, block):  # noqa: E306
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: "), F.lit(wtype),
+            F.lit("\r\nWARC-Target-URI: "), uri,
+            F.lit("\r\nWARC-Date: 2024-02-02T00:00:00Z\r\nContent-Length: "),
+            F.octet_length(block).cast("string"),
+            F.lit("\r\n\r\n"), block, F.lit("\r\n\r\n"),
+        )
+    files = docs.select(
+        F.concat(F.lit("wet://"), k).alias("path"),
+        F.encode(
+            F.concat(_rec("request", F.lit("GET /")), _rec("conversion", body)),
+            "utf-8",
+        ).alias("content"),
+    )
+    out = wet_records(files)
+    return out.select(
+        "source",
+        "record_idx",
+        "target_uri",
+        "warc_date",
+        "text",
+        "truncated",
+    )
+
+
+def _q_wat_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT metadata scan (sources/warc.wat_records) + columnar JSON
+    envelope extraction: the metadata record's block is a real WAT-style
+    Envelope (hyphenated keys exercised via bracket JSON paths); the
+    query pulls Actual-Content-Length back out with get_json_object —
+    proving the JVM-side extraction path — and the closed-form oracle
+    recomputes it as octet_length(text)."""
+    from access_log_parser_spark.sources.warc import wat_records
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    body = F.coalesce(F.col("text"), F.lit(""))
+    uri = F.concat(F.lit("https://wat.example/"), k)
+    payload = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
+        uri,
+        F.lit('"},"Payload-Metadata":{"Actual-Content-Length":'),
+        F.octet_length(body).cast("string"),
+        F.lit("}}}"),
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "), uri,
+        F.lit("\r\nWARC-Date: 2024-02-02T00:00:00Z\r\nContent-Length: "),
+        F.octet_length(payload).cast("string"),
+        F.lit("\r\n\r\n"), payload, F.lit("\r\n\r\n"),
+    )
+    files = docs.select(
+        F.concat(F.lit("wat://"), k).alias("path"),
+        F.encode(rec, "utf-8").alias("content"),
+    )
+    out = wat_records(files)
+    return out.select(
+        "source",
+        "target_uri",
+        F.get_json_object(
+            F.col("payload_json"),
+            "$.Envelope['Payload-Metadata']['Actual-Content-Length']",
+        ).cast("bigint").alias("content_length"),
+        "truncated",
+    )
+
+
 def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor extraction (webtext.extract_links): every page carries one
     absolute and one relative link; each must come back paired with its
@@ -2868,6 +2948,8 @@ _GATE_FIRST = [
     "robots_gate_wildcards",
     "robots_sitemap_urls",
     "robots_crawl_delay",
+    "wet_scan",
+    "wat_scan",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -2932,6 +3014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemap_urls": _q_robots_sitemap_urls,
         "robots_crawl_delay": _q_robots_crawl_delay,
         "warc_scan": _q_warc_scan,
+        "wet_scan": _q_wet_scan,
+        "wat_scan": _q_wat_scan,
         "extract_links": _q_extract_links,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
@@ -5163,6 +5247,27 @@ SELECT 'mem://' || CAST(doc_id AS VARCHAR),
        'len=' || CAST(octet_length(encode(html)) AS VARCHAR),
        FALSE
 FROM d
+"""
+
+_ORACLE["wet_scan"] = """
+-- the request record (idx 0) is filtered by the conversion-type gate;
+-- the conversion record lands at idx 1 with the raw text as its block
+SELECT 'wet://' || CAST(doc_id AS VARCHAR) AS source,
+       CAST(1 AS BIGINT) AS record_idx,
+       'https://wet.example/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       '2024-02-02T00:00:00Z' AS warc_date,
+       COALESCE(text, '') AS text,
+       FALSE AS truncated
+FROM documents WHERE doc_id < 500
+"""
+
+_ORACLE["wat_scan"] = """
+SELECT 'wat://' || CAST(doc_id AS VARCHAR) AS source,
+       'https://wat.example/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT)
+         AS content_length,
+       FALSE AS truncated
+FROM documents WHERE doc_id < 500
 """
 
 _ORACLE["extract_links"] = f"""

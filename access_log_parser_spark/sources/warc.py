@@ -170,3 +170,59 @@ def read_warc(spark, path_glob: str) -> DataFrame:
     return parse_warc_records(
         spark.read.format("binaryFile").load(path_glob)
     )
+
+
+def wet_records(
+    df: DataFrame, data_col: str = "content", source_col: str = "path"
+) -> DataFrame:
+    """WET (extracted-text) record scan: Common Crawl's ``*.warc.wet``
+    members are ordinary WARC framing whose payload records are
+    ``WARC-Type: conversion`` with a text/plain block (the crawl's
+    pre-extracted text — the cheap input tier when HTML fidelity is not
+    needed). Same Content-Length-framed pass as
+    :func:`parse_warc_records`, then a conversion-type filter and a
+    UTF-8 decode. Returns (source, record_idx, target_uri, warc_date,
+    text, truncated)."""
+    recs = parse_warc_records(df, data_col=data_col, source_col=source_col)
+    return recs.filter(F.col("warc_type") == "conversion").select(
+        "source",
+        "record_idx",
+        "target_uri",
+        "warc_date",
+        F.decode(F.col("html"), "utf-8").alias("text"),
+        "truncated",
+    )
+
+
+def read_wet(spark, path_glob: str) -> DataFrame:
+    """binaryFile scan + :func:`wet_records` (see read_warc for the gzip
+    caveat)."""
+    return wet_records(spark.read.format("binaryFile").load(path_glob))
+
+
+def wat_records(
+    df: DataFrame, data_col: str = "content", source_col: str = "path"
+) -> DataFrame:
+    """WAT (metadata) record scan: Common Crawl's ``*.warc.wat`` members
+    carry ``WARC-Type: metadata`` records whose block is a JSON envelope
+    (Envelope / WARC-Header-Metadata / Payload-Metadata). This scan
+    keeps the payload as a STRING column — downstream extraction is
+    ordinary ``get_json_object`` / ``from_json`` columnar work, so the
+    (often huge) envelope never round-trips through Python again.
+    Returns (source, record_idx, target_uri, warc_date, payload_json,
+    truncated)."""
+    recs = parse_warc_records(df, data_col=data_col, source_col=source_col)
+    return recs.filter(F.col("warc_type") == "metadata").select(
+        "source",
+        "record_idx",
+        "target_uri",
+        "warc_date",
+        F.decode(F.col("html"), "utf-8").alias("payload_json"),
+        "truncated",
+    )
+
+
+def read_wat(spark, path_glob: str) -> DataFrame:
+    """binaryFile scan + :func:`wat_records` (see read_warc for the gzip
+    caveat)."""
+    return wat_records(spark.read.format("binaryFile").load(path_glob))

@@ -98,6 +98,53 @@ def test_parse_warc_records_end_to_end(spark):
     assert ("f3.warc", 0) not in by  # malformed file yields no rows
 
 
+def test_wet_records_filters_to_conversion_and_decodes(spark):
+    from access_log_parser_spark.sources.warc import wet_records
+
+    files = [
+        Row(path="f.wet",
+            content=_record("https://a.example/1", b"GET /", wtype="request")
+            + _record("https://a.example/1", "extracted text é".encode(),
+                      wtype="conversion")),
+    ]
+    out = wet_records(spark.createDataFrame(files)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["record_idx"] == 1 and r["text"] == "extracted text é"
+    assert r["target_uri"] == "https://a.example/1"
+    assert r["truncated"] is False
+
+
+def test_wat_records_payload_json_stays_columnar(spark):
+    from pyspark.sql import functions as F
+
+    from access_log_parser_spark.sources.warc import wat_records
+
+    payload = (b'{"Envelope":{"Payload-Metadata":'
+               b'{"Actual-Content-Length":42}}}')
+    files = [Row(path="f.wat",
+                 content=_record("https://a.example/1", payload,
+                                 wtype="metadata"))]
+    out = wat_records(spark.createDataFrame(files))
+    got = out.select(
+        F.get_json_object(
+            "payload_json",
+            "$.Envelope['Payload-Metadata']['Actual-Content-Length']",
+        ).cast("bigint").alias("n")
+    ).collect()
+    assert got[0]["n"] == 42
+
+
+def test_read_wet_binaryfile_roundtrip(spark, tmp_path):
+    from access_log_parser_spark.sources.warc import read_wet
+
+    p = tmp_path / "seg.warc.wet"
+    p.write_bytes(_record("https://b.example/x", b"plain text",
+                          wtype="conversion"))
+    out = read_wet(spark, str(p)).collect()
+    assert len(out) == 1 and out[0]["text"] == "plain text"
+
+
 def test_read_warc_binaryfile_roundtrip(spark, tmp_path):
     from access_log_parser_spark.sources.warc import read_warc
 
