@@ -2654,6 +2654,60 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(pages)
 
 
+def _q_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end crawl-frontier construction — the composition the
+    crawl side of the library exists for: seed URLs (each planted TWICE
+    under a later discovery id — the re-discovery case) ->
+    url_dedup_first -> robots_allowed gate (a WILDCARD '/blocked*'
+    rule) -> per-host frontier stats joined to pagerank priority over
+    the SAME 20-host link graph as pagerank_hosts. Every stage is an
+    individually oracle-gated operator; the oracle composes their
+    closed forms with the unrolled pagerank CTE chain."""
+    from access_log_parser_spark.operators.graph import pagerank
+    from access_log_parser_spark.operators.webtext import (
+        robots_allowed,
+        robots_txt_rules,
+        url_dedup_first,
+    )
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    h = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example"))
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("https://"), h, F.lit("/blocked/p"), k),
+    ).otherwise(F.concat(F.lit("https://"), h, F.lit("/p/"), k))
+    seeds = docs.select("doc_id", url.alias("url"))
+    seeds = seeds.unionByName(
+        seeds.select((F.col("doc_id") + 1000000).alias("doc_id"), "url")
+    )
+    frontier = url_dedup_first(seeds)  # keeps the low-id discovery
+    hosts = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        F.lit("User-agent: *\nDisallow: /blocked*\n").alias("robots_txt"),
+    )
+    gated = robots_allowed(frontier.select("url"), robots_txt_rules(hosts))
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 3) % 20).cast("string"))
+        .alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=3)
+    stats = gated.groupBy("host").agg(
+        F.sum(F.col("fetch_allowed").cast("int")).cast("bigint")
+        .alias("n_allowed"),
+        F.sum((~F.col("fetch_allowed")).cast("int")).cast("bigint")
+        .alias("n_blocked"),
+    )
+    return stats.join(
+        F.broadcast(ranks),
+        stats["host"] == F.concat(ranks["node"], F.lit(".example")),
+    ).select("host", "n_allowed", "n_blocked", "rank")
+
+
 def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (graph.pagerank) over a deterministic
     20-host graph derived from doc ids (src = doc_id %% 20, dst =
@@ -2950,6 +3004,7 @@ _GATE_FIRST = [
     "robots_crawl_delay",
     "wet_scan",
     "wat_scan",
+    "frontier_build",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3017,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_scan": _q_wet_scan,
         "wat_scan": _q_wat_scan,
         "extract_links": _q_extract_links,
+        "frontier_build": _q_frontier_build,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -5291,9 +5347,14 @@ FROM tags
 """
 
 
-def _pagerank_oracle(iters: int = 3, d: float = 0.85, n: int = 20) -> str:
+def _pagerank_oracle(
+    iters: int = 3, d: float = 0.85, n: int = 20, as_cte: bool = False
+):
     """Unrolled power-iteration CTE chain with the EXACT float constants
-    the operator computes in Python (repr round-trips the doubles)."""
+    the operator computes in Python (repr round-trips the doubles).
+    ``as_cte=True`` returns (cte_sql, final_table_name) so composite
+    oracles (frontier_build) can extend the chain instead of
+    re-deriving it."""
     base, dd, init = repr((1.0 - d) / n), repr(d), repr(1.0 / n)
     sql = f"""WITH e AS (
   SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
@@ -5315,10 +5376,33 @@ m{i} AS (
   FROM nodes LEFT JOIN m{i} USING (node)
 )"""
         prev = f"r{i}"
+    if as_cte:
+        return sql, prev
     return sql + f"\nSELECT node, ROUND(rank, 6) AS rank FROM {prev}"
 
 
 _ORACLE["pagerank_hosts"] = _pagerank_oracle()
+
+_PR_CTES, _PR_FINAL = _pagerank_oracle(as_cte=True)
+_ORACLE["frontier_build"] = f"""{_PR_CTES},
+f AS (
+  -- closed form: the twice-planted seed collapses to one row per doc
+  -- (url_dedup_first), '/blocked*' kills doc_id MOD 3 == 0
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+         (doc_id % 3) <> 0 AS allowed
+  FROM documents WHERE doc_id < 500
+), stats AS (
+  SELECT host,
+         CAST(SUM(CASE WHEN allowed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_allowed,
+         CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_blocked
+  FROM f GROUP BY 1
+)
+SELECT stats.host AS host, n_allowed, n_blocked,
+       ROUND({_PR_FINAL}.rank, 6) AS rank
+FROM stats JOIN {_PR_FINAL} ON stats.host = {_PR_FINAL}.node || '.example'
+"""
 
 
 def _hits_oracle(iters: int = 3, n: int = 20) -> str:
