@@ -2708,6 +2708,29 @@ def _q_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("host", "n_allowed", "n_blocked", "rank")
 
 
+def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware fetch timeline (webtext.fetch_schedule): each
+    doc seeds one frontier URL on host h(doc_id%20).example; only the
+    EVEN hosts carry a Crawl-delay (m/2 + 0.5 s) so the odd hosts
+    exercise the default-delay path. Oracle replays the per-host
+    row_number window and the exact (position-1)*delay arithmetic."""
+    from access_log_parser_spark.operators.webtext import fetch_schedule
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    m = (F.col("doc_id") % 20).cast("string")
+    frontier = docs.select(
+        F.concat(F.lit("h"), m, F.lit(".example")).alias("host"),
+        F.concat(F.lit("https://h"), m, F.lit(".example/p/"), k).alias("url"),
+    )
+    delays = spark.range(10).select(
+        F.concat(F.lit("h"), (F.col("id") * 2).cast("string"),
+                 F.lit(".example")).alias("host"),
+        (F.col("id").cast("double") + 0.5).alias("crawl_delay"),
+    )
+    return fetch_schedule(frontier, delays, default_delay=1.0)
+
+
 def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (graph.pagerank) over a deterministic
     20-host graph derived from doc ids (src = doc_id %% 20, dst =
@@ -3005,6 +3028,7 @@ _GATE_FIRST = [
     "wet_scan",
     "wat_scan",
     "frontier_build",
+    "fetch_schedule",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3073,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_scan": _q_wat_scan,
         "extract_links": _q_extract_links,
         "frontier_build": _q_frontier_build,
+        "fetch_schedule": _q_fetch_schedule,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -5382,6 +5407,26 @@ m{i} AS (
 
 
 _ORACLE["pagerank_hosts"] = _pagerank_oracle()
+
+_ORACLE["fetch_schedule"] = """
+WITH f AS (
+  SELECT doc_id % 20 AS m,
+         'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+         'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents WHERE doc_id < 500
+), s AS (
+  SELECT host, url, m,
+         CAST(ROW_NUMBER() OVER (PARTITION BY host ORDER BY url)
+              AS BIGINT) AS position
+  FROM f
+)
+SELECT host, url, position,
+       CAST(position - 1 AS DOUBLE)
+         * (CASE WHEN m % 2 = 0 THEN CAST(m // 2 AS DOUBLE) + 0.5
+                 ELSE 1.0 END) AS fetch_offset_s
+FROM s
+"""
 
 _PR_CTES, _PR_FINAL = _pagerank_oracle(as_cte=True)
 _ORACLE["frontier_build"] = f"""{_PR_CTES},

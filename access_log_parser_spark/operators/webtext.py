@@ -1369,6 +1369,52 @@ def robots_crawl_delay(
     )
 
 
+def fetch_schedule(
+    frontier: DataFrame,
+    delays: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    default_delay: float = 1.0,
+) -> DataFrame:
+    """Politeness-aware fetch scheduling: order each host's frontier
+    URLs deterministically (URL ascending — swap in a priority column
+    upstream by pre-sorting keys into the URL or extending the window
+    order) and space them by the host's ``crawl_delay`` (from
+    :func:`robots_crawl_delay`; hosts without a directive use
+    ``default_delay``):
+
+        fetch_offset_s(url) = (position - 1) * delay(host)
+
+    Returns (host, url, position, fetch_offset_s) — the per-host fetch
+    timeline a polite distributed fetcher shards by host.
+
+    Plan at scale: ONE host-keyed window for the position plus a
+    broadcast join against the dimension-sized delay table; no other
+    exchange. Per-host frontiers are bounded by the upstream
+    host_frequency_cap / stratified_topk budget operators, so the
+    window partition never degenerates."""
+    f = frontier.select(
+        F.col(host_col).alias("host"), F.col(url_col).alias("url")
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    d = delays.select(
+        F.col("host"), F.col("crawl_delay").cast("double").alias("_delay")
+    )
+    return (
+        f.withColumn("position", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(d), "host", "left")
+        .select(
+            "host",
+            "url",
+            "position",
+            (
+                (F.col("position") - 1)
+                * F.coalesce(F.col("_delay"), F.lit(float(default_delay)))
+            ).alias("fetch_offset_s"),
+        )
+    )
+
+
 SITEMAP_LOC_RE = r"(?is)<loc>\s*([^<]*?)\s*</loc>"
 
 

@@ -169,6 +169,24 @@ def test_robots_crawl_delay_group_scope_and_min(spark):
     assert robots_crawl_delay(only, agent="slowbot").count() == 0
 
 
+def test_fetch_schedule_spacing_and_default(spark):
+    from access_log_parser_spark.operators.webtext import fetch_schedule
+
+    frontier = spark.createDataFrame(
+        [Row(host="a.example", url=f"https://a.example/p{i}") for i in range(3)]
+        + [Row(host="b.example", url="https://b.example/only")]
+    )
+    delays = spark.createDataFrame([Row(host="a.example", crawl_delay=2.5)])
+    out = {(r["host"], r["position"]): r["fetch_offset_s"]
+           for r in fetch_schedule(frontier, delays, default_delay=1.0).collect()}
+    assert out == {
+        ("a.example", 1): 0.0,
+        ("a.example", 2): 2.5,
+        ("a.example", 3): 5.0,
+        ("b.example", 1): 0.0,  # no directive -> default spacing
+    }
+
+
 # -------------------------------------------- semdedup production-k path
 def test_ivf_assign_join_matches_literal(spark):
     import random
