@@ -163,13 +163,8 @@ def make_batch_processor(
             drops = within_drops.union(cross_drops).distinct()
         else:  # first batch: no index yet
             drops = within_drops.distinct()
-        # batch-sized frame; checkpoint so the count and the write run
-        # the dedup decision once (and never re-read the output dir)
-        kept = batch_df.join(drops, "doc_id", "left_anti").localCheckpoint(
-            eager=True
-        )
+        kept = batch_df.join(drops, "doc_id", "left_anti")
         n_in = batch_df.count()
-        n_kept = kept.count()
         (
             kept.withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
@@ -178,13 +173,26 @@ def make_batch_processor(
             .parquet(out_dir)
         )
         (
-            bands.withColumn("batch_id", F.lit(batch_id))
+            # one file per key bucket: without the repartition every
+            # upstream partition writes into every kb dir (shuffle
+            # partitions x n_key_buckets tiny files per batch)
+            bands.repartition("kb")
+            .withColumn("batch_id", F.lit(batch_id))
             .write.mode("overwrite")
             .partitionBy("kb", "batch_id")
             .option("partitionOverwriteMode", "dynamic")
             .parquet(index_dir)
         )
         if metrics is not None:
+            # count ONLY this batch's output partition — a parquet
+            # metadata-only read, never a rescan of the accumulated dir
+            # (an all-dropped batch writes no partition dir: count 0)
+            try:
+                n_kept = spark.read.parquet(
+                    f"{out_dir}/batch_id={batch_id}"
+                ).count()
+            except Exception:
+                n_kept = 0
             metrics.append(
                 {"batch_id": int(batch_id), "n_in": n_in, "n_kept": n_kept}
             )
