@@ -2201,6 +2201,35 @@ def _q_semdedup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_block_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact substring dedup (dedup.block_dedup, the
+    Lee-et-al ExactSubstr approximation): every doc is prefixed with an
+    8-token licence block shared by its doc_id %% 5 class, block size 8
+    aligns it exactly, so the dedup must strip it from every doc except
+    each class's first owner while the per-doc tail blocks survive. The
+    oracle replays tokenization, aligned slicing, the global min-owner
+    window and the reassembly in SQL."""
+    from access_log_parser_spark.operators.dedup import block_dedup
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 300)
+    pre = F.concat(
+        F.lit("shared license block variant v"),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit(" applies here now "),
+    )
+    planted = docs.select(
+        "doc_id",
+        F.concat(pre, F.coalesce(F.col("text"), F.lit(""))).alias("text"),
+    )
+    out = block_dedup(planted, block_tokens=8)
+    return out.select(
+        F.col("id").cast("bigint").alias("doc_id"),
+        "text",
+        "n_blocks",
+        "n_removed",
+    )
+
+
 def _q_cross_snapshot_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental cross-snapshot dedup (dedup.cross_snapshot_dedup):
     docs with doc_id % 7 == 0 form the OLD snapshot; the rest form the
@@ -3029,6 +3058,7 @@ _GATE_FIRST = [
     "wat_scan",
     "frontier_build",
     "fetch_schedule",
+    "block_dedup",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3217,6 +3247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "semdedup": _q_semdedup,
         "semdedup_join": _q_semdedup_join,
+        "block_dedup": _q_block_dedup,
         "cross_snapshot_dedup": _q_cross_snapshot_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
     }
@@ -4990,6 +5021,33 @@ GROUP BY 1
 # the join-assignment path must produce byte-identical results to the
 # literal path — same replay
 _ORACLE["semdedup_join"] = _ORACLE["semdedup"]
+
+_ORACLE["block_dedup"] = """
+WITH d AS (
+  SELECT doc_id,
+         'shared license block variant v' || CAST(doc_id % 5 AS VARCHAR)
+           || ' applies here now ' || COALESCE(text, '') AS t
+  FROM documents WHERE doc_id < 300
+), tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(t), '\\s+') AS ts FROM d
+), blocks AS (
+  SELECT doc_id, g.i - 1 AS pos,
+         array_to_string(list_slice(ts, (g.i - 1) * 8 + 1, g.i * 8), ' ')
+           AS blk
+  FROM tok, UNNEST(generate_series(1, CAST(ceil(len(ts) / 8.0) AS INT)))
+       AS g(i)
+), marked AS (
+  SELECT doc_id, pos, blk,
+         ROW_NUMBER() OVER (PARTITION BY md5(blk) ORDER BY doc_id, pos) AS rn
+  FROM blocks
+)
+SELECT doc_id,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN blk END, ' ' ORDER BY pos),
+                '') AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM marked GROUP BY doc_id
+"""
 
 
 def _band_sql(src: str) -> str:

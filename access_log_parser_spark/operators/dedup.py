@@ -751,6 +751,81 @@ def keep_best_duplicate(
     )
 
 
+def block_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 100,
+    sep: str = " ",
+) -> DataFrame:
+    """Cross-document EXACT substring dedup at aligned token-block
+    granularity — the scalable approximation of Lee et al. 2022's
+    suffix-array ExactSubstr dedup: the corpus's non-overlapping
+    ``block_tokens``-token blocks are hashed corpus-wide and every
+    occurrence except the globally FIRST (min (doc_id, block_pos) —
+    the repo's standard min-owner rule) is REMOVED FROM THE TEXT.
+    MinHash/LSH (:func:`lsh_candidate_pairs`) drops whole near-dup
+    documents and ``webtext.repeated_ngram_removal`` trims WITHIN-doc
+    repetition; this operator removes the verbatim SPANS that survive
+    both — licence blocks, syndicated paragraphs, templated sections
+    shared across otherwise-distinct pages.
+
+    Returns (id, text, n_blocks, n_removed): ``text`` is the sep-joined
+    surviving blocks in document order, i.e. whitespace-NORMALIZED
+    (single separators) — the same canonical form both engines produce,
+    so the driver oracle replays it hash-exactly. Empty/null-text docs
+    pass through with text '' and zero counts.
+
+    Plan at 100 TB: tokens explode into ceil(L/B) block rows per doc —
+    corpus-sized but 1/B of the token volume; ONE exchange on the block
+    digest serves the global min-owner window, then the same doc-keyed
+    regroup as ``webtext.paragraph_dedup`` reassembles the text. Two
+    shuffles total, zero joins, zero Python.
+    """
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    nonempty = F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_ts"),
+                     nonempty.alias("_has"))
+    nblk = F.ceil(F.size(F.col("_ts")) / F.lit(block_tokens)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(1), nblk),
+        lambda i: F.array_join(
+            F.slice(
+                F.col("_ts"),
+                (i - 1) * block_tokens + 1,
+                F.lit(block_tokens),
+            ),
+            sep,
+        ),
+    )
+    exploded = base.filter("_has").select(
+        "id", F.posexplode(blocks).alias("pos", "blk")
+    )
+    w = Window.partitionBy(F.md5(F.col("blk"))).orderBy("id", "pos")
+    marked = exploded.withColumn("_keep", F.row_number().over(w) == 1)
+    out = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "_keep", "blk"))),
+                    lambda s: s["_keep"],
+                ),
+                lambda s: s["blk"],
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum((~F.col("_keep")).cast("int")).cast("long").alias("n_removed"),
+    )
+    empty = base.filter(~F.col("_has")).select(
+        "id",
+        F.lit("").alias("text"),
+        F.lit(0).cast("long").alias("n_blocks"),
+        F.lit(0).cast("long").alias("n_removed"),
+    )
+    return out.unionByName(empty)
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter prefilter for cross-snapshot dedup
 # ---------------------------------------------------------------------------

@@ -248,6 +248,60 @@ def test_ivf_assign_join_is_broadcast(spark):
     assert "SortMergeJoin" not in plan
 
 
+# ------------------------------------- cross-doc exact block dedup
+def test_block_dedup_removes_shared_span_keeps_first(spark):
+    from access_log_parser_spark.operators.dedup import block_dedup
+
+    shared = "one two three four"  # exactly one 4-token block
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text=f"{shared} alpha beta gamma delta"),
+        Row(doc_id=2, text=f"{shared} epsilon zeta eta theta"),
+        Row(doc_id=3, text="totally different content here"),
+    ])
+    out = {r["id"]: r for r in block_dedup(docs, block_tokens=4).collect()}
+    # doc 1 owns the shared block; docs 2 loses it, tails survive
+    assert out[1]["text"] == f"{shared} alpha beta gamma delta"
+    assert out[2]["text"] == "epsilon zeta eta theta"
+    assert out[3]["text"] == "totally different content here"
+    assert (out[1]["n_removed"], out[2]["n_removed"], out[3]["n_removed"]) \
+        == (0, 1, 0)
+    assert out[2]["n_blocks"] == 2
+
+
+def test_block_dedup_partial_tail_and_whitespace_normalization(spark):
+    from access_log_parser_spark.operators.dedup import block_dedup
+
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="  a   b \n c  "),  # 3 tokens -> one partial block
+    ])
+    r = block_dedup(docs, block_tokens=4).collect()[0]
+    assert r["text"] == "a b c" and r["n_blocks"] == 1 and r["n_removed"] == 0
+
+
+def test_block_dedup_empty_and_null_pass_through(spark):
+    from access_log_parser_spark.operators.dedup import block_dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=""), Row(doc_id=2, text=None),
+         Row(doc_id=3, text="real words in here")]
+    )
+    out = {r["id"]: r for r in block_dedup(docs, block_tokens=2).collect()}
+    assert out[1]["text"] == "" and out[1]["n_blocks"] == 0
+    assert out[2]["text"] == "" and out[2]["n_removed"] == 0
+    assert out[3]["n_blocks"] == 2
+
+
+def test_block_dedup_within_doc_repeats_also_collapse(spark):
+    from access_log_parser_spark.operators.dedup import block_dedup
+
+    # the SAME aligned block twice within one doc: position order keeps
+    # the first occurrence only
+    docs = spark.createDataFrame([Row(doc_id=1, text="x y x y tail word")])
+    r = block_dedup(docs, block_tokens=2).collect()[0]
+    assert r["text"] == "x y tail word"
+    assert r["n_blocks"] == 3 and r["n_removed"] == 1
+
+
 # ------------------------------------------------------- graph operators
 def test_pagerank_empty_edges_returns_empty(spark):
     from access_log_parser_spark.operators.graph import pagerank
