@@ -86,6 +86,49 @@ def test_robots_regex_metachars_in_rules_stay_literal(spark):
     }
 
 
+def test_robots_wildcard_translation_fuzz_vs_python_reference(spark):
+    """Seeded sweep: the plan-time rule->regex translation must agree
+    with a pure-Python RFC 9309 reference matcher on rules stuffed with
+    regex metacharacters, wildcards and anchors (300 cases, one
+    DataFrame)."""
+    import random
+    import re
+
+    from access_log_parser_spark.operators.webtext import robots_allowed
+
+    def ref_hit(rule: str, path: str) -> bool:
+        anchored = rule.endswith("$")
+        if "*" not in rule and not anchored:
+            return path.startswith(rule)
+        body = rule[:-1] if anchored else rule
+        pat = ("^" + ".*".join(re.escape(p) for p in body.split("*"))
+               + ("$" if anchored else ""))
+        return re.match(pat, path) is not None
+
+    rng = random.Random(41)
+    rule_abc = list("ab/*.$+()[]{}|^?\\x")
+    path_abc = list("ab/.x+($)y")
+    cases = []
+    for i in range(300):
+        rule = "/" + "".join(rng.choice(rule_abc)
+                             for _ in range(rng.randint(1, 8)))
+        path = "/" + "".join(rng.choice(path_abc)
+                             for _ in range(rng.randint(0, 10)))
+        cases.append((f"h{i}.ex", rule, path))
+    rules = spark.createDataFrame(
+        [Row(host=h, allow=False, path=r, path_len=len(r))
+         for h, r, _ in cases]
+    )
+    urls = spark.createDataFrame(
+        [Row(url=f"https://{h}{p}") for h, _, p in cases]
+    )
+    got = {r["host"]: r["fetch_allowed"]
+           for r in robots_allowed(urls, rules).collect()}
+    for h, rule, path in cases:
+        want_allowed = not ref_hit(rule, path)
+        assert got[h] == want_allowed, (rule, path, got[h])
+
+
 def test_robots_wildcards_end_to_end_from_robots_txt(spark):
     from access_log_parser_spark.operators.webtext import (
         robots_allowed,

@@ -201,6 +201,15 @@ SELECTED = [
      "group attribution is two window passes on ONE host-keyed "
      "exchange; the group semi-join and the final min() reuse the same "
      "(host) key — no second corpus shuffle"),
+    ("block_dedup", False,
+     "cross-doc ExactSubstr approximation: ONE exchange on the block "
+     "digest (global min-owner window), then the doc-keyed regroup — "
+     "two shuffles total, zero joins, token volume divided by the "
+     "block size before the first exchange"),
+    ("fetch_schedule", False,
+     "one host-keyed window for the position + a BROADCAST join "
+     "against the dimension-sized crawl-delay table; no other "
+     "exchange"),
 ]
 
 
