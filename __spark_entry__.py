@@ -2760,6 +2760,42 @@ def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_schedule(frontier, delays, default_delay=1.0)
 
 
+def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer et
+    al. 2003; fingerprint.winnow_fingerprints): k=5-token Karp-Rabin
+    polynomial k-gram hashes, window w=4 minima with the rightmost-min
+    tiebreak. The oracle replays tokenization, 32-bit md5 token codes,
+    the unrolled degree-4 polynomial and the window selection with
+    DuckDB list lambdas — every hash is exact int64 (max value < 2^53,
+    no modular reduction anywhere)."""
+    from access_log_parser_spark.operators.fingerprint import (
+        winnow_fingerprints,
+    )
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return winnow_fingerprints(docs)
+
+
+def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap detection on winnowing fingerprints
+    (fingerprint.fingerprint_overlap): pairs sharing >= 2 distinct
+    fingerprint hashes, after dropping fingerprints present in > 50
+    docs (stop-fingerprint cap). By the winnowing guarantee any shared
+    token run of >= w+k-1 = 8 tokens surfaces a shared fingerprint, so
+    this catches syndicated spans that whole-doc exact dedup misses.
+    Oracle replays the full chain plus the df cap and the pair join."""
+    from access_log_parser_spark.operators.fingerprint import (
+        fingerprint_overlap,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    return fingerprint_overlap(docs, min_shared=2, max_df=50).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("shared_fps").cast("bigint").alias("shared_fps"),
+    )
+
+
 def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (graph.pagerank) over a deterministic
     20-host graph derived from doc ids (src = doc_id %% 20, dst =
@@ -3059,6 +3095,8 @@ _GATE_FIRST = [
     "frontier_build",
     "fetch_schedule",
     "block_dedup",
+    "winnow_fingerprint",
+    "winnow_overlap",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3248,6 +3286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "semdedup_join": _q_semdedup_join,
         "block_dedup": _q_block_dedup,
+        "winnow_fingerprint": _q_winnow_fingerprint,
+        "winnow_overlap": _q_winnow_overlap,
         "cross_snapshot_dedup": _q_cross_snapshot_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
     }
@@ -5485,6 +5525,61 @@ SELECT host, url, position,
                  ELSE 1.0 END) AS fetch_offset_s
 FROM s
 """
+
+# Winnowing fingerprint chain (Schleimer et al. 2003), shared by the
+# winnow_fingerprint and winnow_overlap oracles: 32-bit md5 token codes,
+# degree-4 polynomial k-gram hashes (base 33, unrolled — max < 2^53 so
+# int64 is exact), window-of-4 minima with the rightmost-min tiebreak
+# (last index of the min = len - position(reverse, min) + 1).
+_WINNOW_CTES = """
+  SELECT doc_id,
+         list_transform(
+           list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                       x -> x <> ''),
+           x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)) AS codes
+  FROM documents WHERE text IS NOT NULL{pred}
+), g AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(codes) - 4),
+      i -> codes[i]*1185921 + codes[i+1]*35937 + codes[i+2]*1089
+           + codes[i+3]*33 + codes[i+4]) AS grams
+  FROM c WHERE len(codes) >= 5
+), w AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, greatest(len(grams) - 3, 1)),
+      j -> {'pos': CAST(j + len(list_slice(grams, j, j+3))
+                   - list_position(list_reverse(list_slice(grams, j, j+3)),
+                                   list_min(list_slice(grams, j, j+3)))
+                   AS BIGINT),
+            'fp': list_min(list_slice(grams, j, j+3))}) AS fps
+  FROM g WHERE len(grams) >= 1
+)"""
+
+_ORACLE["winnow_fingerprint"] = (
+    "WITH c AS ("
+    + _WINNOW_CTES.replace("{pred}", " AND doc_id < 300")
+    + """
+SELECT DISTINCT doc_id, u.fps.pos AS pos, u.fps.fp AS fp
+FROM w, unnest(fps) AS u
+"""
+)
+
+_ORACLE["winnow_overlap"] = (
+    "WITH c AS ("
+    + _WINNOW_CTES.replace("{pred}", "")
+    + """, u AS (
+  SELECT DISTINCT doc_id, un.fps.fp AS fp FROM w, unnest(fps) AS un
+), rare AS (
+  SELECT fp FROM u GROUP BY fp HAVING count(*) <= 50
+), k AS (
+  SELECT doc_id, fp FROM u JOIN rare USING (fp)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS shared_fps
+FROM k a JOIN k b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""
+)
 
 _PR_CTES, _PR_FINAL = _pagerank_oracle(as_cte=True)
 _ORACLE["frontier_build"] = f"""{_PR_CTES},

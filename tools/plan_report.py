@@ -210,6 +210,15 @@ SELECTED = [
      "one host-keyed window for the position + a BROADCAST join "
      "against the dimension-sized crawl-delay table; no other "
      "exchange"),
+    ("winnow_fingerprint", False,
+     "rolling-hash winnowing is a pure per-row expression chain "
+     "(md5 token codes -> polynomial k-grams -> window minima), each "
+     "stage its own projection so the md5 subtree evaluates once per "
+     "row; the only exchange is the final distinct"),
+    ("winnow_overlap", False,
+     "overlap pairs come from an inverted-index equi-join on the "
+     "fingerprint hash with a document-frequency cap pre-filter — "
+     "shuffle on fp, never an all-pairs cross join"),
 ]
 
 
