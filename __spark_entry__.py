@@ -2796,6 +2796,97 @@ def _q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURT URL canonicalization (webtext.surt_key) — the web-archive
+    index key (Common Crawl CDX / pywb). Six URL shapes exercise every
+    rule: scheme/host case-fold, one www. strip, default-port drop
+    (:443/:80) vs non-default keep (:8080), host-label reversal,
+    duplicate-slash collapse, trailing-slash strip, bare-root and
+    no-path forms, query-parameter byte sort, fragment removal. The
+    oracle is CLOSED FORM (independent per-variant arithmetic, not a
+    regex replay), so any drift in the expression chain fails the
+    hash."""
+    from access_log_parser_spark.operators.webtext import surt_key
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 5).cast("string")
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(
+            F.lit("HTTPS://WWW.EX"), h, F.lit(".COM:443/a/"), k,
+            F.lit("?b=2&a=1#frag")))
+        .when(v == 1, F.concat(
+            F.lit("http://ex"), h, F.lit(".com:8080//a//"), k, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("https://sub.ex"), h, F.lit(".org/")))
+        .when(v == 3, F.concat(F.lit("http://ex"), h, F.lit(".net")))
+        .when(v == 4, F.concat(
+            F.lit("https://www.ex"), h, F.lit(".com/p/"), k,
+            F.lit("?z=9&y=8&x=7")))
+        .otherwise(F.concat(
+            F.lit("HTTP://EX"), h, F.lit(".COM:80/q/"), k, F.lit("#x")))
+    )
+    return docs.select(
+        "doc_id", url.alias("url"), surt_key(url).alias("surt")
+    )
+
+
+def _q_cdxj_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDXJ index scan (sources/cdxj.parse_cdxj_lines): each doc becomes
+    one index line ``<SURT> <ts14> <JSON>`` built with expressions; one
+    doc in 10 is garbage (no 14-digit timestamp) and one in 10 has a
+    JSON block missing ``url`` — both must come back valid=false with
+    NULL fields and the raw line retained (the reference's
+    unmatched-line discipline). ts round-trips through
+    to_timestamp/date_format so the timestamp parse is proven without
+    timezone-sensitive compares; length/offset arrive as JSON STRINGS
+    (pywb convention) and must cast to long."""
+    from access_log_parser_spark.sources.cdxj import parse_cdxj_lines
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 5).cast("string")
+    ts14 = F.concat(
+        F.lit("20240101"),
+        F.lpad((F.col("doc_id") % 24).cast("string"), 2, "0"),
+        F.lpad(((F.col("doc_id") * 7) % 60).cast("string"), 2, "0"),
+        F.lpad((F.col("doc_id") % 60).cast("string"), 2, "0"),
+    )
+    surt = F.concat(F.lit("com,ex"), h, F.lit(")/p/"), k)
+    js = F.concat(
+        F.lit('{"url": "https://ex'), h, F.lit(".com/p/"), k,
+        F.lit('", "mime": "text/html", "status": 200, "digest": "sha1:'),
+        k,
+        F.lit('", "length": "'),
+        F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("string"),
+        F.lit('", "offset": "'), (F.col("doc_id") * 100).cast("string"),
+        F.lit('", "filename": "crawl-'),
+        (F.col("doc_id") % 10).cast("string"), F.lit('.warc.gz"}'),
+    )
+    line = (
+        F.when(F.col("doc_id") % 10 == 0, F.concat(F.lit("bad line "), k))
+        .when(
+            F.col("doc_id") % 10 == 5,
+            F.concat(surt, F.lit(" "), ts14, F.lit(' {"mime": "x"}')),
+        )
+        .otherwise(F.concat(surt, F.lit(" "), ts14, F.lit(" "), js))
+    )
+    out = parse_cdxj_lines(docs.select(line.alias("line")))
+    return out.select(
+        "surt",
+        F.date_format("ts", "yyyyMMddHHmmss").alias("ts14"),
+        "url",
+        "mime",
+        F.col("status").cast("bigint").alias("status"),
+        "length",
+        "offset",
+        "digest",
+        "filename",
+        "valid",
+        "raw",
+    )
+
+
 def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (graph.pagerank) over a deterministic
     20-host graph derived from doc ids (src = doc_id %% 20, dst =
@@ -3097,6 +3188,8 @@ _GATE_FIRST = [
     "block_dedup",
     "winnow_fingerprint",
     "winnow_overlap",
+    "surt_key",
+    "cdxj_scan",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3288,6 +3381,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_dedup": _q_block_dedup,
         "winnow_fingerprint": _q_winnow_fingerprint,
         "winnow_overlap": _q_winnow_overlap,
+        "surt_key": _q_surt_key,
+        "cdxj_scan": _q_cdxj_scan,
         "cross_snapshot_dedup": _q_cross_snapshot_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
     }
@@ -5922,6 +6017,86 @@ SELECT doc_id,
        COALESCE(ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 4), 0.0)
          AS entropy
 FROM pt GROUP BY 1
+"""
+
+
+_ORACLE["surt_key"] = """
+-- closed form: expected SURT per URL-shape variant, derived
+-- independently from doc_id arithmetic (NOT a regex replay)
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS k,
+         CAST(doc_id % 5 AS VARCHAR) AS h,
+         doc_id % 6 AS v
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+  CASE v
+    WHEN 0 THEN 'HTTPS://WWW.EX' || h || '.COM:443/a/' || k || '?b=2&a=1#frag'
+    WHEN 1 THEN 'http://ex' || h || '.com:8080//a//' || k || '/'
+    WHEN 2 THEN 'https://sub.ex' || h || '.org/'
+    WHEN 3 THEN 'http://ex' || h || '.net'
+    WHEN 4 THEN 'https://www.ex' || h || '.com/p/' || k || '?z=9&y=8&x=7'
+    ELSE 'HTTP://EX' || h || '.COM:80/q/' || k || '#x'
+  END AS url,
+  CASE v
+    WHEN 0 THEN 'com,ex' || h || ')/a/' || k || '?a=1&b=2'
+    WHEN 1 THEN 'com,ex' || h || ':8080)/a/' || k
+    WHEN 2 THEN 'org,ex' || h || ',sub)/'
+    WHEN 3 THEN 'net,ex' || h || ')/'
+    WHEN 4 THEN 'com,ex' || h || ')/p/' || k || '?x=7&y=8&z=9'
+    ELSE 'com,ex' || h || ')/q/' || k
+  END AS surt
+FROM d
+"""
+
+_ORACLE["cdxj_scan"] = """
+-- closed form: states what each synthesized index line encodes; the
+-- two malformed variants (no ts / JSON without url) must come back
+-- all-NULL with valid=false and the raw line intact
+WITH d AS (
+  SELECT doc_id,
+         CAST(doc_id AS VARCHAR) AS k,
+         CAST(doc_id % 5 AS VARCHAR) AS h,
+         '20240101' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+           || lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0')
+           || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') AS ts14,
+         octet_length(encode(COALESCE(text, ''))) AS blen
+  FROM documents WHERE doc_id < 500
+), built AS (
+  SELECT doc_id, k, h, ts14, blen,
+         'com,ex' || h || ')/p/' || k AS surt,
+         '{"url": "https://ex' || h || '.com/p/' || k
+           || '", "mime": "text/html", "status": 200, "digest": "sha1:'
+           || k || '", "length": "' || CAST(blen AS VARCHAR)
+           || '", "offset": "' || CAST(doc_id * 100 AS VARCHAR)
+           || '", "filename": "crawl-' || CAST(doc_id % 10 AS VARCHAR)
+           || '.warc.gz"}' AS js
+  FROM d
+)
+SELECT
+  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE surt END AS surt,
+  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE ts14 END AS ts14,
+  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+       ELSE 'https://ex' || h || '.com/p/' || k END AS url,
+  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL ELSE 'text/html' END AS mime,
+  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+       ELSE CAST(200 AS BIGINT) END AS status,
+  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+       ELSE CAST(blen AS BIGINT) END AS length,
+  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+       ELSE CAST(doc_id * 100 AS BIGINT) END AS "offset",
+  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+       ELSE 'sha1:' || k END AS digest,
+  CASE WHEN doc_id % 10 IN (0, 5) THEN NULL
+       ELSE 'crawl-' || CAST(doc_id % 10 AS VARCHAR) || '.warc.gz'
+  END AS filename,
+  doc_id % 10 NOT IN (0, 5) AS valid,
+  CASE WHEN doc_id % 10 = 0 THEN 'bad line ' || k
+       WHEN doc_id % 10 = 5 THEN surt || ' ' || ts14 || ' {"mime": "x"}'
+       ELSE surt || ' ' || ts14 || ' ' || js
+  END AS raw
+FROM built
 """
 
 

@@ -219,6 +219,16 @@ SELECTED = [
      "overlap pairs come from an inverted-index equi-join on the "
      "fingerprint hash with a document-frequency cap pre-filter — "
      "shuffle on fp, never an all-pairs cross join"),
+    ("surt_key", False,
+     "SURT canonicalization is a pure whole-stage-codegen expression "
+     "chain (regexp split + array reverse/sort + concat) — the only "
+     "exchange is the test harness's round-robin repartition of the "
+     "single-split table, which disappears at scale"),
+    ("cdxj_scan", False,
+     "the index parse is one projection: regexp field split + "
+     "get_json_object, all JVM-side, zero Python, zero shuffles "
+     "beyond the harness repartition; at 100 TB the CDX index "
+     "arrives as many line-scan splits and parallelizes freely"),
 ]
 
 
