@@ -2887,6 +2887,20 @@ def _q_cdxj_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bm25_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 topic scoring (retrieval.bm25_score) for the 3-term query
+    ['spark','window','merge'] over the whole documents table. The
+    oracle replays the exact arithmetic — per-term within-row tf via
+    list_filter (no explode), the single-row (N, sum_dl, df_t) corpus
+    aggregate, Lucene idf and the k1/b saturation — with every constant
+    written symbolically ((1.2 + 1.0), not 2.2) so both engines fold
+    the same doubles before the 4-dp round."""
+    from access_log_parser_spark.operators.retrieval import bm25_score
+
+    docs = _docs_par(spark, sf_dir)
+    return bm25_score(docs, ["spark", "window", "merge"])
+
+
 def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (graph.pagerank) over a deterministic
     20-host graph derived from doc ids (src = doc_id %% 20, dst =
@@ -3190,6 +3204,7 @@ _GATE_FIRST = [
     "winnow_overlap",
     "surt_key",
     "cdxj_scan",
+    "bm25_topic",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3383,6 +3398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_overlap": _q_winnow_overlap,
         "surt_key": _q_surt_key,
         "cdxj_scan": _q_cdxj_scan,
+        "bm25_topic": _q_bm25_topic,
         "cross_snapshot_dedup": _q_cross_snapshot_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
     }
@@ -6097,6 +6113,44 @@ SELECT
        ELSE surt || ' ' || ts14 || ' ' || js
   END AS raw
 FROM built
+"""
+
+
+_ORACLE["bm25_topic"] = r"""
+-- full arithmetic replay of retrieval.bm25_score for the literal query
+-- ['spark','window','merge']; constants written symbolically so both
+-- engines fold identical doubles before ROUND(.,4)
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS t
+  FROM documents
+), proj AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(t, x -> x = 'spark'))  AS tf0,
+         len(list_filter(t, x -> x = 'window')) AS tf1,
+         len(list_filter(t, x -> x = 'merge'))  AS tf2
+  FROM toks
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM proj
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+  ROUND(
+    0.0
+    + ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+      * (tf0 * (1.2 + 1.0))
+      / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl * n_docs / sum_dl)))
+    + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+      * (tf1 * (1.2 + 1.0))
+      / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl * n_docs / sum_dl)))
+    + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+      * (tf2 * (1.2 + 1.0))
+      / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl * n_docs / sum_dl)))
+  , 4) AS score
+FROM proj, stats
 """
 
 

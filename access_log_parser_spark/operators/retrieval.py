@@ -1,0 +1,100 @@
+"""Lexical retrieval scoring over the corpus — BM25 (Robertson et al.,
+the Okapi/Lucene formulation).
+
+A training-data pipeline uses this to pull topic slices out of a web
+corpus ("find the docs about X") and as the lexical leg of hybrid
+retrieval next to the ANN operators in ``similarity.py``. Reference
+parity note: the reference engine (nekrassov01/access-log-parser) has
+no retrieval surface — this is graft-side, built on the same
+``tokens()`` split semantics every text oracle shares
+(text_quality.py:26).
+
+Scale shape: the query is a tiny LITERAL term list, so per-term term
+frequencies are within-row array HOFs (``filter``+``size``) — no
+explode, no (doc, token) shuffle. Corpus statistics (N, total length,
+per-term document frequencies) come from ONE single-row aggregate over
+the same projection, broadcast back via a 1-row cross join (the
+doc_frequency_idf pattern). Total cost at 100 TB: two corpus scans
+(one agg, one scoring projection), zero data-sized shuffles, zero
+Python. Contrast an exploded-index BM25 (needed only when the query
+set is itself corpus-sized).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text_quality import tokens
+
+
+def bm25_score(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document against ``query_terms`` with BM25.
+
+    ``idf = ln(1 + (N - df + 0.5) / (df + 0.5))`` (Lucene's
+    always-positive variant), ``tf`` saturating via ``k1`` with length
+    normalization ``b`` against the corpus mean doc length. Terms
+    absent from a doc contribute exactly 0, so the returned ``score``
+    is 0.0 for docs matching nothing (callers filter or top-k as
+    needed). Scores round to 4 dp (the repo's float-drift absorber).
+
+    Returns (id_col, n_tokens, score). Deterministic: ties are the
+    caller's problem (order by (score, id_col) for stable top-k).
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = list(dict.fromkeys(query_terms))  # dedup, keep order
+
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+
+    def _tf(term: str) -> Column:
+        # single-arg lambda on purpose: a 2-arg lambda would make Spark
+        # pass the element INDEX as the second argument
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    tf_cols = [_tf(t).alias(f"_tf_{i}") for i, t in enumerate(terms)]
+    proj = df.select(
+        F.col(id_col), F.size(toks).alias("_dl"), *tf_cols
+    )
+
+    stats = proj.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        F.sum("_dl").alias("_sum_dl"),
+        *[
+            F.sum((F.col(f"_tf_{i}") > 0).cast("long")).alias(f"_df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+
+    scored = proj.join(F.broadcast(stats))
+
+    def _term(i: int) -> Column:
+        tf = F.col(f"_tf_{i}")
+        dfreq = F.col(f"_df_{i}")
+        idf = F.log(
+            1.0
+            + (F.col("_n_docs") - dfreq + 0.5) / (dfreq + 0.5)
+        )
+        # dl/avgdl written as dl*N/sum_dl: one division, replayed
+        # byte-identically by the DuckDB oracle
+        norm = 1.0 - b + b * (
+            F.col("_dl") * F.col("_n_docs") / F.col("_sum_dl")
+        )
+        return idf * (tf * (k1 + 1.0)) / (tf + k1 * norm)
+
+    score = F.round(
+        sum((_term(i) for i in range(len(terms))), F.lit(0.0)), 4
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col("_dl").cast("long").alias("n_tokens"),
+        score.alias("score"),
+    )

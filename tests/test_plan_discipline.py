@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "dsir_select",  # 1-row broadcast sides (raw/target token-total scalars)
     "bigram_logprob",  # 1-row broadcast side (corpus token total scalar)
     "snapshot_drift",  # 1-row broadcast sides (old/new token-total scalars)
+    "bm25_topic",  # 1-row broadcast side (N, sum_dl, per-term df scalars)
 }
 
 

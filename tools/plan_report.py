@@ -229,6 +229,12 @@ SELECTED = [
      "get_json_object, all JVM-side, zero Python, zero shuffles "
      "beyond the harness repartition; at 100 TB the CDX index "
      "arrives as many line-scan splits and parallelizes freely"),
+    ("bm25_topic", False,
+     "BM25 with a literal query: per-term tf is a within-row array "
+     "HOF (no explode, no (doc,token) shuffle); corpus stats are ONE "
+     "single-row aggregate broadcast back via a 1-row cross join — "
+     "the plan must show BroadcastExchange, not a data-sized "
+     "Exchange, between the stats and scoring stages"),
 ]
 
 
