@@ -2760,6 +2760,42 @@ def _q_fetch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fetch_schedule(frontier, delays, default_delay=1.0)
 
 
+def _q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change-rate estimation (webtext.change_rate, the Cho &
+    Garcia-Molina bias-corrected Poisson estimator): each doc under 300
+    becomes a URL visited (doc_id % 6 + 1) times at a per-URL cadence of
+    (doc_id % 3 + 1) * 10 ts units, with the content digest rolling over
+    every (doc_id % 4 + 1) visits — except doc_id % 7 == 0 URLs, which
+    never change (revisit_after NULL, the floor-priority tier). Single-
+    visit URLs (doc_id % 6 == 0) exercise the unestimable NULL path.
+    Oracle replays the lag window, the interval/change counters, and the
+    exact ln((n+0.5)/(n-x+0.5))/(span/n) arithmetic in DuckDB."""
+    from access_log_parser_spark.operators.webtext import change_rate
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 300)
+    n_visits = (F.col("doc_id") % 6 + 1).cast("int")
+    obs = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_visits - 1)).alias("v")
+    )
+    period = F.col("doc_id") % 4 + 1
+    observations = obs.select(
+        F.concat(
+            F.lit("https://ex.com/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        (F.col("v") * ((F.col("doc_id") % 3 + 1) * 10))
+        .cast("double")
+        .alias("ts"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("same"))
+        .otherwise(
+            F.concat(
+                F.lit("d"), F.floor(F.col("v") / period).cast("string")
+            )
+        )
+        .alias("digest"),
+    )
+    return change_rate(observations)
+
+
 def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints via winnowing (Schleimer et
     al. 2003; fingerprint.winnow_fingerprints): k=5-token Karp-Rabin
@@ -3205,6 +3241,7 @@ _GATE_FIRST = [
     "surt_key",
     "cdxj_scan",
     "bm25_topic",
+    "change_rate",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3274,6 +3311,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_links": _q_extract_links,
         "frontier_build": _q_frontier_build,
         "fetch_schedule": _q_fetch_schedule,
+        "change_rate": _q_change_rate,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -5635,6 +5673,43 @@ SELECT host, url, position,
          * (CASE WHEN m % 2 = 0 THEN CAST(m // 2 AS DOUBLE) + 0.5
                  ELSE 1.0 END) AS fetch_offset_s
 FROM s
+"""
+
+_ORACLE["change_rate"] = """
+WITH o AS (
+  SELECT 'https://ex.com/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CAST(v * ((doc_id % 3 + 1) * 10) AS DOUBLE) AS ts,
+         CASE WHEN doc_id % 7 = 0 THEN 'same'
+              ELSE 'd' || CAST(v // (doc_id % 4 + 1) AS VARCHAR) END AS digest
+  FROM documents, unnest(generate_series(0, doc_id % 6)) AS t(v)
+  WHERE doc_id < 300
+), lagd AS (
+  SELECT url, ts, digest,
+         LAG(digest) OVER (PARTITION BY url ORDER BY ts) AS prev
+  FROM o
+), agg AS (
+  SELECT url,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_intervals,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND digest <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(MAX(ts) - MIN(ts) AS DOUBLE) AS span
+  FROM lagd GROUP BY url
+), lam AS (
+  SELECT *,
+         CASE WHEN n_intervals > 0 AND span > 0 THEN
+           LN((CAST(n_intervals AS DOUBLE) + 0.5)
+              / (CAST(n_intervals - n_changes AS DOUBLE) + 0.5))
+             / (span / n_intervals)
+         END AS raw_rate
+  FROM agg
+)
+SELECT url, n_obs, n_intervals, n_changes, span,
+       ROUND(raw_rate, 4) AS change_rate,
+       ROUND(CASE WHEN n_changes > 0 THEN 1.0 / raw_rate END, 4)
+         AS revisit_after
+FROM lam
 """
 
 # Winnowing fingerprint chain (Schleimer et al. 2003), shared by the

@@ -1476,3 +1476,73 @@ def sitemap_locs(
     return df.select(
         F.col(host_col).alias("host"), F.posexplode(locs).alias("pos", "loc")
     ).select("host", (F.col("pos") + 1).cast("long").alias("position"), "loc")
+
+
+def change_rate(
+    observations: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Page change-rate estimation from crawl history — the recrawl
+    scheduler's input (Cho & Garcia-Molina 2003, "Estimating frequency
+    of change", the bias-corrected estimator of their §4.2): given per-
+    URL observations ``(url, ts, digest)`` across snapshots, count the
+    revisit intervals ``n`` and the intervals that saw a content change
+    ``x`` (digest differs from the previous visit), and estimate the
+    Poisson change rate
+
+        lambda = ln((n + 0.5) / (n - x + 0.5)) / mean_interval
+
+    ``ts`` must be NUMERIC (epoch seconds/days — the caller picks the
+    unit; timestamps convert upstream so the operator, and its oracle,
+    stay timezone-free). Returns per url: ``n_obs``, ``n_intervals``,
+    ``n_changes``, ``span`` (last - first ts), ``change_rate`` (per ts
+    unit, 4 dp, NULL when unestimable: single visit or zero span) and
+    ``revisit_after`` (1/lambda — the Poisson-optimal uniform revisit
+    interval, NULL when no change was ever observed: such URLs fall to
+    the scheduler's floor-priority tier).
+
+    The x = n corner (changed EVERY visit) stays finite by the same
+    +0.5 correction — these are the "recrawl constantly" tier. The
+    ratio is written numerator-over-denominator INVERTED vs the paper's
+    -ln form so x = 0 yields exactly +0.0 (never IEEE -0.0, which would
+    byte-differ across engines in the oracle hash).
+
+    Plan at 100 TB: one url-keyed window (lag of the digest) feeding a
+    same-key groupBy — Catalyst reuses the single url exchange for
+    both, and per-url history depth is snapshot count (tiny), so the
+    window partition never degenerates."""
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    prev = F.lag(F.col(digest_col)).over(w)
+    obs = observations.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).alias("_ts"),
+        prev.isNotNull().cast("long").alias("_has_prev"),
+        (prev.isNotNull() & (F.col(digest_col) != prev))
+        .cast("long")
+        .alias("_chg"),
+    )
+    agg = obs.groupBy("url").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.sum("_has_prev").cast("long").alias("n_intervals"),
+        F.sum("_chg").cast("long").alias("n_changes"),
+        (F.max("_ts") - F.min("_ts")).cast("double").alias("span"),
+    )
+    n = F.col("n_intervals")
+    x = F.col("n_changes")
+    lam = F.when(
+        (n > 0) & (F.col("span") > 0),
+        F.log((n + 0.5) / (n - x + 0.5)) / (F.col("span") / n),
+    )
+    return agg.select(
+        "url",
+        "n_obs",
+        "n_intervals",
+        "n_changes",
+        "span",
+        F.round(lam, 4).alias("change_rate"),
+        F.round(
+            F.when(x > 0, 1.0 / lam), 4
+        ).alias("revisit_after"),
+    )

@@ -435,3 +435,63 @@ def test_prepare_manifest_survives_empty_corpus(spark, tmp_path):
     assert manifest["stages"]["after_near_dup"] == 0
     assert manifest["packs"]["n_packs"] == 0
     assert manifest["packs"]["max_pack_tokens"] == 0  # not None
+
+
+# --------------------------------------------- recrawl change-rate (C&GM)
+def test_change_rate_estimator_values(spark):
+    import math
+
+    from access_log_parser_spark.operators.webtext import change_rate
+
+    rows = (
+        # u1: 4 visits every 10 units, changes on visits 2 and 3 ->
+        # n=3 intervals, x=2 changes, span=30, mean interval 10
+        [Row(url="u1", ts=float(t), digest=d)
+         for t, d in [(0, "a"), (10, "b"), (20, "c"), (30, "c")]]
+        # u2: never changes -> rate 0.0, revisit_after NULL
+        + [Row(url="u2", ts=float(t), digest="same") for t in (0, 5, 10)]
+        # u3: single visit -> everything unestimable
+        + [Row(url="u3", ts=1.0, digest="x")]
+    )
+    out = {r["url"]: r for r in change_rate(
+        spark.createDataFrame(rows)).collect()}
+
+    lam = math.log(3.5 / 1.5) / 10.0
+    assert out["u1"]["n_obs"] == 4
+    assert out["u1"]["n_intervals"] == 3
+    assert out["u1"]["n_changes"] == 2
+    assert out["u1"]["span"] == 30.0
+    assert out["u1"]["change_rate"] == round(lam, 4)
+    assert out["u1"]["revisit_after"] == round(1.0 / lam, 4)
+
+    assert out["u2"]["n_changes"] == 0
+    assert out["u2"]["change_rate"] == 0.0
+    assert math.copysign(1.0, out["u2"]["change_rate"]) == 1.0  # +0.0
+    assert out["u2"]["revisit_after"] is None
+
+    assert out["u3"]["n_intervals"] == 0
+    assert out["u3"]["change_rate"] is None
+    assert out["u3"]["revisit_after"] is None
+
+
+def test_change_rate_changed_every_visit_stays_finite(spark):
+    import math
+
+    from access_log_parser_spark.operators.webtext import change_rate
+
+    rows = [Row(url="u", ts=float(t), digest=f"d{t}") for t in (0, 1, 2)]
+    out = change_rate(spark.createDataFrame(rows)).collect()[0]
+    lam = math.log(2.5 / 0.5) / 1.0
+    assert out["change_rate"] == round(lam, 4)
+    assert out["revisit_after"] == round(1.0 / lam, 4)
+
+
+def test_change_rate_out_of_order_input_uses_ts_order(spark):
+    from access_log_parser_spark.operators.webtext import change_rate
+
+    # same history as u1 above but rows arrive shuffled: lag must order
+    # by ts, so counters are identical
+    rows = [Row(url="u1", ts=float(t), digest=d)
+            for t, d in [(20, "c"), (0, "a"), (30, "c"), (10, "b")]]
+    out = change_rate(spark.createDataFrame(rows)).collect()[0]
+    assert (out["n_intervals"], out["n_changes"], out["span"]) == (3, 2, 30.0)
