@@ -2937,6 +2937,40 @@ def _q_bm25_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_score(docs, ["spark", "window", "merge"])
 
 
+def _q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal rank fusion (retrieval.rrf_fuse,
+    RRF k=60): fuses the BM25 top-20 for ['spark','window','merge']
+    (rank by score DESC, doc_id ASC — TakeOrdered, then a bounded
+    20-row window) with the exact-cosine top-20 neighbors of query
+    vector vec_id=0 (similarity.cosine_topk, rank on the 6-dp-rounded
+    cosine). Exactly two lists, so the fused double sum is
+    order-independent (IEEE commutativity) and the oracle replays both
+    ranking chains plus the 1/(60+rank) arithmetic bit-for-bit."""
+    from pyspark.sql import Window
+
+    from access_log_parser_spark.operators.retrieval import (
+        bm25_score,
+        rrf_fuse,
+    )
+    from access_log_parser_spark.operators.similarity import cosine_topk
+
+    docs = _docs_par(spark, sf_dir)
+    lex_top = (
+        bm25_score(docs, ["spark", "window", "merge"])
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+    lex_w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex_ranked = lex_top.select(
+        "doc_id", F.row_number().over(lex_w).alias("rank")
+    )
+    emb = _load(spark, sf_dir, "embeddings")
+    sem_ranked = cosine_topk(emb, emb.filter(F.col("vec_id") == 0), k=20).select(
+        F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([lex_ranked, sem_ranked])
+
+
 def _q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank (graph.pagerank) over a deterministic
     20-host graph derived from doc ids (src = doc_id %% 20, dst =
@@ -3242,6 +3276,7 @@ _GATE_FIRST = [
     "cdxj_scan",
     "bm25_topic",
     "change_rate",
+    "rrf_hybrid",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3437,6 +3472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_key": _q_surt_key,
         "cdxj_scan": _q_cdxj_scan,
         "bm25_topic": _q_bm25_topic,
+        "rrf_hybrid": _q_rrf_hybrid,
         "cross_snapshot_dedup": _q_cross_snapshot_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
     }
@@ -6226,6 +6262,71 @@ SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
       / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl * n_docs / sum_dl)))
   , 4) AS score
 FROM proj, stats
+"""
+
+_ORACLE["rrf_hybrid"] = r"""
+-- replay BOTH hybrid-retrieval legs (BM25 chain as in bm25_topic;
+-- exact cosine as in ann_cosine_topk) then the 1/(60+rank) fusion
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS t
+  FROM documents
+), proj AS (
+  SELECT doc_id, len(t) AS dl,
+         len(list_filter(t, x -> x = 'spark'))  AS tf0,
+         len(list_filter(t, x -> x = 'window')) AS tf1,
+         len(list_filter(t, x -> x = 'merge'))  AS tf2
+  FROM toks
+), stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM proj
+), lex AS (
+  SELECT doc_id,
+    ROUND(
+      0.0
+      + ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5))
+        * (tf0 * (1.2 + 1.0))
+        / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl * n_docs / sum_dl)))
+      + ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5))
+        * (tf1 * (1.2 + 1.0))
+        / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl * n_docs / sum_dl)))
+      + ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5))
+        * (tf2 * (1.2 + 1.0))
+        / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl * n_docs / sum_dl)))
+    , 4) AS score
+  FROM proj, stats
+), lexr AS (
+  SELECT doc_id, rank FROM (
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+    FROM lex
+  ) WHERE rank <= 20
+), q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), semr AS (
+  SELECT doc_id, rank FROM (
+    SELECT c.vec_id AS doc_id,
+      ROW_NUMBER() OVER (ORDER BY
+        ROUND(list_dot_product(q.qv, c.embedding::DOUBLE[])
+          / (sqrt(list_dot_product(q.qv, q.qv))
+             * sqrt(list_dot_product(c.embedding::DOUBLE[],
+                                     c.embedding::DOUBLE[]))), 6) DESC,
+        c.vec_id ASC) AS rank
+    FROM q, embeddings c WHERE c.vec_id <> 0
+  ) WHERE rank <= 20
+), u AS (
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS c
+  FROM lexr
+  UNION ALL
+  SELECT doc_id, CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + rank) AS c
+  FROM semr
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+       ROUND(SUM(c), 6) AS rrf_score
+FROM u GROUP BY doc_id
 """
 
 

@@ -98,3 +98,61 @@ def bm25_score(
         F.col("_dl").cast("long").alias("n_tokens"),
         score.alias("score"),
     )
+
+
+def rrf_fuse(
+    ranked: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: float = 60.0,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Reciprocal rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of N ranked candidate lists — the standard score-free way to merge
+    the lexical (:func:`bm25_score` top-k) and semantic
+    (``similarity.cosine_topk``) legs of hybrid retrieval:
+
+        rrf(d) = sum over lists containing d of 1 / (k + rank_list(d))
+
+    with the canonical k = 60. Inputs are top-k candidate lists that
+    already carry an integer ``rank_col`` (1-based); a doc absent from
+    a list contributes nothing for it. Returns
+    ``(id_col, n_lists, rrf_score)`` with the score rounded to
+    ``round_dp`` dp.
+
+    Determinism: each contribution is an exact function of an integer
+    rank, and IEEE addition of two doubles is commutative — so with up
+    to two lists the fused score is bit-stable regardless of union
+    order. Beyond two lists the groupBy sum order is engine-chosen;
+    callers needing bit-parity across engines at >2 lists should lower
+    ``round_dp``.
+
+    Plan at 100 TB: inputs are top-k lists (bounded by construction),
+    so this is a union of tiny frames + ONE id-keyed groupBy — cost is
+    O(k x n_lists), independent of corpus size. The corpus-sized work
+    happens upstream in the rankers."""
+    if not ranked:
+        raise ValueError("ranked must be a non-empty sequence")
+    parts = [
+        df.select(
+            F.col(id_col).alias("_id"),
+            (1.0 / (F.lit(float(k)) + F.col(rank_col).cast("double")))
+            .alias("_c"),
+        )
+        for df in ranked
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum("_c").alias("_s"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_lists",
+            F.round("_s", round_dp).alias("rrf_score"),
+        )
+    )

@@ -90,3 +90,38 @@ def test_bm25_length_normalization(spark):
     got0 = _spark_bm25(spark, ["window"], b=0.0)
     assert got0[1][1] > got0[3][1]
     assert got[3][1] > 0.0 and got[1][1] > 0.0
+
+
+# ------------------------------------------------------------ RRF fusion
+def _ranked(spark, pairs):
+    return spark.createDataFrame([Row(doc_id=d, rank=r) for d, r in pairs])
+
+
+def test_rrf_two_lists_pinned_values(spark):
+    from access_log_parser_spark.operators.retrieval import rrf_fuse
+
+    lex = _ranked(spark, [(1, 1), (2, 2), (3, 3)])
+    sem = _ranked(spark, [(2, 1), (4, 2)])
+    out = {r["doc_id"]: r for r in rrf_fuse([lex, sem]).collect()}
+    assert out[2]["n_lists"] == 2
+    assert out[2]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert out[1]["rrf_score"] == round(1 / 61, 6)
+    assert out[4]["rrf_score"] == round(1 / 62, 6)
+    # a doc ranked #1 in one list loses to a doc ranked #2 in BOTH
+    assert out[2]["rrf_score"] > out[1]["rrf_score"]
+
+
+def test_rrf_single_list_and_custom_k(spark):
+    from access_log_parser_spark.operators.retrieval import rrf_fuse
+
+    lst = _ranked(spark, [(7, 1), (8, 2)])
+    out = {r["doc_id"]: r["rrf_score"]
+           for r in rrf_fuse([lst], k=0.0).collect()}
+    assert out == {7: 1.0, 8: 0.5}
+
+
+def test_rrf_empty_input_raises(spark):
+    from access_log_parser_spark.operators.retrieval import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
