@@ -2683,6 +2683,30 @@ def _q_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_links(pages)
 
 
+def _q_anchor_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target (webtext.anchor_stats):
+    500 synthetic edges fan in on 25 targets (doc_id % 25) from 7
+    source hosts (doc_id % 7), with anchors cycling by doc_id % 3
+    between 'click here', 'page <t>' and EMPTY — empty anchors count
+    toward n_links but never become top_anchor. Oracle replays the
+    (target, anchor) counts, the frequency-then-lexicographic argmax
+    and the distinct-host counts."""
+    from access_log_parser_spark.operators.webtext import anchor_stats
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    t = (F.col("doc_id") % 25).cast("string")
+    edges = docs.select(
+        F.concat(F.lit("https://t"), t, F.lit(".example/")).alias("href"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("click here"))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("page "), t))
+        .otherwise(F.lit(""))
+        .alias("anchor"),
+        F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+        .alias("src_host"),
+    )
+    return anchor_stats(edges)
+
+
 def _q_frontier_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end crawl-frontier construction — the composition the
     crawl side of the library exists for: seed URLs (each planted TWICE
@@ -3277,6 +3301,7 @@ _GATE_FIRST = [
     "bm25_topic",
     "change_rate",
     "rrf_hybrid",
+    "anchor_stats",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3347,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_build": _q_frontier_build,
         "fetch_schedule": _q_fetch_schedule,
         "change_rate": _q_change_rate,
+        "anchor_stats": _q_anchor_stats,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -6262,6 +6288,35 @@ SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
       / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl * n_docs / sum_dl)))
   , 4) AS score
 FROM proj, stats
+"""
+
+_ORACLE["anchor_stats"] = """
+WITH e AS (
+  SELECT 'https://t' || CAST(doc_id % 25 AS VARCHAR) || '.example/'
+           AS target,
+         CASE WHEN doc_id % 3 = 0 THEN 'click here'
+              WHEN doc_id % 3 = 1
+                THEN 'page ' || CAST(doc_id % 25 AS VARCHAR)
+              ELSE '' END AS anchor,
+         'h' || CAST(doc_id % 7 AS VARCHAR) AS src_host
+  FROM documents WHERE doc_id < 500
+), pa AS (
+  SELECT target, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM e WHERE trim(anchor) <> '' GROUP BY target, anchor
+), top AS (
+  SELECT target, anchor AS top_anchor, cnt AS top_anchor_count FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY target
+                                 ORDER BY cnt DESC, anchor ASC) AS rn
+    FROM pa
+  ) WHERE rn = 1
+), pt AS (
+  SELECT target, CAST(COUNT(*) AS BIGINT) AS n_links,
+         CAST(COUNT(DISTINCT src_host) AS BIGINT) AS n_hosts
+  FROM e GROUP BY target
+)
+SELECT pt.target, pt.n_links, pt.n_hosts, top.top_anchor,
+       COALESCE(top.top_anchor_count, 0) AS top_anchor_count
+FROM pt LEFT JOIN top ON pt.target = top.target
 """
 
 _ORACLE["rrf_hybrid"] = r"""

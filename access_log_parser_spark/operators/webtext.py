@@ -1546,3 +1546,61 @@ def change_rate(
             F.when(x > 0, 1.0 / lam), 4
         ).alias("revisit_after"),
     )
+
+
+def anchor_stats(
+    edges: DataFrame,
+    target_col: str = "href",
+    anchor_col: str = "anchor",
+    src_col: str = "src_host",
+) -> DataFrame:
+    """Anchor-text aggregation per link TARGET — the classic search-index
+    signal (Brin & Page 1998 §2.2: anchor text often describes the target
+    page better than the target's own content) and the link-popularity
+    feature crawl prioritizers and quality classifiers consume. Input is
+    an edge list like :func:`extract_links` output plus the source host.
+
+    Returns per target: ``n_links`` (total in-links), ``n_hosts``
+    (distinct linking hosts — the spam-resistant popularity count),
+    ``top_anchor`` (most frequent non-empty anchor text, ties broken
+    lexicographically) and ``top_anchor_count`` (its frequency; 0 with a
+    NULL top_anchor when every in-link had empty anchor text).
+
+    Plan at 100 TB: one (target, anchor) pre-aggregation (map-side
+    partial combine shrinks the edge list to distinct anchor strings
+    before the exchange), a target-keyed window argmax over those
+    bounded per-target anchor-count rows, and one target-keyed
+    count/count_distinct — the final join's both sides are already
+    hash-partitioned by target so no extra exchange. Never ships raw
+    edges twice: both aggregates reduce before shuffling."""
+    tgt = F.col(target_col)
+    nonempty = F.trim(F.coalesce(F.col(anchor_col), F.lit(""))) != ""
+    per_anchor = (
+        edges.filter(nonempty)
+        .groupBy(tgt.alias("target"), F.col(anchor_col).alias("anchor"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    top = (
+        per_anchor.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "target",
+            F.col("anchor").alias("top_anchor"),
+            F.col("cnt").alias("top_anchor_count"),
+        )
+    )
+    per_target = edges.groupBy(tgt.alias("target")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_links"),
+        F.count_distinct(F.col(src_col)).cast("long").alias("n_hosts"),
+    )
+    return per_target.join(top, "target", "left").select(
+        "target",
+        "n_links",
+        "n_hosts",
+        "top_anchor",
+        F.coalesce(F.col("top_anchor_count"), F.lit(0).cast("long"))
+        .alias("top_anchor_count"),
+    )

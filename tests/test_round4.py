@@ -495,3 +495,36 @@ def test_change_rate_out_of_order_input_uses_ts_order(spark):
             for t, d in [(20, "c"), (0, "a"), (30, "c"), (10, "b")]]
     out = change_rate(spark.createDataFrame(rows)).collect()[0]
     assert (out["n_intervals"], out["n_changes"], out["span"]) == (3, 2, 30.0)
+
+
+# ---------------------------------------------- anchor-text aggregation
+def test_anchor_stats_counts_and_argmax(spark):
+    from access_log_parser_spark.operators.webtext import anchor_stats
+
+    edges = spark.createDataFrame(
+        [
+            Row(href="t1", anchor="home", src_host="a"),
+            Row(href="t1", anchor="home", src_host="b"),
+            Row(href="t1", anchor="click", src_host="a"),
+            Row(href="t1", anchor="", src_host="c"),  # counted, never top
+            Row(href="t2", anchor=None, src_host="a"),  # null-only target
+        ]
+    )
+    out = {r["target"]: r for r in anchor_stats(edges).collect()}
+    assert (out["t1"]["n_links"], out["t1"]["n_hosts"]) == (4, 3)
+    assert out["t1"]["top_anchor"] == "home"
+    assert out["t1"]["top_anchor_count"] == 2
+    assert out["t2"]["n_links"] == 1
+    assert out["t2"]["top_anchor"] is None
+    assert out["t2"]["top_anchor_count"] == 0
+
+
+def test_anchor_stats_frequency_tie_breaks_lexicographically(spark):
+    from access_log_parser_spark.operators.webtext import anchor_stats
+
+    edges = spark.createDataFrame(
+        [Row(href="t", anchor=a, src_host="h") for a in ["zeta", "alpha"]]
+    )
+    out = anchor_stats(edges).collect()[0]
+    assert out["top_anchor"] == "alpha"
+    assert out["top_anchor_count"] == 1
