@@ -2820,6 +2820,69 @@ def _q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_rate(observations)
 
 
+def _q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling end-to-end: change_rate over the same
+    synthetic crawl history as the change_rate query (but with URLs on
+    the standard 20 hosts) joined with pagerank host priority over the
+    standard 20-host graph; priority = round(rank * change_rate, 6) —
+    the classic importance x freshness product (never-changed and
+    single-visit URLs fall to priority 0.0, the floor tier). Host comes
+    out of the URL with the same regex the operators use; the ranks
+    side is broadcast (20 rows). Oracle composes the change-rate replay
+    with the unrolled pagerank CTE chain in closed form."""
+    from access_log_parser_spark.operators.graph import pagerank
+    from access_log_parser_spark.operators.webtext import change_rate
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 300)
+    n_visits = (F.col("doc_id") % 6 + 1).cast("int")
+    obs = docs.select(
+        "doc_id", F.explode(F.sequence(F.lit(0), n_visits - 1)).alias("v")
+    )
+    period = F.col("doc_id") % 4 + 1
+    observations = obs.select(
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+        (F.col("v") * ((F.col("doc_id") % 3 + 1) * 10))
+        .cast("double")
+        .alias("ts"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("same"))
+        .otherwise(
+            F.concat(
+                F.lit("d"), F.floor(F.col("v") / period).cast("string")
+            )
+        )
+        .alias("digest"),
+    )
+    rates = change_rate(observations)
+
+    g = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    edges = g.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+        .alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+        ).alias("dst"),
+    )
+    ranks = pagerank(edges, iterations=3)
+
+    host = F.regexp_extract(F.col("url"), r"https?://([^/]+)/", 1)
+    joined = rates.withColumn("host", host).join(
+        F.broadcast(ranks),
+        F.col("host") == F.concat(F.col("node"), F.lit(".example")),
+    )
+    return joined.select(
+        "url",
+        "host",
+        "change_rate",
+        "rank",
+        F.round(
+            F.col("rank") * F.coalesce(F.col("change_rate"), F.lit(0.0)), 6
+        ).alias("priority"),
+    )
+
+
 def _q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints via winnowing (Schleimer et
     al. 2003; fingerprint.winnow_fingerprints): k=5-token Karp-Rabin
@@ -3302,6 +3365,7 @@ _GATE_FIRST = [
     "change_rate",
     "rrf_hybrid",
     "anchor_stats",
+    "recrawl_priority",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3373,6 +3437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_schedule": _q_fetch_schedule,
         "change_rate": _q_change_rate,
         "anchor_stats": _q_anchor_stats,
+        "recrawl_priority": _q_recrawl_priority,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -5848,6 +5913,45 @@ f AS (
 SELECT stats.host AS host, n_allowed, n_blocked,
        ROUND({_PR_FINAL}.rank, 6) AS rank
 FROM stats JOIN {_PR_FINAL} ON stats.host = {_PR_FINAL}.node || '.example'
+"""
+
+
+_ORACLE["recrawl_priority"] = f"""{_PR_CTES},
+o AS (
+  SELECT 'https://h' || CAST(doc_id % 20 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+         CAST(v * ((doc_id % 3 + 1) * 10) AS DOUBLE) AS ts,
+         CASE WHEN doc_id % 7 = 0 THEN 'same'
+              ELSE 'd' || CAST(v // (doc_id % 4 + 1) AS VARCHAR)
+         END AS digest
+  FROM documents, unnest(generate_series(0, doc_id % 6)) AS t(v)
+  WHERE doc_id < 300
+), lagd AS (
+  SELECT url, host, ts, digest,
+         LAG(digest) OVER (PARTITION BY url ORDER BY ts) AS prev
+  FROM o
+), agg AS (
+  SELECT url, host,
+         CAST(SUM(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_intervals,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND digest <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+         CAST(MAX(ts) - MIN(ts) AS DOUBLE) AS span
+  FROM lagd GROUP BY url, host
+), cr AS (
+  SELECT url, host,
+    ROUND(CASE WHEN n_intervals > 0 AND span > 0 THEN
+      LN((CAST(n_intervals AS DOUBLE) + 0.5)
+         / (CAST(n_intervals - n_changes AS DOUBLE) + 0.5))
+        / (span / n_intervals) END, 4) AS change_rate
+  FROM agg
+)
+SELECT cr.url, cr.host, cr.change_rate,
+       ROUND({_PR_FINAL}.rank, 6) AS rank,
+       ROUND(ROUND({_PR_FINAL}.rank, 6) * COALESCE(cr.change_rate, 0.0), 6)
+         AS priority
+FROM cr JOIN {_PR_FINAL} ON cr.host = {_PR_FINAL}.node || '.example'
 """
 
 
