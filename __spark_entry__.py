@@ -2820,6 +2820,33 @@ def _q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_rate(observations)
 
 
+def _q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eTLD+1 extraction (webtext.registrable_domain_col, PSL longest-
+    match semantics on the built-in suffix subset): six host shapes per
+    doc_id % 6 — listed TLD, 2-label suffix (co.uk), private-registry
+    suffix (github.io), host-IS-a-suffix (NULL), unlisted TLD (the '*'
+    default rule), blogspot private suffix. The oracle is CLOSED-FORM:
+    expected domains written per shape, not a replay of the HOF chain."""
+    from access_log_parser_spark.operators.webtext import (
+        registrable_domain_col,
+    )
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 600)
+    c = F.col("doc_id") % 6
+    k = (F.col("doc_id") % 50).cast("string")
+    host = (
+        F.when(c == 0, F.concat(F.lit("www.site"), k, F.lit(".com")))
+        .when(c == 1, F.concat(F.lit("a.b.shop"), k, F.lit(".co.uk")))
+        .when(c == 2, F.concat(F.lit("u"), k, F.lit(".github.io")))
+        .when(c == 3, F.lit("co.uk"))
+        .when(c == 4, F.concat(F.lit("deep.x"), k, F.lit(".zz")))
+        .otherwise(F.concat(F.lit("blog"), k, F.lit(".blogspot.com")))
+    )
+    return docs.select(host.alias("host")).select(
+        "host", registrable_domain_col(F.col("host")).alias("domain")
+    )
+
+
 def _q_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recrawl scheduling end-to-end: change_rate over the same
     synthetic crawl history as the change_rate query (but with URLs on
@@ -3366,6 +3393,7 @@ _GATE_FIRST = [
     "rrf_hybrid",
     "anchor_stats",
     "recrawl_priority",
+    "registrable_domain",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3438,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate": _q_change_rate,
         "anchor_stats": _q_anchor_stats,
         "recrawl_priority": _q_recrawl_priority,
+        "registrable_domain": _q_registrable_domain,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -6392,6 +6421,28 @@ SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
       / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl * n_docs / sum_dl)))
   , 4) AS score
 FROM proj, stats
+"""
+
+_ORACLE["registrable_domain"] = """
+-- CLOSED-FORM: expected eTLD+1 per host shape (not a replay)
+WITH h AS (
+  SELECT doc_id % 6 AS c, CAST(doc_id % 50 AS VARCHAR) AS k
+  FROM documents WHERE doc_id < 600
+)
+SELECT
+  CASE c WHEN 0 THEN 'www.site' || k || '.com'
+         WHEN 1 THEN 'a.b.shop' || k || '.co.uk'
+         WHEN 2 THEN 'u' || k || '.github.io'
+         WHEN 3 THEN 'co.uk'
+         WHEN 4 THEN 'deep.x' || k || '.zz'
+         ELSE 'blog' || k || '.blogspot.com' END AS host,
+  CASE c WHEN 0 THEN 'site' || k || '.com'
+         WHEN 1 THEN 'shop' || k || '.co.uk'
+         WHEN 2 THEN 'u' || k || '.github.io'
+         WHEN 3 THEN NULL
+         WHEN 4 THEN 'x' || k || '.zz'
+         ELSE 'blog' || k || '.blogspot.com' END AS domain
+FROM h
 """
 
 _ORACLE["anchor_stats"] = """

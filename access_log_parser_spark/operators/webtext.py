@@ -33,6 +33,8 @@ contract:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1603,4 +1605,60 @@ def anchor_stats(
         "top_anchor",
         F.coalesce(F.col("top_anchor_count"), F.lit(0).cast("long"))
         .alias("top_anchor_count"),
+    )
+
+
+#: Built-in public-suffix subset for :func:`registrable_domain_col` —
+#: enough for tests/oracles; production passes the full Mozilla PSL
+#: (https://publicsuffix.org/list/) through the same parameter.
+DEFAULT_PUBLIC_SUFFIXES = (
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "dev",
+    "app", "example", "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "jp", "co.jp", "ne.jp", "or.jp", "de", "fr", "nl", "au",
+    "com.au", "org.au", "br", "com.br", "github.io", "blogspot.com",
+)
+
+
+def registrable_domain_col(
+    host_col,
+    suffixes: Sequence[str] = DEFAULT_PUBLIC_SUFFIXES,
+    max_suffix_labels: int = 4,
+) -> F.Column:
+    """Registrable domain (eTLD+1) of a host per the Public Suffix List
+    algorithm — the grouping key per-site policies actually want
+    (:func:`domain_quality_filter`, :func:`host_frequency_cap`,
+    per-site crawl budgets): ``a.b.example.co.uk`` -> ``example.co.uk``.
+
+    PSL semantics on the literal ``suffixes`` set: the prevailing
+    suffix is the LONGEST (most labels) listed suffix matching the
+    host's tail; when none matches, the default ``*`` rule makes the
+    last label the suffix. The registrable domain is the suffix plus
+    one more label; a host that IS a public suffix (or a bare unlisted
+    TLD) has no registrable domain -> NULL. Wildcard/exception PSL
+    rules (``*.ck`` / ``!www.ck``) are out of scope — pass them
+    pre-expanded in ``suffixes``.
+
+    Pure expression chain, zero shuffle, nothing broadcast: the suffix
+    set folds into the plan as an array literal (the real PSL is ~9k
+    entries — still a fine literal; an in-plan array membership check
+    beats a 9k-row broadcast join by skipping the join machinery
+    entirely). Candidate tails are bounded by ``max_suffix_labels``
+    (the PSL's deepest rules are 4 labels)."""
+    labels = F.split(F.lower(host_col), r"\.")
+    n = F.size(labels)
+    suf = F.array(*[F.lit(s) for s in suffixes])
+    ks = F.filter(
+        F.array(*[F.lit(k) for k in range(1, max_suffix_labels + 1)]),
+        lambda k: (k <= n)
+        & F.array_contains(
+            suf, F.array_join(F.slice(labels, -k, k), ".")
+        ),
+    )
+    # no listed suffix on a multi-label host -> the '*' default rule
+    # (last label); bound k_best so host==suffix and single-label hosts
+    # fall out as NULL below
+    k_best = F.coalesce(F.array_max(ks), F.lit(1))
+    return F.when(
+        n > k_best,
+        F.array_join(F.slice(labels, -(k_best + 1), k_best + 1), "."),
     )

@@ -528,3 +528,43 @@ def test_anchor_stats_frequency_tie_breaks_lexicographically(spark):
     out = anchor_stats(edges).collect()[0]
     assert out["top_anchor"] == "alpha"
     assert out["top_anchor_count"] == 1
+
+
+# --------------------------------------------- registrable domain (PSL)
+def test_registrable_domain_psl_cases(spark):
+    from access_log_parser_spark.operators.webtext import (
+        registrable_domain_col,
+    )
+
+    cases = {
+        "a.b.example.co.uk": "example.co.uk",   # longest listed suffix
+        "www.example.com": "example.com",
+        "example.com": "example.com",
+        "com": None,                            # bare listed TLD
+        "co.uk": None,                          # host IS a suffix
+        "x.y.foo.github.io": "foo.github.io",   # private-registry suffix
+        "deep.sub.site.zz": "site.zz",          # unlisted TLD: '*' rule
+        "localhost": None,                      # single unlisted label
+        "EXAMPLE.Co.Uk": "example.co.uk",       # case-folded
+    }
+    df = spark.createDataFrame([Row(host=h) for h in cases])
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registrable_domain_col(F.col("host")).alias("d")
+        ).collect()
+    }
+    assert got == cases
+
+
+def test_registrable_domain_custom_suffix_set(spark):
+    from access_log_parser_spark.operators.webtext import (
+        registrable_domain_col,
+    )
+
+    df = spark.createDataFrame([Row(host="a.b.internal.corp")])
+    got = df.select(
+        registrable_domain_col(F.col("host"), suffixes=["internal.corp"])
+        .alias("d")
+    ).collect()[0]["d"]
+    assert got == "b.internal.corp"
