@@ -2820,6 +2820,23 @@ def _q_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return change_rate(observations)
 
 
+def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier calibration (evaluation.threshold_sweep): a
+    synthetic score ((doc_id*37) %% 100 / 100) decorrelated from a 1/3-
+    positive label (doc_id %% 3 == 0), swept at 5 thresholds — the
+    P/R/F1 table a curation pipeline tunes its cutoff from. ONE corpus
+    scan, one single-row reduce, unpivot via literal struct array.
+    Oracle replays the confusion sums and the exact ratio arithmetic."""
+    from access_log_parser_spark.operators.evaluation import threshold_sweep
+
+    docs = _docs_par(spark, sf_dir)
+    scored = docs.select(
+        ((F.col("doc_id") * 37) % 100 / F.lit(100.0)).alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("label"),
+    )
+    return threshold_sweep(scored)
+
+
 def _q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eTLD+1 extraction (webtext.registrable_domain_col, PSL longest-
     match semantics on the built-in suffix subset): six host shapes per
@@ -3394,6 +3411,7 @@ _GATE_FIRST = [
     "anchor_stats",
     "recrawl_priority",
     "registrable_domain",
+    "threshold_sweep",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3467,6 +3485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_stats": _q_anchor_stats,
         "recrawl_priority": _q_recrawl_priority,
         "registrable_domain": _q_registrable_domain,
+        "threshold_sweep": _q_threshold_sweep,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -6421,6 +6440,39 @@ SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
       / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * (dl * n_docs / sum_dl)))
   , 4) AS score
 FROM proj, stats
+"""
+
+_ORACLE["threshold_sweep"] = """
+WITH s AS (
+  SELECT CAST((doc_id * 37) % 100 AS DOUBLE) / 100.0 AS score,
+         CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS label
+  FROM documents
+), t(threshold) AS (
+  VALUES (CAST(0.1 AS DOUBLE)), (CAST(0.25 AS DOUBLE)),
+         (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE)),
+         (CAST(0.9 AS DOUBLE))
+), m AS (
+  SELECT threshold,
+    CAST(SUM(CASE WHEN score >= threshold AND label = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+    CAST(SUM(CASE WHEN score >= threshold AND label = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+    CAST(SUM(CASE WHEN score <  threshold AND label = 1
+             THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+    CAST(SUM(CASE WHEN score <  threshold AND label = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM t, s GROUP BY threshold
+), pr AS (
+  SELECT *,
+    CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END AS p,
+    CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END AS r
+  FROM m
+)
+SELECT threshold, tp, fp, fn, tn,
+  ROUND(p, 6) AS precision,
+  ROUND(r, 6) AS recall,
+  ROUND(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END, 6) AS f1
+FROM pr
 """
 
 _ORACLE["registrable_domain"] = """
