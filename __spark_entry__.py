@@ -2387,6 +2387,53 @@ def _q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_locs(sites)
 
 
+def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sitemap urlset parsing (webtext.sitemap_entries): each host
+    publishes 3 url blocks — /a/ with lastmod (half with a datetime
+    suffix the date-prefix cast strips), mixed-case changefreq on every
+    3rd host, numeric priority; /b/ bare except a NON-numeric priority
+    on every 5th host (NULL via try_cast); and a loc-LESS block that
+    must be dropped while still consuming position 3. Oracle is
+    closed-form expected values per block."""
+    from access_log_parser_spark.operators.webtext import sitemap_entries
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 400)
+    k = F.col("doc_id").cast("string")
+    mm = F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0")
+    dd = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    lastmod = F.concat(
+        F.lit("2024-"), mm, F.lit("-"), dd,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("T10:30:00Z"))
+        .otherwise(F.lit("")),
+    )
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>https://s'),
+        k, F.lit(".example/a/"), k,
+        F.lit("</loc><lastmod> "), lastmod, F.lit(" </lastmod>"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit("<changefreq>Daily</changefreq>"),
+        ).otherwise(F.lit("")),
+        F.lit("<priority>0."), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://s"),
+        k, F.lit(".example/b/"), k, F.lit("</loc>"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.lit("<priority>high</priority>")
+        ).otherwise(F.lit("")),
+        F.lit("</url><url><lastmod>2099-01-01</lastmod></url></urlset>"),
+    )
+    sites = docs.select(
+        F.concat(F.lit("s"), k, F.lit(".example")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+    out = sitemap_entries(sites)
+    # DATE comes back as datetime.date from Spark but Timestamp from
+    # DuckDB's pandas bridge — compare as the ISO string
+    return out.withColumn(
+        "lastmod_date", F.col("lastmod_date").cast("string")
+    )
+
+
 def _q_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Best-k-per-stratum selection (sampling.stratified_topk): the 5
     longest documents per source, ties to the lower doc_id; oracle is
@@ -3412,6 +3459,7 @@ _GATE_FIRST = [
     "recrawl_priority",
     "registrable_domain",
     "threshold_sweep",
+    "sitemap_entries",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3486,6 +3534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": _q_recrawl_priority,
         "registrable_domain": _q_registrable_domain,
         "threshold_sweep": _q_threshold_sweep,
+        "sitemap_entries": _q_sitemap_entries,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -5638,6 +5687,32 @@ SELECT 's' || CAST(doc_id AS VARCHAR) || '.example',
        'https://s' || CAST(doc_id AS VARCHAR) || '.example/b/'
          || CAST(doc_id AS VARCHAR)
 FROM documents WHERE doc_id < 500
+"""
+
+_ORACLE["sitemap_entries"] = """
+-- CLOSED-FORM expected values per synthesized url block; the loc-less
+-- third block is dropped (position 3 never appears)
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS k,
+         lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') AS mm,
+         lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS dd
+  FROM documents WHERE doc_id < 400
+)
+SELECT 's' || k || '.example' AS host,
+       CAST(1 AS BIGINT) AS position,
+       'https://s' || k || '.example/a/' || k AS loc,
+       '2024-' || mm || '-' || dd ||
+         CASE WHEN doc_id % 2 = 0 THEN 'T10:30:00Z' ELSE '' END AS lastmod,
+       '2024-' || mm || '-' || dd AS lastmod_date,
+       CASE WHEN doc_id % 3 = 0 THEN 'daily' END AS changefreq,
+       CAST('0.' || CAST(doc_id % 10 AS VARCHAR) AS DOUBLE) AS priority
+FROM d
+UNION ALL
+SELECT 's' || k || '.example',
+       CAST(2 AS BIGINT),
+       'https://s' || k || '.example/b/' || k,
+       NULL, NULL, NULL, NULL
+FROM d
 """
 
 _ORACLE["stratified_topk"] = """

@@ -568,3 +568,46 @@ def test_registrable_domain_custom_suffix_set(spark):
         .alias("d")
     ).collect()[0]["d"]
     assert got == "b.internal.corp"
+
+
+# --------------------------------------------------- sitemap full entries
+def test_sitemap_entries_fields_and_dropped_locless_block(spark):
+    import datetime
+
+    from access_log_parser_spark.operators.webtext import sitemap_entries
+
+    xml = (
+        "<urlset>"
+        "<url><loc> https://h.example/a </loc>"
+        "<lastmod>2024-03-05T10:30:00+02:00</lastmod>"
+        "<changefreq>WEEKLY</changefreq><priority>0.8</priority></url>"
+        "<url><lastmod>2099-01-01</lastmod></url>"   # no loc: dropped
+        "<url><loc>https://h.example/b</loc>"
+        "<lastmod>not-a-date</lastmod>"
+        "<priority>soon</priority></url>"
+        "</urlset>"
+    )
+    df = spark.createDataFrame([Row(host="h.example", sitemap_xml=xml)])
+    rows = {r["position"]: r for r in sitemap_entries(df).collect()}
+    assert sorted(rows) == [1, 3]  # position 2 consumed by dropped block
+    a = rows[1]
+    assert a["loc"] == "https://h.example/a"
+    assert a["lastmod"] == "2024-03-05T10:30:00+02:00"
+    assert a["lastmod_date"] == datetime.date(2024, 3, 5)
+    assert a["changefreq"] == "weekly"
+    assert a["priority"] == 0.8
+    b = rows[3]
+    assert b["lastmod"] == "not-a-date"
+    assert b["lastmod_date"] is None      # try_cast, never a throw
+    assert b["priority"] is None
+    assert b["changefreq"] is None
+
+
+def test_sitemap_entries_null_xml_yields_no_rows(spark):
+    from access_log_parser_spark.operators.webtext import sitemap_entries
+
+    df = spark.createDataFrame(
+        [Row(host="h", sitemap_xml=None)],
+        schema="host string, sitemap_xml string",
+    )
+    assert sitemap_entries(df).count() == 0
