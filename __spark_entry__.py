@@ -2630,6 +2630,48 @@ def _q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_to_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC -> WET conversion (sources/warc.warc_to_wet): same 2-record
+    members as warc_scan; only the HTTP-200 response record survives
+    and its payload runs the shared html_text_col extraction chain —
+    output shaped exactly like wet_scan. Oracle replays the chain over
+    the closed-form html string (the metadata record never appears)."""
+    from access_log_parser_spark.sources.warc import (
+        parse_warc_records,
+        warc_to_wet,
+    )
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><body>"), F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</body></html>"),
+    )
+    uri = F.concat(F.lit("https://warc.example/"), k)
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+    )
+    def _rec(wtype, block):  # noqa: E306
+        return F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: "), F.lit(wtype),
+            F.lit("\r\nWARC-Target-URI: "), uri,
+            F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+            F.octet_length(block).cast("string"),
+            F.lit("\r\n\r\n"), block, F.lit("\r\n\r\n"),
+        )
+    meta_block = F.concat(
+        F.lit("len="), F.octet_length(html).cast("string")
+    )
+    files = docs.select(
+        F.concat(F.lit("mem://"), k).alias("path"),
+        F.encode(
+            F.concat(_rec("response", http), _rec("metadata", meta_block)),
+            "utf-8",
+        ).alias("content"),
+    )
+    return warc_to_wet(parse_warc_records(files))
+
+
 def _q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET extracted-text scan (sources/warc.wet_records): every doc
     becomes a WET member (one conversion record whose block IS the
@@ -3460,6 +3502,7 @@ _GATE_FIRST = [
     "registrable_domain",
     "threshold_sweep",
     "sitemap_entries",
+    "warc_to_wet",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3535,6 +3578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "registrable_domain": _q_registrable_domain,
         "threshold_sweep": _q_threshold_sweep,
         "sitemap_entries": _q_sitemap_entries,
+        "warc_to_wet": _q_warc_to_wet,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -5825,6 +5869,35 @@ SELECT 'mem://' || CAST(doc_id AS VARCHAR),
        'len=' || CAST(octet_length(encode(html)) AS VARCHAR),
        FALSE
 FROM d
+"""
+
+_ORACLE["warc_to_wet"] = r"""
+WITH d AS (
+  SELECT doc_id,
+         '<html><body>' || COALESCE(text, '') || '</body></html>' AS html
+  FROM documents WHERE doc_id < 500
+), stripped AS (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      '(?s)<[^>]*>', ' ', 'g') AS t
+  FROM d
+), decoded AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(t,
+      '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS t
+  FROM stripped
+)
+SELECT 'mem://' || CAST(doc_id AS VARCHAR) AS source,
+       CAST(0 AS BIGINT) AS record_idx,
+       'https://warc.example/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       '2024-01-01T00:00:00Z' AS warc_date,
+       trim(regexp_replace(t, '\s+', ' ', 'g')) AS text,
+       FALSE AS truncated
+FROM decoded
 """
 
 _ORACLE["wet_scan"] = """

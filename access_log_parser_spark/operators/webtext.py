@@ -616,7 +616,17 @@ def html_to_text(df: DataFrame, html_col: str = "html", id_col: str = "doc_id") 
     A production pipeline swaps in a real extractor (trafilatura/
     resiliparse) behind the same (id, text) contract; every downstream
     operator in this module consumes the result unchanged."""
-    t = F.decode(F.col(html_col), "utf-8")
+    return df.select(
+        F.col(id_col), html_text_col(F.col(html_col)).alias("text")
+    )
+
+
+def html_text_col(html_col) -> F.Column:
+    """The :func:`html_to_text` expression chain as a reusable Column —
+    shared with :func:`~access_log_parser_spark.sources.warc.warc_to_wet`
+    so the WARC->WET conversion and the pages-table extraction stay
+    character-identical (one chain, one oracle replay)."""
+    t = F.decode(html_col, "utf-8")
     t = F.regexp_replace(t, r"(?is)<script[^>]*>.*?</script>", " ")
     t = F.regexp_replace(t, r"(?is)<style[^>]*>.*?</style>", " ")
     t = F.regexp_replace(t, r"(?s)<[^>]*>", " ")
@@ -625,8 +635,7 @@ def html_to_text(df: DataFrame, html_col: str = "html", id_col: str = "doc_id") 
         ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&"),
     ):
         t = F.replace(t, F.lit(ent), F.lit(ch))
-    t = F.trim(F.regexp_replace(t, r"\s+", " "))
-    return df.select(F.col(id_col), t.alias("text"))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
 
 
 # --- Corpus-wide repeated-substring (n-gram span) removal -------------------

@@ -226,3 +226,31 @@ def read_wat(spark, path_glob: str) -> DataFrame:
     """binaryFile scan + :func:`wat_records` (see read_warc for the gzip
     caveat)."""
     return wat_records(spark.read.format("binaryFile").load(path_glob))
+
+
+def warc_to_wet(parsed: DataFrame) -> DataFrame:
+    """WARC -> WET conversion — the Common Crawl "conversion" step that
+    turns raw response captures into the extracted-text tier: keep
+    HTTP 200 ``response`` records and run the shared
+    ``webtext.html_text_col`` extraction chain over the payload.
+    Output is shaped exactly like :func:`wet_records` (source,
+    record_idx, target_uri, warc_date, text, truncated), so a pipeline
+    can mix freshly-converted and pre-converted WET inputs downstream.
+
+    Plan at 100 TB: the conversion itself is a pure projection over the
+    already-Arrow-parsed records — the only Python in the chain stays
+    the one mapInPandas framing pass in :func:`parse_warc_records`;
+    tag-stripping and entity decode run JVM-side."""
+    from ..operators.webtext import html_text_col
+
+    keep = parsed.filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    return keep.select(
+        "source",
+        "record_idx",
+        "target_uri",
+        "warc_date",
+        html_text_col(F.col("html")).alias("text"),
+        "truncated",
+    )

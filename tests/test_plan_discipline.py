@@ -35,6 +35,8 @@ BNLJ_ALLOWED = {
     "bigram_logprob",  # 1-row broadcast side (corpus token total scalar)
     "snapshot_drift",  # 1-row broadcast sides (old/new token-total scalars)
     "bm25_topic",  # 1-row broadcast side (N, sum_dl, per-term df scalars)
+    "rrf_hybrid",  # inherits bm25_topic's 1-row stats broadcast and
+                   # ann_cosine_topk's corpus x broadcast(1 query vec)
 }
 
 

@@ -611,3 +611,34 @@ def test_sitemap_entries_null_xml_yields_no_rows(spark):
         schema="host string, sitemap_xml string",
     )
     assert sitemap_entries(df).count() == 0
+
+
+# ------------------------------------------------------ WARC -> WET
+def test_warc_to_wet_converts_200_responses_only(spark):
+    from access_log_parser_spark.sources.warc import (
+        parse_warc_records,
+        warc_to_wet,
+    )
+
+    def rec(wtype, uri, block, status_line="HTTP/1.1 200 OK"):
+        if wtype == "response":
+            block = f"{status_line}\r\nContent-Type: text/html\r\n\r\n{block}"
+        return (
+            f"WARC/1.0\r\nWARC-Type: {wtype}\r\nWARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"Content-Length: {len(block.encode())}\r\n\r\n{block}\r\n\r\n"
+        )
+
+    data = (
+        rec("response", "https://a/", "<p>Hello &amp; <b>world</b></p>")
+        + rec("response", "https://b/", "gone", status_line="HTTP/1.1 404 NF")
+        + rec("metadata", "https://a/", "len=1")
+    )
+    files = spark.createDataFrame(
+        [Row(path="mem://x", content=bytearray(data.encode()))]
+    )
+    out = warc_to_wet(parse_warc_records(files)).collect()
+    assert len(out) == 1  # 404 and metadata records dropped
+    assert out[0]["target_uri"] == "https://a/"
+    assert out[0]["text"] == "Hello & world"
+    assert out[0]["truncated"] is False
