@@ -2926,6 +2926,28 @@ def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_sweep(scored)
 
 
+def _q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile (dedup.dup_profile) at 20-token block
+    granularity over a corpus where every 7th doc is prefixed with the
+    SAME 20-token license block — the planted duplication the report
+    must count (plus any natural whole-text dups the synthetic corpus
+    carries). Oracle replays the block construction and both scalar
+    aggregates."""
+    from access_log_parser_spark.operators.dedup import dup_profile
+
+    docs = _docs_par(spark, sf_dir)
+    lic = " ".join(f"l{i}" for i in range(1, 21))
+    seeded = docs.select(
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(lic + " "), F.coalesce(F.col("text"), F.lit(""))),
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    return dup_profile(seeded, block_tokens=20)
+
+
 def _q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eTLD+1 extraction (webtext.registrable_domain_col, PSL longest-
     match semantics on the built-in suffix subset): six host shapes per
@@ -3155,6 +3177,27 @@ def _q_bm25_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _docs_par(spark, sf_dir)
     return bm25_score(docs, ["spark", "window", "merge"])
+
+
+def _q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Webgraph degree distribution (graph.degree_histogram): a planted
+    heavy tail — every 3rd doc links to the single 'hub' node, the rest
+    spread over 97 hosts; 11 source hosts. The log2 bins must separate
+    the hub's fan-in from the long tail. Oracle replays both degree
+    counts and the 2^floor(log2(deg)) binning."""
+    from access_log_parser_spark.operators.graph import degree_histogram
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 1000)
+    edges = docs.select(
+        F.concat(F.lit("s"), (F.col("doc_id") % 11).cast("string"))
+        .alias("src"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("hub"))
+        .otherwise(
+            F.concat(F.lit("h"), (F.col("doc_id") % 97).cast("string"))
+        )
+        .alias("dst"),
+    )
+    return degree_histogram(edges)
 
 
 def _q_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3503,6 +3546,8 @@ _GATE_FIRST = [
     "threshold_sweep",
     "sitemap_entries",
     "warc_to_wet",
+    "dup_profile",
+    "degree_histogram",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3579,6 +3624,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_sweep": _q_threshold_sweep,
         "sitemap_entries": _q_sitemap_entries,
         "warc_to_wet": _q_warc_to_wet,
+        "dup_profile": _q_dup_profile,
+        "degree_histogram": _q_degree_histogram,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -6622,6 +6669,61 @@ SELECT threshold, tp, fp, fn, tn,
   ROUND(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END, 6) AS f1
 FROM pr
 """
+
+_ORACLE["degree_histogram"] = """
+WITH e AS (
+  SELECT 's' || CAST(doc_id % 11 AS VARCHAR) AS src,
+         CASE WHEN doc_id % 3 = 0 THEN 'hub'
+              ELSE 'h' || CAST(doc_id % 97 AS VARCHAR) END AS dst
+  FROM documents WHERE doc_id < 1000
+), din AS (SELECT dst AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+dout AS (SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1)
+SELECT 'in' AS direction,
+       CAST(pow(2.0, FLOOR(LOG2(deg))) AS BIGINT) AS degree_bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM din GROUP BY 2
+UNION ALL
+SELECT 'out',
+       CAST(pow(2.0, FLOOR(LOG2(deg))) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM dout GROUP BY 2
+"""
+
+_ORACLE["dup_profile"] = (
+    r"""
+WITH seeded AS (
+  SELECT CASE WHEN doc_id % 7 = 0
+              THEN '"""
+    + " ".join(f"l{i}" for i in range(1, 21))
+    + r""" ' || COALESCE(text, '')
+              ELSE text END AS text
+  FROM documents
+), t AS (
+  SELECT regexp_split_to_array(trim(COALESCE(text, '')), '\s+') AS ts,
+         length(trim(COALESCE(text, ''))) > 0 AS has
+  FROM seeded
+), blk AS (
+  SELECT array_to_string(list_slice(ts, (i - 1) * 20 + 1, i * 20), ' ')
+           AS blk
+  FROM t, unnest(generate_series(1, CAST(ceil(len(ts) / 20.0) AS INT)))
+         AS g(i)
+  WHERE has
+), c AS (
+  SELECT md5(blk) AS digest, COUNT(*) AS c FROM blk GROUP BY 1
+), bs AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_blocks,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct_blocks,
+         CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS n_dup_occurrences,
+         CAST(COALESCE(MAX(c), 0) AS BIGINT) AS max_block_df
+  FROM c
+), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+SELECT n_docs, n_blocks, n_distinct_blocks, n_dup_occurrences,
+       ROUND(CAST(n_dup_occurrences AS DOUBLE) / GREATEST(n_blocks, 1), 6)
+         AS dup_block_frac,
+       max_block_df
+FROM nd, bs
+"""
+)
 
 _ORACLE["registrable_domain"] = """
 -- CLOSED-FORM: expected eTLD+1 per host shape (not a replay)

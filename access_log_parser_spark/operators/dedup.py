@@ -996,3 +996,60 @@ def cluster_canonical(assign: DataFrame, score_col: str) -> DataFrame:
         .drop("_rk")
         .select("cluster_id", "doc_id", score_col, "n_members")
     )
+
+
+def dup_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_tokens: int = 100,
+) -> DataFrame:
+    """Corpus duplication PROFILE — the one-row report a curation run
+    records before/after dedup (how much verbatim repetition does this
+    corpus carry?), over the same aligned token-block digests
+    :func:`block_dedup` removes: ``n_docs`` (all rows, empty included),
+    ``n_blocks`` (total block occurrences), ``n_distinct_blocks``,
+    ``n_dup_occurrences`` (occurrences beyond each block's first —
+    exactly the blocks block_dedup would strip), ``dup_block_frac``
+    (6 dp) and ``max_block_df`` (the most-repeated block's count; 0 on
+    an all-empty corpus).
+
+    Plan at 100 TB: one digest-keyed count (map-side combine) collapsed
+    by a single-row aggregate, cross-joined with the 1-row doc count —
+    the repo's standard 1-row-broadcast scalar pattern. No windows, no
+    text reassembly: strictly cheaper than running block_dedup to
+    measure what it would do."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    nonempty = F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0
+    nblk = F.ceil(F.size(toks) / F.lit(block_tokens)).cast("int")
+    blocks = F.when(nonempty, F.transform(
+        F.sequence(F.lit(1), nblk),
+        lambda i: F.array_join(
+            F.slice(toks, (i - 1) * block_tokens + 1, F.lit(block_tokens)),
+            " ",
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    exploded = df.select(F.explode(blocks).alias("blk"))
+    counts = exploded.groupBy(F.md5(F.col("blk")).alias("digest")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    block_stats = counts.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_blocks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_blocks"),
+        F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).cast("long")
+        .alias("n_dup_occurrences"),
+        F.coalesce(F.max("c"), F.lit(0)).cast("long").alias("max_block_df"),
+    )
+    docs = df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    return docs.crossJoin(F.broadcast(block_stats)).select(
+        "n_docs",
+        "n_blocks",
+        "n_distinct_blocks",
+        "n_dup_occurrences",
+        F.round(
+            F.col("n_dup_occurrences")
+            / F.greatest(F.col("n_blocks"), F.lit(1)),
+            6,
+        ).alias("dup_block_frac"),
+        "max_block_df",
+    )

@@ -200,3 +200,41 @@ def hits(
         )
     finally:
         e.unpersist()  # rounds ran eagerly; the result needs only hub/auth
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Log2-binned in/out-degree distribution of the link graph — the
+    standard first look at a crawled webgraph (degree distributions are
+    heavy-tailed; the histogram is how you SEE the tail that makes
+    naive per-node work skew) and the skew evidence a pipeline uses to
+    decide where salting is needed.
+
+    Input: an edge list (src, dst); parallel edges count (multigraph
+    semantics — dedupe upstream for simple-graph counts). Returns one
+    row per (direction, bin): ``direction`` 'in'|'out',
+    ``degree_bin_lo`` = 2^floor(log2(degree)) (1,2,4,8,...),
+    ``n_nodes`` = nodes whose degree lands in [bin_lo, 2*bin_lo).
+
+    floor(log2(d)) is engine-stable: log2 of a power of two is IEEE-
+    exact, and away from powers of two the distance to an integer
+    (>= log2(1+1/d)) dwarfs any libm ulp difference — so the DuckDB
+    oracle replays the same binning without float drift.
+
+    Plan at 100 TB: two degree counts (each ONE node-keyed exchange
+    with map-side combine) + two tiny bin groupBys; never materializes
+    per-node rows beyond the degree tables PageRank needs anyway."""
+
+    def _side(col: str, direction: str) -> DataFrame:
+        deg = edges.groupBy(F.col(col).alias("node")).agg(
+            F.count(F.lit(1)).alias("deg")
+        )
+        binned = deg.select(
+            F.pow(F.lit(2.0), F.floor(F.log2("deg"))).cast("long")
+            .alias("degree_bin_lo")
+        )
+        return binned.groupBy("degree_bin_lo").agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes")
+        ).select(F.lit(direction).alias("direction"), "degree_bin_lo",
+                 "n_nodes")
+
+    return _side("dst", "in").unionByName(_side("src", "out"))

@@ -37,6 +37,7 @@ BNLJ_ALLOWED = {
     "bm25_topic",  # 1-row broadcast side (N, sum_dl, per-term df scalars)
     "rrf_hybrid",  # inherits bm25_topic's 1-row stats broadcast and
                    # ann_cosine_topk's corpus x broadcast(1 query vec)
+    "dup_profile",  # 1-row doc count x 1-row broadcast block stats
 }
 
 

@@ -642,3 +642,64 @@ def test_warc_to_wet_converts_200_responses_only(spark):
     assert out[0]["target_uri"] == "https://a/"
     assert out[0]["text"] == "Hello & world"
     assert out[0]["truncated"] is False
+
+
+# ---------------------------------------------- corpus duplication profile
+def test_dup_profile_counts_planted_duplication(spark):
+    from access_log_parser_spark.operators.dedup import dup_profile
+
+    lic = "a b c"  # one 3-token block at block_tokens=3
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"{lic} x y z"),
+            Row(doc_id=1, text=f"{lic} p q r"),
+            Row(doc_id=2, text="u v w"),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text="   "),
+        ],
+        schema="doc_id long, text string",
+    )
+    r = dup_profile(docs, block_tokens=3).collect()[0]
+    assert r["n_docs"] == 5
+    # blocks: [abc, xyz], [abc, pqr], [uvw] -> 5 total, 4 distinct
+    assert r["n_blocks"] == 5
+    assert r["n_distinct_blocks"] == 4
+    assert r["n_dup_occurrences"] == 1
+    assert r["dup_block_frac"] == round(1 / 5, 6)
+    assert r["max_block_df"] == 2
+
+
+def test_dup_profile_all_empty_corpus(spark):
+    from access_log_parser_spark.operators.dedup import dup_profile
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=0, text=None), Row(doc_id=1, text="")],
+        schema="doc_id long, text string",
+    )
+    r = dup_profile(docs).collect()[0]
+    assert (r["n_docs"], r["n_blocks"], r["max_block_df"]) == (2, 0, 0)
+    assert r["dup_block_frac"] == 0.0
+
+
+# ------------------------------------------------ degree distribution
+def test_degree_histogram_bins_and_directions(spark):
+    from access_log_parser_spark.operators.graph import degree_histogram
+
+    # a -> hub x5, b -> hub x3, c -> d x1  (multigraph: parallel count)
+    edges = spark.createDataFrame(
+        [Row(src="a", dst="hub")] * 5
+        + [Row(src="b", dst="hub")] * 3
+        + [Row(src="c", dst="d")]
+    )
+    out = {
+        (r["direction"], r["degree_bin_lo"]): r["n_nodes"]
+        for r in degree_histogram(edges).collect()
+    }
+    # in-degrees: hub=8 (bin 8), d=1 (bin 1)
+    assert out[("in", 8)] == 1
+    assert out[("in", 1)] == 1
+    # out-degrees: a=5 (bin 4), b=3 (bin 2), c=1 (bin 1)
+    assert out[("out", 4)] == 1
+    assert out[("out", 2)] == 1
+    assert out[("out", 1)] == 1
+    assert len(out) == 5
