@@ -2926,6 +2926,27 @@ def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_sweep(scored)
 
 
+def _q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus profile (webtext.host_profile): the documents
+    table spread over 20 hosts (doc_id % 20), with every 9th doc's lang
+    NULLed to exercise the 'und' bucket. Majority language, its share,
+    token volume and mean doc length per host; oracle replays the
+    (host, lang) pre-agg, the frequency-then-lexicographic argmax and
+    the rollup."""
+    from access_log_parser_spark.operators.webtext import host_profile
+
+    docs = _docs_par(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"),
+                 F.lit(".example")).alias("host"),
+        "text",
+        F.when(F.col("doc_id") % 9 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("lang"))
+        .alias("lang"),
+    )
+    return host_profile(pages)
+
+
 def _q_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus duplication profile (dedup.dup_profile) at 20-token block
     granularity over a corpus where every 7th doc is prefixed with the
@@ -3548,6 +3569,7 @@ _GATE_FIRST = [
     "warc_to_wet",
     "dup_profile",
     "degree_histogram",
+    "host_profile",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3626,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_to_wet": _q_warc_to_wet,
         "dup_profile": _q_dup_profile,
         "degree_histogram": _q_degree_histogram,
+        "host_profile": _q_host_profile,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -6668,6 +6691,38 @@ SELECT threshold, tp, fp, fn, tn,
   ROUND(r, 6) AS recall,
   ROUND(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END, 6) AS f1
 FROM pr
+"""
+
+_ORACLE["host_profile"] = r"""
+WITH pages AS (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS host,
+         text,
+         CASE WHEN doc_id % 9 = 0 THEN NULL ELSE lang END AS lang
+  FROM documents
+), hl AS (
+  SELECT host, COALESCE(lang, 'und') AS lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len(list_filter(
+           regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+           t -> t <> ''))) AS BIGINT) AS tok
+  FROM pages GROUP BY 1, 2
+), top AS (
+  SELECT host, lang AS top_lang, n AS top_n FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY host
+                                 ORDER BY n DESC, lang ASC) AS rn
+    FROM hl
+  ) WHERE rn = 1
+), tot AS (
+  SELECT host, CAST(SUM(n) AS BIGINT) AS n_docs,
+         CAST(SUM(tok) AS BIGINT) AS total_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_langs
+  FROM hl GROUP BY 1
+)
+SELECT tot.host, n_docs, total_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens,
+       n_langs, top_lang,
+       ROUND(CAST(top_n AS DOUBLE) / n_docs, 6) AS top_lang_frac
+FROM tot JOIN top ON tot.host = top.host
 """
 
 _ORACLE["degree_histogram"] = """

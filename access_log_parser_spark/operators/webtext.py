@@ -1724,3 +1724,64 @@ def sitemap_entries(
         )
         .filter(F.col("loc").isNotNull())
     )
+
+
+def host_profile(
+    df: DataFrame,
+    host_col: str = "host",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-host corpus profile — the "web table" row a curation run
+    consults when deciding host-level policy (include/exclude, crawl
+    budget, mixture weight): document count, token volume, mean doc
+    length, and the majority language with its share (a host whose
+    top_lang_frac is low is mixed-language or mislabeled — both worth
+    a second look). NULL langs profile as 'und' (BCP 47 undetermined).
+
+    Returns (host, n_docs, total_tokens, mean_doc_tokens 6dp,
+    n_langs, top_lang, top_lang_frac 6dp).
+
+    Plan at 100 TB: ONE (host, lang) pre-aggregation shrinks the corpus
+    to host x lang rows before any wide work; the host rollup, the
+    majority-language window argmax and the final join all run on the
+    host key that pre-agg already partitioned — no second corpus
+    exchange."""
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    per_hl = df.groupBy(
+        F.col(host_col).alias("host"),
+        F.coalesce(F.col(lang_col), F.lit("und")).alias("lang"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(ntok).cast("long").alias("tok"),
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    top = (
+        per_hl.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("host", F.col("lang").alias("top_lang"),
+                F.col("n").alias("_top_n"))
+    )
+    tot = per_hl.groupBy("host").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+    )
+    return tot.join(top, "host").select(
+        "host",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 6)
+        .alias("mean_doc_tokens"),
+        "n_langs",
+        "top_lang",
+        F.round(F.col("_top_n") / F.col("n_docs"), 6)
+        .alias("top_lang_frac"),
+    )

@@ -703,3 +703,28 @@ def test_degree_histogram_bins_and_directions(spark):
     assert out[("out", 2)] == 1
     assert out[("out", 1)] == 1
     assert len(out) == 5
+
+
+# ------------------------------------------------------ host profile
+def test_host_profile_majority_lang_and_rollup(spark):
+    from access_log_parser_spark.operators.webtext import host_profile
+
+    pages = spark.createDataFrame(
+        [
+            Row(host="a", text="one two", lang="en"),
+            Row(host="a", text="three", lang="en"),
+            Row(host="a", text="quatre cinq six", lang="fr"),
+            Row(host="b", text=None, lang=None),       # 'und', 0 tokens
+            Row(host="b", text="sieben", lang="de"),
+        ],
+        schema="host string, text string, lang string",
+    )
+    out = {r["host"]: r for r in host_profile(pages).collect()}
+    a = out["a"]
+    assert (a["n_docs"], a["total_tokens"], a["n_langs"]) == (3, 6, 2)
+    assert a["mean_doc_tokens"] == 2.0
+    assert (a["top_lang"], a["top_lang_frac"]) == ("en", round(2 / 3, 6))
+    b = out["b"]
+    assert (b["n_docs"], b["total_tokens"], b["n_langs"]) == (2, 1, 2)
+    # 1-1 tie between 'de' and 'und' -> lexicographically smaller wins
+    assert b["top_lang"] == "de"

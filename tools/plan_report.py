@@ -235,6 +235,51 @@ SELECTED = [
      "single-row aggregate broadcast back via a 1-row cross join — "
      "the plan must show BroadcastExchange, not a data-sized "
      "Exchange, between the stats and scoring stages"),
+    ("change_rate", False,
+     "the lag window and the per-url aggregate share ONE url-keyed "
+     "exchange (Catalyst reuses the partitioning); per-url history "
+     "depth is the snapshot count, so the window partition is bounded"),
+    ("rrf_hybrid", False,
+     "both ranker legs are k-bounded before fusion (TakeOrdered for "
+     "BM25, per-query top-k window for cosine); the fusion itself is "
+     "a union of tiny frames + one id-keyed groupBy — corpus-sized "
+     "work stays in the rankers"),
+    ("anchor_stats", False,
+     "one (target, anchor) pre-aggregation with map-side combine, a "
+     "target-keyed window argmax, and a target-keyed count/distinct — "
+     "the final join's both sides already hash-partitioned by target"),
+    ("recrawl_priority", False,
+     "change-rate side is the url-keyed window+agg chain; the rank "
+     "side is 20 rows and must appear as a BROADCAST join, never a "
+     "shuffle of the rates table"),
+    ("registrable_domain", False,
+     "PSL longest-match is a pure expression chain — the suffix set "
+     "folds into the plan as an array literal; zero exchanges beyond "
+     "the harness repartition"),
+    ("threshold_sweep", False,
+     "the sweep is ONE aggregate of 4 x |thresholds| conditional "
+     "sums (map-side partial combine -> single-row reduce) unpivoted "
+     "by an in-plan literal struct array — never the |df| x "
+     "|thresholds| cross join"),
+    ("sitemap_entries", False,
+     "block split + child-tag extraction inside one posexplode — a "
+     "pure per-row projection, zero shuffles beyond the harness "
+     "repartition"),
+    ("warc_to_wet", False,
+     "the conversion is a pure projection over the Arrow-framed "
+     "records: the only Python is the one mapInPandas framing pass; "
+     "tag-strip and entity decode are JVM-side regexp chains"),
+    ("dup_profile", False,
+     "one digest-keyed count with map-side combine collapsed by a "
+     "single-row aggregate, cross-joined with the 1-row doc count "
+     "(the repo's standard 1-row-broadcast scalar pattern)"),
+    ("degree_histogram", False,
+     "two node-keyed degree counts (map-side combine) + tiny bin "
+     "groupBys; no per-node rows survive past the degree tables"),
+    ("host_profile", False,
+     "ONE (host, lang) pre-aggregation shrinks the corpus before the "
+     "host-keyed rollup, window argmax and join — no second corpus "
+     "exchange"),
 ]
 
 
