@@ -2926,6 +2926,36 @@ def _q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_sweep(scored)
 
 
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture planning (sampling.mixture_budget_plan):
+    8 corpus domains (doc_id %% 8) with real token counts; declared
+    weights cover d0-d5 plus a domain with NO corpus tokens (d9 — full
+    shortfall) while d6/d7 carry tokens but no weight (rate 0). Budget
+    50k tokens. Oracle replays the counts, the weight normalizer, and
+    the min(1, target/tokens) arithmetic."""
+    from access_log_parser_spark.operators.sampling import (
+        mixture_budget_plan,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    ntok = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        )
+    )
+    counts = docs.groupBy(
+        F.concat(F.lit("d"), (F.col("doc_id") % 8).cast("string"))
+        .alias("domain")
+    ).agg(F.sum(ntok).cast("long").alias("n_tokens"))
+    weights = spark.createDataFrame(
+        [("d0", 1.0), ("d1", 2.0), ("d2", 3.0), ("d3", 4.0),
+         ("d4", 5.0), ("d5", 6.0), ("d9", 2.0)],
+        schema="domain string, weight double",
+    )
+    return mixture_budget_plan(counts, weights, token_budget=50000.0)
+
+
 def _q_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host corpus profile (webtext.host_profile): the documents
     table spread over 20 hosts (doc_id % 20), with every 9th doc's lang
@@ -3570,6 +3600,7 @@ _GATE_FIRST = [
     "dup_profile",
     "degree_histogram",
     "host_profile",
+    "mixture_plan",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3649,6 +3680,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_profile": _q_dup_profile,
         "degree_histogram": _q_degree_histogram,
         "host_profile": _q_host_profile,
+        "mixture_plan": _q_mixture_plan,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -6691,6 +6723,41 @@ SELECT threshold, tp, fp, fn, tn,
   ROUND(r, 6) AS recall,
   ROUND(CASE WHEN p + r > 0 THEN 2.0 * p * r / (p + r) END, 6) AS f1
 FROM pr
+"""
+
+_ORACLE["mixture_plan"] = r"""
+WITH tc AS (
+  SELECT 'd' || CAST(doc_id % 8 AS VARCHAR) AS domain,
+         CAST(SUM(len(list_filter(
+           regexp_split_to_array(trim(COALESCE(text, '')), '\s+'),
+           t -> t <> ''))) AS DOUBLE) AS tok
+  FROM documents GROUP BY 1
+), w(domain, wt) AS (
+  VALUES ('d0', 1.0), ('d1', 2.0), ('d2', 3.0), ('d3', 4.0),
+         ('d4', 5.0), ('d5', 6.0), ('d9', 2.0)
+), z AS (SELECT CAST(SUM(wt) AS DOUBLE) AS z FROM w),
+j AS (
+  SELECT COALESCE(tc.domain, w.domain) AS domain,
+         COALESCE(tok, CAST(0.0 AS DOUBLE)) AS tok,
+         CAST(COALESCE(wt, 0.0) AS DOUBLE) AS wt
+  FROM tc FULL OUTER JOIN w ON tc.domain = w.domain
+), t AS (
+  SELECT domain, tok, wt,
+         CAST(50000.0 AS DOUBLE) * wt / z.z AS target
+  FROM j, z
+), r AS (
+  SELECT *, CASE WHEN tok > 0
+                 THEN LEAST(CAST(1.0 AS DOUBLE), target / tok)
+                 ELSE CAST(0.0 AS DOUBLE) END AS rate
+  FROM t
+)
+SELECT domain, CAST(tok AS BIGINT) AS n_tokens, wt AS weight,
+       ROUND(target, 4) AS target_tokens,
+       ROUND(rate, 6) AS rate,
+       ROUND(rate * tok, 4) AS expected_tokens,
+       ROUND(GREATEST(target - tok, CAST(0.0 AS DOUBLE)), 4) AS shortfall,
+       target > tok AS capped
+FROM r
 """
 
 _ORACLE["host_profile"] = r"""

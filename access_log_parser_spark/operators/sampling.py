@@ -340,3 +340,63 @@ def stratified_topk(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def mixture_budget_plan(
+    token_counts: DataFrame,
+    weights: DataFrame,
+    token_budget: float,
+    domain_col: str = "domain",
+    tokens_col: str = "n_tokens",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Token-budget mixture planning — the declared-proportions
+    counterpart of :func:`temperature_mixture_rates` (training mixes are
+    usually SPECIFIED: "30% web, 20% code, ..." against a total token
+    budget; this computes what each source must contribute and whether
+    it can): per domain,
+
+        target_d = budget * w_d / sum(w)        (weights need not be
+                                                 pre-normalized)
+        rate_d   = min(1, target_d / tokens_d)  (a filter pipeline never
+                                                 upsamples)
+
+    Inputs join FULL OUTER on domain: a domain with tokens but no
+    declared weight plans at rate 0 (excluded by the mix), and a
+    declared domain with no tokens reports its entire target as
+    ``shortfall`` — the number the data buyer needs. ``capped`` marks
+    domains whose corpus cannot fill their target (rate pinned at 1).
+
+    Returns (domain, n_tokens, weight, target_tokens 4dp, rate 6dp,
+    expected_tokens 4dp, shortfall 4dp, capped).
+
+    Plan at 100 TB: both inputs are domain-keyed summaries (the corpus
+    reduction happens upstream, e.g. webtext.host_profile); the weight
+    normalizer is the repo's 1-row broadcast scalar pattern, and the
+    outer join runs on dimension-sized tables."""
+    c = token_counts.select(
+        F.col(domain_col).alias("domain"),
+        F.col(tokens_col).cast("double").alias("_tok"),
+    )
+    w = weights.select(
+        F.col(domain_col).alias("domain"),
+        F.col(weight_col).cast("double").alias("_w"),
+    )
+    z = w.agg(F.sum("_w").alias("_z"))
+    joined = c.join(w, "domain", "full_outer").crossJoin(F.broadcast(z))
+    tok = F.coalesce(F.col("_tok"), F.lit(0.0))
+    wt = F.coalesce(F.col("_w"), F.lit(0.0))
+    target = F.lit(float(token_budget)) * wt / F.col("_z")
+    rate = F.when(tok > 0, F.least(F.lit(1.0), target / tok)).otherwise(
+        F.lit(0.0)
+    )
+    return joined.select(
+        "domain",
+        tok.cast("long").alias("n_tokens"),
+        wt.alias("weight"),
+        F.round(target, 4).alias("target_tokens"),
+        F.round(rate, 6).alias("rate"),
+        F.round(rate * tok, 4).alias("expected_tokens"),
+        F.round(F.greatest(target - tok, F.lit(0.0)), 4).alias("shortfall"),
+        (target > tok).alias("capped"),
+    )

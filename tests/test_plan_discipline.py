@@ -38,6 +38,7 @@ BNLJ_ALLOWED = {
     "rrf_hybrid",  # inherits bm25_topic's 1-row stats broadcast and
                    # ann_cosine_topk's corpus x broadcast(1 query vec)
     "dup_profile",  # 1-row doc count x 1-row broadcast block stats
+    "mixture_plan",  # domain-sized plan x 1-row broadcast weight normalizer
 }
 
 

@@ -728,3 +728,54 @@ def test_host_profile_majority_lang_and_rollup(spark):
     assert (b["n_docs"], b["total_tokens"], b["n_langs"]) == (2, 1, 2)
     # 1-1 tie between 'de' and 'und' -> lexicographically smaller wins
     assert b["top_lang"] == "de"
+
+
+# --------------------------------------------- mixture budget planning
+def test_mixture_budget_plan_targets_and_shortfall(spark):
+    from access_log_parser_spark.operators.sampling import (
+        mixture_budget_plan,
+    )
+
+    counts = spark.createDataFrame(
+        [("web", 1000), ("code", 100), ("orphan", 50)],
+        schema="domain string, n_tokens long",
+    )
+    weights = spark.createDataFrame(
+        [("web", 3.0), ("code", 1.0), ("ghost", 1.0)],
+        schema="domain string, weight double",
+    )
+    out = {r["domain"]: r
+           for r in mixture_budget_plan(counts, weights, 500.0).collect()}
+    # normalizer = 5.0; targets: web 300, code 100, ghost 100
+    web = out["web"]
+    assert web["target_tokens"] == 300.0
+    assert web["rate"] == round(300.0 / 1000.0, 6)
+    assert web["expected_tokens"] == 300.0
+    assert web["capped"] is False and web["shortfall"] == 0.0
+    code = out["code"]
+    assert code["rate"] == 1.0 and code["capped"] is False  # exact fit
+    ghost = out["ghost"]                      # declared, no corpus
+    assert ghost["n_tokens"] == 0
+    assert ghost["rate"] == 0.0
+    assert ghost["shortfall"] == 100.0 and ghost["capped"] is True
+    orphan = out["orphan"]                    # corpus, not in the mix
+    assert orphan["weight"] == 0.0
+    assert orphan["rate"] == 0.0 and orphan["expected_tokens"] == 0.0
+
+
+def test_mixture_budget_plan_capped_when_budget_exceeds_corpus(spark):
+    from access_log_parser_spark.operators.sampling import (
+        mixture_budget_plan,
+    )
+
+    counts = spark.createDataFrame(
+        [("a", 10)], schema="domain string, n_tokens long"
+    )
+    weights = spark.createDataFrame(
+        [("a", 1.0)], schema="domain string, weight double"
+    )
+    r = mixture_budget_plan(counts, weights, 100.0).collect()[0]
+    assert r["rate"] == 1.0
+    assert r["expected_tokens"] == 10.0
+    assert r["shortfall"] == 90.0
+    assert r["capped"] is True
