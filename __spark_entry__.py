@@ -3531,6 +3531,190 @@ def _q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(_docs_par(spark, sf_dir))
 
 
+def _q_label_prop_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (graph.label_propagation) over
+    the same 20-host graph as pagerank_hosts, symmetrized; three seed
+    hosts (h0=good, h7=spam, h13=news) clamp their labels and spread to
+    majority-labeled neighbors for 2 rounds. The oracle unrolls the
+    rounds as count/argmax CTEs with the same min-label tiebreak."""
+    from access_log_parser_spark.operators.graph import label_propagation
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+        .alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+        ).alias("dst"),
+    )
+    seeds = spark.createDataFrame(
+        [("h0", "good"), ("h7", "spam"), ("h13", "news")],
+        schema="node string, label string",
+    )
+    return label_propagation(edges, seeds, iterations=2)
+
+
+def _q_redirect_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution (webtext.redirect_resolve): a 400-URL
+    redirect map with terminal pages every 5th URL, descending chains
+    between them (up to 4 hops), and self-loops at doc_id %% 97 == 13 —
+    exercising resolved chains, hop exhaustion, and loops at max_hops=4.
+    The oracle unrolls the LEFT-join hops."""
+    from access_log_parser_spark.operators.webtext import redirect_resolve
+
+    d = F.col("doc_id")
+    redirects = (
+        _docs_par(spark, sf_dir)
+        .filter(d < 400)
+        .select(
+            F.concat(F.lit("u"), d.cast("string")).alias("url"),
+            F.when(
+                d % 97 == 13, F.concat(F.lit("u"), d.cast("string"))
+            )
+            .when(d % 5 == 0, F.concat(F.lit("f"), d.cast("string")))
+            .otherwise(F.concat(F.lit("u"), (d - 1).cast("string")))
+            .alias("target"),
+        )
+    )
+    return redirect_resolve(redirects, max_hops=4)
+
+
+def _q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization + control strip + whitespace collapse
+    (webtext.normalize_text, the repo's one sanctioned pandas-UDF text
+    stage — NFC has no JVM builtin). Every document gets a deterministic
+    suffix containing decomposed accents (e+U+0301, A+U+030A), a BEL
+    control char, and double spaces, so the oracle's nfc_normalize +
+    regexp chain must reproduce real normalization work, not identity."""
+    from access_log_parser_spark.operators.webtext import normalize_text
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500).select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" Cafe\u0301  x\x07y  A\u030ab"),
+        ).alias("text"),
+    )
+    return normalize_text(docs)
+
+
+def _q_url_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL template mining / crawler-trap detection
+    (webtext.url_template_mining): 600 URLs over 7 hosts and 3 path
+    shapes — numeric ids (/post/<id>/view), 32-hex ids (/s/<md5>/x),
+    and a static /about — so the hex-then-digit placeholder rewrite,
+    the per-(host,template) distinct counts, and the trap threshold all
+    carry signal."""
+    from access_log_parser_spark.operators.webtext import (
+        url_template_mining,
+    )
+
+    d = F.col("doc_id")
+    urls = (
+        _docs_par(spark, sf_dir)
+        .filter(d < 600)
+        .select(
+            F.concat(
+                F.lit("https://h"),
+                (d % 7).cast("string"),
+                F.lit(".example"),
+                F.when(
+                    d % 3 == 0,
+                    F.concat(
+                        F.lit("/post/"), d.cast("string"), F.lit("/view")
+                    ),
+                )
+                .when(
+                    d % 3 == 1,
+                    F.concat(
+                        F.lit("/s/"),
+                        F.md5(
+                            F.concat(F.lit("x"), d.cast("string"))
+                            .cast("binary")
+                        ),
+                        F.lit("/x"),
+                    ),
+                )
+                .otherwise(F.lit("/about")),
+            ).alias("url")
+        )
+    )
+    return url_template_mining(urls, trap_threshold=25)
+
+
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL crawl snapshot diff (webtext.snapshot_diff): old = docs
+    0-599, new = docs 100-699 with every 10th document's content
+    perturbed — so all four statuses (added/removed/changed/unchanged)
+    appear and the md5 digests replay exactly in the oracle."""
+    from access_log_parser_spark.operators.webtext import snapshot_diff
+
+    d = F.col("doc_id")
+    base = _docs_par(spark, sf_dir)
+    old = base.filter(d < 600).select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary"))
+        .alias("digest"),
+    )
+    new = base.filter((d >= 100) & (d < 700)).select(
+        F.concat(F.lit("u"), d.cast("string")).alias("url"),
+        F.md5(
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.when(d % 10 == 0, F.lit("v2")).otherwise(F.lit("")),
+            ).cast("binary")
+        ).alias("digest"),
+    )
+    return snapshot_diff(old, new)
+
+
+def _q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between snapshots
+    (similarity.centroid_drift): old = vec_id < 250 minus label 3, new =
+    the rest minus label 7, so both one-sided labels exercise the NULL
+    branch; per-label centroid cosine + L2 at 6 dp. The oracle replays
+    the posexplode sum/count mean with generate_subscripts and the
+    pairwise math with list HOFs."""
+    from access_log_parser_spark.operators.similarity import centroid_drift
+
+    emb = _load(spark, sf_dir, "embeddings")
+    old = emb.filter((F.col("vec_id") < 250) & (F.col("label") != 3))
+    new = emb.filter((F.col("vec_id") >= 250) & (F.col("label") != 7))
+    return centroid_drift(old, new).select(
+        F.col("group").cast("int").alias("group"),
+        "n_old", "n_new", "cosine", "l2_dist",
+    )
+
+
+def _q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (multimodal.dhash_media +
+    dhash_near_dup): 300 payloads collapsing onto 60 distinct byte
+    strings, so identical-payload pairs surface at hamming 0 through the
+    banded pigeonhole join. The pixel grids come from the md5 stub
+    (PIL absent), which the oracle replays hex-digit-by-hex-digit, then
+    runs the SAME band/xor/bit_count arithmetic — the full dHash math is
+    oracle-pinned even though the decode is fake."""
+    from access_log_parser_spark.operators.multimodal import (
+        dhash_media,
+        dhash_near_dup,
+    )
+
+    d = F.col("doc_id")
+    payloads = (
+        _docs_par(spark, sf_dir)
+        .filter(d < 300)
+        .select(
+            d.alias("media_id"),
+            F.concat(F.lit("img-"), (d % 60).cast("string"))
+            .cast("binary")
+            .alias("payload"),
+        )
+    )
+    return dhash_near_dup(
+        dhash_media(payloads, "media_id", "payload"), max_hamming=6
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse+route the CLF corpus derived from sf0.001 events,
     enrich per-sink counts — the north_rule pipeline in one DataFrame."""
@@ -3601,6 +3785,13 @@ _GATE_FIRST = [
     "degree_histogram",
     "host_profile",
     "mixture_plan",
+    "label_prop_hosts",
+    "redirect_chains",
+    "text_normalize",
+    "url_templates",
+    "snapshot_diff",
+    "centroid_drift",
+    "image_dhash_dedup",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3681,6 +3872,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram": _q_degree_histogram,
         "host_profile": _q_host_profile,
         "mixture_plan": _q_mixture_plan,
+        "label_prop_hosts": _q_label_prop_hosts,
+        "redirect_chains": _q_redirect_chains,
+        "text_normalize": _q_text_normalize,
+        "url_templates": _q_url_templates,
+        "snapshot_diff": _q_snapshot_diff,
+        "centroid_drift": _q_centroid_drift,
+        "image_dhash_dedup": _q_image_dhash_dedup,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -6758,6 +6956,218 @@ SELECT domain, CAST(tok AS BIGINT) AS n_tokens, wt AS weight,
        ROUND(GREATEST(target - tok, CAST(0.0 AS DOUBLE)), 4) AS shortfall,
        target > tok AS capped
 FROM r
+"""
+
+def _label_prop_oracle(iters: int = 2) -> str:
+    """Unrolled label-propagation CTE chain: per round, a neighbor-label
+    count and a ROW_NUMBER argmax (count DESC, label ASC — the same
+    majority/min-label tiebreak the operator's (-count, label) struct-min
+    encodes), seeds clamped by the anti-join-style NOT IN."""
+    sql = """WITH e0 AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+         'h' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id < 500
+), e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0
+    UNION ALL SELECT dst AS src, src AS dst FROM e0
+  ) sym WHERE src <> dst
+), s AS (
+  SELECT node, MIN(label) AS label
+  FROM (VALUES ('h0','good'), ('h7','spam'), ('h13','news'))
+       AS t(node, label)
+  GROUP BY 1
+), l0 AS (SELECT node, label FROM s)"""
+    prev = "l0"
+    for i in range(1, iters + 1):
+        sql += f""",
+c{i} AS (
+  SELECT e.dst AS node, p.label, COUNT(*) AS c
+  FROM e JOIN {prev} p ON e.src = p.node GROUP BY 1, 2
+), b{i} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}
+  ) r WHERE rn = 1
+), l{i} AS (
+  SELECT node, label FROM s
+  UNION ALL
+  SELECT node, label FROM b{i} WHERE node NOT IN (SELECT node FROM s)
+)"""
+        prev = f"l{i}"
+    sql += f"""
+SELECT l.node, l.label, s.node IS NOT NULL AS is_seed
+FROM {prev} l LEFT JOIN s ON l.node = s.node"""
+    return sql
+
+
+_ORACLE["label_prop_hosts"] = _label_prop_oracle()
+
+_ORACLE["redirect_chains"] = """
+WITH m0 AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+         CASE WHEN doc_id % 97 = 13 THEN 'u' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 5 = 0 THEN 'f' || CAST(doc_id AS VARCHAR)
+              ELSE 'u' || CAST(doc_id - 1 AS VARCHAR) END AS dst
+  FROM documents WHERE doc_id < 400
+), m AS (SELECT src, MIN(dst) AS dst FROM m0 GROUP BY 1),
+r0 AS (SELECT src AS url, dst AS cur, 1 AS hops FROM m),
+r1 AS (SELECT r0.url, COALESCE(m.dst, r0.cur) AS cur,
+              CASE WHEN m.src IS NOT NULL THEN r0.hops + 1
+                   ELSE r0.hops END AS hops
+       FROM r0 LEFT JOIN m ON r0.cur = m.src),
+r2 AS (SELECT r1.url, COALESCE(m.dst, r1.cur) AS cur,
+              CASE WHEN m.src IS NOT NULL THEN r1.hops + 1
+                   ELSE r1.hops END AS hops
+       FROM r1 LEFT JOIN m ON r1.cur = m.src),
+r3 AS (SELECT r2.url, COALESCE(m.dst, r2.cur) AS cur,
+              CASE WHEN m.src IS NOT NULL THEN r2.hops + 1
+                   ELSE r2.hops END AS hops
+       FROM r2 LEFT JOIN m ON r2.cur = m.src)
+SELECT r3.url, r3.cur AS final_url, r3.hops, m.src IS NULL AS resolved
+FROM r3 LEFT JOIN m ON r3.cur = m.src
+"""
+
+_ORACLE["text_normalize"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         COALESCE(text, '') || ' Cafe' || chr(769) || '  x' || chr(7)
+           || 'y  A' || chr(778) || 'b' AS txt
+  FROM documents WHERE doc_id < 500
+), n AS (
+  SELECT doc_id, txt,
+         trim(regexp_replace(regexp_replace(nfc_normalize(txt),
+              '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+              '\s+', ' ', 'g')) AS norm_text
+  FROM t
+)
+SELECT doc_id, norm_text, norm_text <> txt AS changed FROM n
+"""
+
+_ORACLE["url_templates"] = r"""
+WITH u AS (
+  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example' ||
+    CASE WHEN doc_id % 3 = 0
+         THEN '/post/' || CAST(doc_id AS VARCHAR) || '/view'
+         WHEN doc_id % 3 = 1
+         THEN '/s/' || md5('x' || CAST(doc_id AS VARCHAR)) || '/x'
+         ELSE '/about' END AS url
+  FROM documents WHERE doc_id < 600
+), t AS (
+  SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+         regexp_replace(regexp_replace(
+           regexp_replace(
+             regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+             '[?#].*', ''),
+           '[0-9a-f]{8,}', '{H}', 'g'), '[0-9]+', '{N}', 'g') AS template,
+         url
+  FROM u
+), g AS (
+  SELECT host, template, COUNT(*) AS n_urls,
+         COUNT(DISTINCT url) AS n_distinct_urls
+  FROM t GROUP BY 1, 2
+)
+SELECT host, template, CAST(n_urls AS BIGINT) AS n_urls,
+       CAST(n_distinct_urls AS BIGINT) AS n_distinct_urls,
+       (template LIKE '%{N}%' OR template LIKE '%{H}%') AS has_placeholder,
+       ((template LIKE '%{N}%' OR template LIKE '%{H}%')
+        AND n_distinct_urls >= 25) AS trap
+FROM g
+"""
+
+_ORACLE["snapshot_diff"] = """
+WITH o AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         MIN(md5(COALESCE(text, ''))) AS old_digest
+  FROM documents WHERE doc_id < 600 GROUP BY 1
+), n AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         MIN(md5(COALESCE(text, '')
+             || CASE WHEN doc_id % 10 = 0 THEN 'v2' ELSE '' END))
+           AS new_digest
+  FROM documents WHERE doc_id >= 100 AND doc_id < 700 GROUP BY 1
+)
+SELECT COALESCE(o.url, n.url) AS url, o.old_digest, n.new_digest,
+       CASE WHEN o.old_digest IS NULL THEN 'added'
+            WHEN n.new_digest IS NULL THEN 'removed'
+            WHEN o.old_digest <> n.new_digest THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.url = n.url
+"""
+
+_ORACLE["image_dhash_dedup"] = r"""
+WITH p AS (
+  SELECT doc_id AS media_id,
+         'img-' || CAST(doc_id % 60 AS VARCHAR) AS s
+  FROM documents WHERE doc_id < 300
+), hx AS (
+  SELECT media_id, md5(s) || md5(s || chr(1)) || md5(s || chr(2))
+         || md5(s || chr(3)) || md5(s || chr(4)) AS hexs
+  FROM p
+), px AS (
+  SELECT media_id, list_transform(range(72), i ->
+    16 * (strpos('0123456789abcdef', substr(hexs, (2*i + 1)::INT, 1)) - 1)
+       + (strpos('0123456789abcdef', substr(hexs, (2*i + 2)::INT, 1)) - 1))
+    AS g
+  FROM hx
+), b AS (
+  SELECT media_id, list_transform(range(4), b -> CAST(list_sum(
+      list_transform(range(16), j ->
+        CASE WHEN g[(((b*16+j)//8)*9 + ((b*16+j)%8) + 2)::INT]
+                > g[(((b*16+j)//8)*9 + ((b*16+j)%8) + 1)::INT]
+             THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)) AS BIGINT))
+    AS bands
+  FROM px
+), e AS (
+  SELECT media_id, bands, generate_subscripts(bands, 1) AS bi,
+         unnest(bands) AS bv
+  FROM b
+), cand AS (
+  SELECT DISTINCT l.media_id AS id_a, r.media_id AS id_b,
+         l.bands AS ba, r.bands AS bb
+  FROM e l JOIN e r
+    ON l.bi = r.bi AND l.bv = r.bv AND l.media_id < r.media_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+          + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4]))
+         AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(ba[1], bb[1])) + bit_count(xor(ba[2], bb[2]))
+    + bit_count(xor(ba[3], bb[3])) + bit_count(xor(ba[4], bb[4])) <= 6
+"""
+
+_ORACLE["centroid_drift"] = r"""
+WITH o AS (
+  SELECT label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 250 AND label <> 3
+), n AS (
+  SELECT label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id >= 250 AND label <> 7
+), oe AS (
+  SELECT label, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM o
+), ne AS (
+  SELECT label, generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS x FROM n
+), oa AS (SELECT label, dim, SUM(x) AS s, COUNT(*) AS c FROM oe GROUP BY 1,2),
+na AS (SELECT label, dim, SUM(x) AS s, COUNT(*) AS c FROM ne GROUP BY 1,2),
+oc AS (SELECT label, CAST(MAX(c) AS BIGINT) AS n_old,
+              list(s / c ORDER BY dim) AS a FROM oa GROUP BY 1),
+nc AS (SELECT label, CAST(MAX(c) AS BIGINT) AS n_new,
+              list(s / c ORDER BY dim) AS b FROM na GROUP BY 1)
+SELECT CAST(COALESCE(oc.label, nc.label) AS INTEGER) AS "group",
+       oc.n_old, nc.n_new,
+       CASE WHEN oc.label IS NOT NULL AND nc.label IS NOT NULL THEN
+         ROUND(list_dot_product(a, b)
+               / (sqrt(list_dot_product(a, a))
+                  * sqrt(list_dot_product(b, b))), 6)
+       END AS cosine,
+       CASE WHEN oc.label IS NOT NULL AND nc.label IS NOT NULL THEN
+         ROUND(sqrt(list_sum(list_transform(list_zip(a, b),
+                    s -> (s[1] - s[2]) * (s[1] - s[2])))), 6)
+       END AS l2_dist
+FROM oc FULL OUTER JOIN nc ON oc.label = nc.label
 """
 
 _ORACLE["host_profile"] = r"""

@@ -202,6 +202,107 @@ def hits(
         e.unpersist()  # rounds ran eagerly; the result needs only hub/auth
 
 
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    directed: bool = False,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002) over the
+    link graph — how a curation pipeline spreads a SMALL set of manually
+    labeled hosts (spam blocklist entries, known-good news domains) to
+    the millions of unlabeled hosts that link to or are linked from
+    them. The classic web instance is TrustRank-style spam demotion:
+    labels flow along links because linking is an endorsement.
+
+    Semantics (pinned so the DuckDB oracle can replay them exactly):
+
+    - edges are deduped, self-loops dropped; ``directed=False`` (the
+      default) symmetrizes first — endorsement flows both ways.
+    - seed labels are CLAMPED: a seed node keeps its label forever (a
+      node seeded with two labels deterministically keeps the
+      lexicographically smallest).
+    - each round, every non-seed node adjacent to >=1 labeled node takes
+      the MAJORITY label among its labeled neighbors' previous-round
+      labels; ties break to the lexicographically smallest label. Nodes
+      with no labeled neighbor stay unlabeled (absent) this round.
+    - a fixed unrolled ``iterations`` count (labels reach at most
+      ``iterations`` hops from a seed).
+
+    Returns (node, label, is_seed) for nodes labeled by the end.
+
+    Plan at 100 TB: per round, ONE edge-keyed shuffle (the neighbor-label
+    join) + two node-keyed aggregates; label tables are node-sized
+    (host-level: millions of rows, not the corpus). Same per-round
+    lineage-cut discipline as :func:`pagerank` — localCheckpoint by
+    default, reliable ``checkpoint_dir`` on a real cluster."""
+    cut = _round_cut(checkpoint_dir)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if not directed:
+        e = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+    e = e.filter(F.col("src") != F.col("dst")).distinct().cache()
+    s = (
+        seeds.select(
+            F.col(node_col).alias("node"), F.col(label_col).alias("label")
+        )
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    ).cache()
+    try:
+        labels = cut(s)
+        for _ in range(iterations):
+            nbr = (
+                e.join(
+                    labels.select(
+                        F.col("node").alias("_ln"), F.col("label")
+                    ),
+                    e["src"] == F.col("_ln"),
+                )
+                .select(F.col("dst").alias("node"), "label")
+            )
+            cnt = nbr.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            # majority with min-label tiebreak, no sort: min of
+            # (-count, label) structs picks the largest count and, on
+            # ties, the lexicographically smallest label
+            best = (
+                cnt.groupBy("node")
+                .agg(
+                    F.min(
+                        F.struct(
+                            (-F.col("c")).alias("neg_c"),
+                            F.col("label").alias("label"),
+                        )
+                    ).alias("b")
+                )
+                .select("node", F.col("b.label").alias("label"))
+            )
+            labels = cut(
+                s.unionByName(
+                    best.join(s.select("node"), "node", "left_anti")
+                )
+            )
+        return labels.join(
+            s.select("node", F.lit(True).alias("is_seed")), "node", "left"
+        ).select(
+            "node", "label",
+            F.coalesce(F.col("is_seed"), F.lit(False)).alias("is_seed"),
+        )
+    finally:
+        e.unpersist()
+        s.unpersist()
+
+
 def degree_histogram(edges: DataFrame) -> DataFrame:
     """Log2-binned in/out-degree distribution of the link graph — the
     standard first look at a crawled webgraph (degree distributions are

@@ -293,3 +293,171 @@ def frame_sample_plan(df: DataFrame, id_col: str, bin_col: str, every_n: int = 1
     return df.select(
         F.col(id_col).alias("media_id"), F.explode(frames).alias("frame_idx")
     )
+
+
+# ---------------------------------------------------------------- dHash
+# 9x8 grayscale grid -> 64-bit difference hash (dHash, the standard
+# cheap perceptual image fingerprint: bit (r, c) = grid[r][c+1] >
+# grid[r][c]; near-duplicate images differ in a few bits). The GRID
+# comes from the decode stage (PIL when importable, an md5-derived
+# deterministic fake otherwise — same gating as decode_media); the hash
+# and the near-dup join are pure Catalyst expressions so the hot path
+# stays JVM-side and the DuckDB oracle can replay the fake end-to-end.
+DHASH_W, DHASH_H = 9, 8
+
+GRID_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("pixels", ArrayType(IntegerType())),
+    ]
+)
+
+
+def _gray_grid_one(raw: bytes) -> list[int]:
+    """9x8 grayscale thumbnail as 72 ints (row-major). PIL decodes for
+    real when present; otherwise pixels are the first 72 bytes of the
+    chained digest stream md5(raw) || md5(raw+0x01) || ... — fully
+    deterministic and replayable in SQL (the oracle parses the same hex
+    pairs), so the downstream dHash math is tested for real even where
+    the decode is fake."""
+    if _PIL_Image is not None:
+        try:
+            with _PIL_Image.open(_io.BytesIO(raw)) as im:
+                return list(
+                    im.convert("L").resize((DHASH_W, DHASH_H)).getdata()
+                )
+        except Exception:
+            pass  # non-image payload: fall through to the stub
+    need = DHASH_W * DHASH_H
+    stream = b""
+    i = 0
+    while len(stream) < need:
+        salted = raw if i == 0 else raw + bytes([i])
+        stream += hashlib.md5(salted).digest()
+        i += 1
+    return [int(b) for b in stream[:need]]
+
+
+def gray_grid(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Arrow-batched grayscale-grid decode: (media_id, pixels[72])."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, px = [], []
+            for mid, data in zip(pdf[id_col], pdf[bin_col]):
+                ids.append(int(mid))
+                px.append(_gray_grid_one(bytes(data)))
+            yield pd.DataFrame({"media_id": ids, "pixels": px})
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        run, GRID_SCHEMA
+    )
+
+
+def dhash_bands(pixels_col) -> F.Column:
+    """64-bit dHash packed as FOUR 16-bit band ints (array<long>, band b
+    holds bits 16b..16b+15) — the banded form the pigeonhole near-dup
+    join needs anyway, and it sidesteps signed-64 overflow at bit 63.
+    Bit k (k = r*8 + c) is set when grid[r][c+1] > grid[r][c]; the whole
+    hash is ONE unrolled Catalyst expression (64 comparisons), no
+    Python."""
+    p = pixels_col
+
+    def bit(r: int, c: int) -> F.Column:
+        # element_at is 1-based; row stride is DHASH_W (9)
+        return (
+            F.element_at(p, r * DHASH_W + c + 2)
+            > F.element_at(p, r * DHASH_W + c + 1)
+        ).cast("long")
+
+    bands = []
+    for b in range(4):
+        acc = F.lit(0).cast("long")
+        for j in range(16):
+            k = b * 16 + j
+            r, c = divmod(k, 8)
+            acc = acc + bit(r, c) * F.lit(1 << j).cast("long")
+        bands.append(acc)
+    return F.array(*bands)
+
+
+def dhash_media(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """binary -> (media_id, bands array<long>[4], dhash_hex): the
+    perceptual fingerprint stage. dhash_hex is the conventional 16-hex
+    rendering (band 3 = most significant)."""
+    g = gray_grid(df, id_col, bin_col)
+    withb = g.select("media_id", dhash_bands(F.col("pixels")).alias("bands"))
+    hexed = F.concat(
+        *[
+            F.lpad(F.hex(F.element_at(F.col("bands"), i)), 4, "0")
+            for i in (4, 3, 2, 1)
+        ]
+    )
+    return withb.select(
+        "media_id", "bands", F.lower(hexed).alias("dhash_hex")
+    )
+
+
+def dhash_near_dup(
+    hashes: DataFrame, max_hamming: int = 6, id_col: str = "media_id"
+) -> DataFrame:
+    """Near-duplicate image pairs by dHash Hamming distance, via the
+    pigeonhole band join (the same shape as the SimHash pigeonhole in
+    dedup.py): candidates must agree EXACTLY on at least one of the 4
+    16-bit bands. By pigeonhole this is GUARANTEED complete for
+    max_hamming <= 3 (4 bands can't each hold a differing bit); for the
+    default 6 it misses only pairs whose differing bits touch all four
+    bands — the standard recall/cost trade of banded LSH, identical to
+    the text SimHash path's contract.
+
+    Candidates = exact match on (band_idx, band_value) — an equi-join on
+    the exploded band table, NEVER an all-pairs product; verification =
+    summed bit_count(xor) over the 4 bands, a pure expression.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, deduped.
+
+    Plan at 100 TB: one explode (4x), one band-keyed exchange for the
+    self-join, distinct on the bounded candidate set, expression-only
+    verify — the same cost envelope as the text SimHash path."""
+    b = hashes.select(
+        F.col(id_col).alias("id"),
+        F.col("bands"),
+        F.posexplode("bands").alias("band_idx", "band_val"),
+    )
+    left = b.select(
+        F.col("id").alias("id_a"),
+        F.col("bands").alias("ba"),
+        "band_idx",
+        "band_val",
+    )
+    right = b.select(
+        F.col("id").alias("id_b"),
+        F.col("bands").alias("bb"),
+        "band_idx",
+        "band_val",
+    )
+    cand = (
+        left.join(right, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ba", "bb")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(
+            F.element_at("ba", 1).bitwiseXOR(F.element_at("bb", 1))
+        )
+        + F.bit_count(
+            F.element_at("ba", 2).bitwiseXOR(F.element_at("bb", 2))
+        )
+        + F.bit_count(
+            F.element_at("ba", 3).bitwiseXOR(F.element_at("bb", 3))
+        )
+        + F.bit_count(
+            F.element_at("ba", 4).bitwiseXOR(F.element_at("bb", 4))
+        )
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

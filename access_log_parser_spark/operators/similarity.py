@@ -435,3 +435,112 @@ def select_centroids_by_hash(
         .collect()
     )
     return [(int(r["id"]), [float(x) for x in r["v"]]) for r in rows]
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding centroid (mean vector) — the building block
+    of embedding-space corpus monitoring (is this month's crawl drifting
+    away from last month's in representation space?) and of k-means-
+    style assignment refresh.
+
+    The scalable vector mean: posexplode to (group, dim, x), ONE
+    (group, dim)-keyed sum/count aggregate (map-side combined — the
+    shuffle carries |groups| x dim rows, not the corpus), then
+    reassemble each centroid by sorting the per-dim means into an array.
+    The per-group collect_list is bounded by the embedding
+    dimensionality (64 here; 4k at production scale — still one row's
+    worth), NOT by the corpus.
+
+    Returns (group, n_vectors, centroid: array<double>)."""
+    ex = df.select(
+        F.col(group_col).alias("group"),
+        F.posexplode(F.col(vec_col)).alias("dim", "x"),
+    )
+    agg = ex.groupBy("group", "dim").agg(
+        F.sum(F.col("x").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        agg.groupBy("group")
+        .agg(
+            F.max("n").cast("long").alias("n_vectors"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim").alias("dim"),
+                        (F.col("s") / F.col("n")).alias("m"),
+                    )
+                )
+            ).alias("_pairs"),
+        )
+        .select(
+            "group",
+            "n_vectors",
+            F.transform(F.col("_pairs"), lambda p: p["m"]).alias("centroid"),
+        )
+    )
+
+
+def centroid_drift(
+    old: DataFrame,
+    new: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space drift between two corpus snapshots: per group,
+    the cosine similarity and L2 distance between the old and new
+    centroids — the representation-space counterpart of the token-level
+    KL drift in text_quality.snapshot_drift (a label whose centroid
+    moved is a topic whose CONTENT changed even if its volume didn't).
+
+    Groups present in only one snapshot are reported with NULL metrics
+    (full outer join) — appearance/disappearance is itself drift.
+
+    Returns (group, n_old, n_new, cosine 6dp, l2_dist 6dp). Rounding at
+    the end absorbs summation-order float drift across engines.
+
+    Plan at 100 TB: two (group, dim) aggregates (each ONE exchange over
+    dim-exploded rows with map-side combine) + a group-keyed join of two
+    dimension-sized centroid tables; the pairwise math is a within-row
+    zip_with/aggregate expression chain — no further shuffle."""
+    co = embedding_centroids(old, group_col, vec_col).select(
+        "group",
+        F.col("n_vectors").alias("n_old"),
+        F.col("centroid").alias("_a"),
+    )
+    cn = embedding_centroids(new, group_col, vec_col).select(
+        "group",
+        F.col("n_vectors").alias("n_new"),
+        F.col("centroid").alias("_b"),
+    )
+    j = co.join(cn, "group", "full_outer")
+    dot = F.aggregate(
+        F.zip_with(F.col("_a"), F.col("_b"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.col(c), F.lit(0.0), lambda acc, v: acc + v * v
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_a"), F.col("_b"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    both = F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    return j.select(
+        "group",
+        "n_old",
+        "n_new",
+        F.when(both, F.round(dot / (F.sqrt(sq("_a")) * F.sqrt(sq("_b"))), 6))
+        .alias("cosine"),
+        F.when(both, F.round(l2, 6)).alias("l2_dist"),
+    )

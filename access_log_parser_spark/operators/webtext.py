@@ -1785,3 +1785,236 @@ def host_profile(
         F.round(F.col("_top_n") / F.col("n_docs"), 6)
         .alias("top_lang_frac"),
     )
+
+
+# Control characters C0 (minus \t\n\r) + DEL — the bytes a text corpus
+# should never contain after decode; the class is cross-engine-safe
+# (Java regex and RE2/DuckDB read \xNN identically).
+CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def _nfc_udf():
+    """Arrow-batched NFC normalizer. Unicode normalization has NO JVM
+    builtin in Spark SQL, so this is one of the repo's few sanctioned
+    Python stages — a vectorized pandas UDF (Arrow batch transfer), the
+    same contract as the decode engine, never a row-at-a-time UDF.
+
+    The hints are real types (not the module's postponed-annotation
+    strings): with ``from __future__ import annotations`` in force,
+    string hints referencing a function-local import do not resolve in
+    PySpark's type-hint inference, so the signature is attached
+    explicitly via ``__annotations__``."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    _nfc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_nfc, "string")
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "norm_text",
+) -> DataFrame:
+    """Unicode text normalization — the cleanup pass a multilingual web
+    corpus runs before ANY digest-keyed dedup (NFC: 'é' composed and
+    'e'+U+0301 decomposed are the SAME text but different bytes, so
+    unnormalized corpora under-dedup) and before tokenization (control
+    characters and run-on whitespace inflate token counts).
+
+    Pipeline, in order: NFC canonical composition (Arrow-batched pandas
+    UDF — no JVM builtin exists), C0/DEL control-character strip
+    (``CTRL_RE``; \\t \\n \\r survive into the whitespace collapse),
+    ASCII-whitespace collapse to single spaces, trim. NULL text stays
+    NULL. Returns (id, out_col, changed) where ``changed`` marks rows
+    the normalization actually rewrote.
+
+    Plan at 100 TB: one projection — the UDF is the only Python stage
+    and it is Arrow-batched; everything after it is JVM regexp. No
+    shuffle, no join; partition count is inherited, so repartition
+    upstream when feeding from a one-row-group file (see CLAUDE.md)."""
+    nfc = _nfc_udf()
+    raw = F.col(text_col)
+    norm = F.when(
+        raw.isNotNull(),
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(nfc(raw), CTRL_RE, ""), r"\s+", " "
+            )
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        norm.alias(out_col),
+        (raw.isNotNull() & (norm != raw)).alias("changed"),
+    )
+
+
+def redirect_resolve(
+    redirects: DataFrame,
+    url_col: str = "url",
+    target_col: str = "target",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Resolve HTTP redirect chains to their final destination — the
+    canonicalization a crawl frontier runs so that a page reached via
+    three hops of 301s dedups against its direct fetch (Common Crawl
+    ships these as WARC ``response``/``revisit`` redirect records; the
+    frontier must collapse them before URL-keyed dedup).
+
+    Input: one (url, target) row per redirecting URL (a URL with
+    multiple recorded targets deterministically keeps the
+    lexicographically smallest). Each of the ``max_hops - 1`` unrolled
+    rounds follows one more hop via a LEFT equi-join against the
+    redirect map; URLs whose chain ends keep their final target.
+    Returns (url, final_url, hops, resolved) — ``resolved=False`` means
+    the chain was still pointing at another redirect after ``max_hops``
+    (a longer chain or a loop; crawlers treat both as dead).
+
+    Plan at 100 TB: the redirect map is edge-sized (a small fraction of
+    the corpus); each hop is ONE equi-join on the current target —
+    key-partitioned shuffle, broadcastable when the map fits. The unroll
+    count is fixed, so the whole resolution is ONE lazy plan (real
+    crawlers cap redirect chains at ~5 hops anyway — RFC 9110 suggests
+    5 as the historical limit)."""
+    m = (
+        redirects.select(
+            F.col(url_col).alias("_m_src"), F.col(target_col).alias("_m_dst")
+        )
+        .groupBy("_m_src")
+        .agg(F.min("_m_dst").alias("_m_dst"))
+    )
+    r = m.select(
+        F.col("_m_src").alias("url"),
+        F.col("_m_dst").alias("cur"),
+        F.lit(1).alias("hops"),
+    )
+    for i in range(max_hops - 1):
+        mi = m.select(
+            F.col("_m_src").alias(f"_s{i}"), F.col("_m_dst").alias(f"_d{i}")
+        )
+        r = r.join(mi, r["cur"] == mi[f"_s{i}"], "left").select(
+            "url",
+            F.coalesce(F.col(f"_d{i}"), F.col("cur")).alias("cur"),
+            F.when(F.col(f"_d{i}").isNotNull(), F.col("hops") + 1)
+            .otherwise(F.col("hops"))
+            .alias("hops"),
+        )
+    probe = m.select(
+        F.col("_m_src").alias("_p_src"), F.lit(True).alias("_again")
+    )
+    return r.join(probe, r["cur"] == F.col("_p_src"), "left").select(
+        "url",
+        F.col("cur").alias("final_url"),
+        "hops",
+        F.col("_again").isNull().alias("resolved"),
+    )
+
+
+def url_template_mining(
+    df: DataFrame,
+    url_col: str = "url",
+    trap_threshold: int = 100,
+) -> DataFrame:
+    """URL template mining — crawler-trap detection. Calendars, session
+    ids, and faceted search generate UNBOUNDED URL spaces under one path
+    template (``/2024/05/17/``, ``/item/8f3a.../``); a frontier that
+    doesn't collapse them spends its whole budget inside one host. The
+    standard defense: rewrite variable path segments to placeholders and
+    count URLs per (host, template) — a template with a huge URL count
+    and a placeholder is a trap candidate.
+
+    Template: the URL path (scheme/authority stripped, query+fragment
+    dropped) with runs of >=8 hex chars rewritten to ``{H}`` (ids,
+    digests, session tokens — applied first so digit-only ids don't
+    split) then digit runs to ``{N}``. Returns one row per (host,
+    template): ``n_urls``, ``n_distinct_urls``, ``has_placeholder``, and
+    ``trap`` = has_placeholder AND n_distinct_urls >= trap_threshold.
+
+    Plan at 100 TB: one projection + ONE (host, template)-keyed
+    aggregate with map-side combine (distinct via count_distinct on the
+    normalized url — Spark plans it as the standard two-phase expand);
+    output is template-dimension-sized, not corpus-sized."""
+    u = F.col(url_col)
+    path = F.regexp_replace(
+        F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*", ""),
+        r"[?#].*", "",
+    )
+    tmpl = F.regexp_replace(
+        F.regexp_replace(path, "[0-9a-f]{8,}", "{H}"), "[0-9]+", "{N}"
+    )
+    return (
+        df.select(
+            host_of(u).alias("host"), tmpl.alias("template"), u.alias("_u")
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.count_distinct(F.col("_u")).cast("long")
+            .alias("n_distinct_urls"),
+        )
+        .select(
+            "host",
+            "template",
+            "n_urls",
+            "n_distinct_urls",
+            (
+                F.col("template").contains("{N}")
+                | F.col("template").contains("{H}")
+            ).alias("has_placeholder"),
+        )
+        .withColumn(
+            "trap",
+            F.col("has_placeholder")
+            & (F.col("n_distinct_urls") >= F.lit(int(trap_threshold))),
+        )
+    )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Per-URL crawl snapshot diff — the change ledger two crawl
+    snapshots produce (what :func:`change_rate` consumes as history and
+    cross-snapshot dedup consumes as the novelty set): FULL OUTER join
+    on URL, classify each as ``added`` (new only), ``removed`` (old
+    only), ``changed`` (both, digest differs), ``unchanged``. A URL
+    appearing multiple times within one snapshot deterministically keeps
+    its lexicographically smallest digest.
+
+    Returns (url, old_digest, new_digest, status).
+
+    Plan at 100 TB: two URL-keyed pre-aggregations (map-side combined)
+    + ONE full-outer sort-merge join on the URL key — both sides arrive
+    already partitioned by the join key from their groupBys, so AQE
+    plans no extra exchange."""
+    o = (
+        old.select(F.col(url_col).alias("url"),
+                   F.col(digest_col).alias("_d"))
+        .groupBy("url").agg(F.min("_d").alias("old_digest"))
+    )
+    n = (
+        new.select(F.col(url_col).alias("url"),
+                   F.col(digest_col).alias("_d"))
+        .groupBy("url").agg(F.min("_d").alias("new_digest"))
+    )
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select("url", "old_digest", "new_digest",
+                    status.alias("status"))

@@ -779,3 +779,290 @@ def test_mixture_budget_plan_capped_when_budget_exceeds_corpus(spark):
     assert r["expected_tokens"] == 10.0
     assert r["shortfall"] == 90.0
     assert r["capped"] is True
+
+
+# ------------------------------------------------- label propagation
+def test_label_propagation_majority_and_clamp(spark):
+    from access_log_parser_spark.operators.graph import label_propagation
+
+    # path a - b - c; seeds: a=spam. Undirected: round1 labels b,
+    # round2 labels c. Seed a stays spam even though b's label would
+    # "flow back".
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], schema="src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("a", "spam")], schema="node string, label string"
+    )
+    out = {r["node"]: r for r in
+           label_propagation(edges, seeds, iterations=2).collect()}
+    assert out["a"]["label"] == "spam" and out["a"]["is_seed"] is True
+    assert out["b"]["label"] == "spam" and out["b"]["is_seed"] is False
+    assert out["c"]["label"] == "spam"
+    # one round only reaches b, not c
+    one = {r["node"] for r in
+           label_propagation(edges, seeds, iterations=1).collect()}
+    assert one == {"a", "b"}
+
+
+def test_label_propagation_tiebreak_and_majority(spark):
+    from access_log_parser_spark.operators.graph import label_propagation
+
+    # x has neighbors s1(bad), s2(good) -> 1-1 tie -> lexicographically
+    # smaller label 'bad' wins; y has neighbors s2, s3 (both good) plus
+    # s1 (bad) -> majority good
+    edges = spark.createDataFrame(
+        [("s1", "x"), ("s2", "x"), ("s1", "y"), ("s2", "y"), ("s3", "y")],
+        schema="src string, dst string",
+    )
+    seeds = spark.createDataFrame(
+        [("s1", "bad"), ("s2", "good"), ("s3", "good")],
+        schema="node string, label string",
+    )
+    out = {r["node"]: r["label"] for r in
+           label_propagation(edges, seeds, iterations=1).collect()}
+    assert out["x"] == "bad"      # tie -> min label
+    assert out["y"] == "good"     # 2-1 majority
+
+
+def test_label_propagation_directed_and_dup_seed(spark):
+    from access_log_parser_spark.operators.graph import label_propagation
+
+    # directed a->b: label flows a->b only; seed node with two labels
+    # deterministically keeps the smaller one
+    edges = spark.createDataFrame(
+        [("a", "b")], schema="src string, dst string"
+    )
+    seeds = spark.createDataFrame(
+        [("b", "zeta"), ("b", "alpha")], schema="node string, label string"
+    )
+    out = {r["node"]: r["label"] for r in label_propagation(
+        edges, seeds, iterations=2, directed=True).collect()}
+    assert out == {"b": "alpha"}  # nothing flows upstream to a
+    out2 = {r["node"]: r["label"] for r in label_propagation(
+        edges, seeds, iterations=2, directed=False).collect()}
+    assert out2 == {"a": "alpha", "b": "alpha"}
+
+
+# ------------------------------------------------- redirect resolution
+def test_redirect_resolve_chain_loop_exhaustion(spark):
+    from access_log_parser_spark.operators.webtext import redirect_resolve
+
+    redirects = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "final"),   # 3-hop chain
+            ("self", "self"),                          # loop
+            ("p", "q"), ("q", "p"),                    # 2-cycle
+            ("deep1", "deep2"), ("deep2", "deep3"),
+            ("deep3", "deep4"), ("deep4", "deep5"),
+            ("deep5", "done"),                         # 5 hops > max 4
+        ],
+        schema="url string, target string",
+    )
+    out = {r["url"]: r for r in
+           redirect_resolve(redirects, max_hops=4).collect()}
+    assert out["a"]["final_url"] == "final"
+    assert out["a"]["hops"] == 3 and out["a"]["resolved"] is True
+    assert out["c"]["hops"] == 1 and out["c"]["resolved"] is True
+    assert out["self"]["resolved"] is False and out["self"]["hops"] == 4
+    assert out["p"]["resolved"] is False
+    # deep1 follows 4 hops to deep5, which still redirects -> unresolved
+    assert out["deep1"]["final_url"] == "deep5"
+    assert out["deep1"]["resolved"] is False
+    assert out["deep2"]["final_url"] == "done"
+    assert out["deep2"]["resolved"] is True and out["deep2"]["hops"] == 4
+
+
+def test_redirect_resolve_multi_target_min(spark):
+    from access_log_parser_spark.operators.webtext import redirect_resolve
+
+    redirects = spark.createDataFrame(
+        [("u", "zzz"), ("u", "aaa")], schema="url string, target string"
+    )
+    r = redirect_resolve(redirects, max_hops=3).collect()
+    assert len(r) == 1
+    assert r[0]["final_url"] == "aaa"  # lexicographically smallest target
+
+
+# ------------------------------------------------- text normalization
+def test_normalize_text_nfc_ctrl_ws(spark):
+    from access_log_parser_spark.operators.webtext import normalize_text
+    import unicodedata
+
+    df = spark.createDataFrame(
+        [
+            (1, "Cafe\u0301  du\x07o\tx"),   # NFC + ctrl strip + collapse
+            (2, "already clean"),
+            (3, None),
+            (4, "  pad  "),
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in normalize_text(df).collect()}
+    assert out[1]["norm_text"] == "Caf\u00e9 duo x"
+    assert unicodedata.is_normalized("NFC", out[1]["norm_text"])
+    assert out[1]["changed"] is True
+    assert out[2]["norm_text"] == "already clean"
+    assert out[2]["changed"] is False
+    assert out[3]["norm_text"] is None and out[3]["changed"] is False
+    assert out[4]["norm_text"] == "pad" and out[4]["changed"] is True
+
+
+# ------------------------------------------------- URL template mining
+def test_url_template_mining_placeholders_and_trap(spark):
+    from access_log_parser_spark.operators.webtext import (
+        url_template_mining,
+    )
+
+    rows = (
+        [(f"https://h.example/post/{i}/view",) for i in range(30)]
+        + [("https://h.example/s/deadbeefcafe1234/x",)]
+        + [("https://h.example/about",)] * 3      # dup urls, no placeholder
+        + [("https://h.example/v2024/short/7x",)]  # digits inside segments
+    )
+    out = {(r["host"], r["template"]): r for r in url_template_mining(
+        spark.createDataFrame(rows, schema="url string"), trap_threshold=30
+    ).collect()}
+    post = out[("h.example", "/post/{N}/view")]
+    assert post["n_urls"] == 30 and post["n_distinct_urls"] == 30
+    assert post["has_placeholder"] is True and post["trap"] is True
+    hexed = out[("h.example", "/s/{H}/x")]
+    assert hexed["trap"] is False          # below threshold
+    about = out[("h.example", "/about")]
+    assert about["n_urls"] == 3 and about["n_distinct_urls"] == 1
+    assert about["has_placeholder"] is False and about["trap"] is False
+    assert ("h.example", "/v{N}/short/{N}x") in out
+
+
+# ------------------------------------------------- snapshot diff
+def test_snapshot_diff_statuses_and_dup_min(spark):
+    from access_log_parser_spark.operators.webtext import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "d2"), ("u3", "d3"),
+         ("u3", "d0")],                     # dup url -> min digest d0
+        schema="url string, digest string",
+    )
+    new = spark.createDataFrame(
+        [("u1", "d1"), ("u2", "dX"), ("u4", "d4")],
+        schema="url string, digest string",
+    )
+    out = {r["url"]: r for r in snapshot_diff(old, new).collect()}
+    assert out["u1"]["status"] == "unchanged"
+    assert out["u2"]["status"] == "changed"
+    assert out["u3"]["status"] == "removed" and out["u3"]["old_digest"] == "d0"
+    assert out["u4"]["status"] == "added" and out["u4"]["old_digest"] is None
+
+
+# ------------------------------------------------- embedding centroids
+def test_embedding_centroids_mean_and_order(spark):
+    from access_log_parser_spark.operators.similarity import (
+        embedding_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0, 10.0]), ("a", [3.0, 6.0, 20.0]),
+         ("b", [5.0, 5.0, 5.0])],
+        schema="label string, embedding array<double>",
+    )
+    out = {r["group"]: r for r in embedding_centroids(df).collect()}
+    assert out["a"]["n_vectors"] == 2
+    assert out["a"]["centroid"] == [2.0, 4.0, 15.0]  # dim order preserved
+    assert out["b"]["centroid"] == [5.0, 5.0, 5.0]
+
+
+def test_centroid_drift_metrics_and_one_sided_groups(spark):
+    import math
+
+    from access_log_parser_spark.operators.similarity import centroid_drift
+
+    old = spark.createDataFrame(
+        [("g1", [1.0, 0.0]), ("g1", [1.0, 0.0]), ("gone", [2.0, 2.0])],
+        schema="label string, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [("g1", [0.0, 1.0]), ("fresh", [3.0, 3.0])],
+        schema="label string, embedding array<double>",
+    )
+    out = {r["group"]: r for r in centroid_drift(old, new).collect()}
+    g1 = out["g1"]
+    assert g1["n_old"] == 2 and g1["n_new"] == 1
+    assert g1["cosine"] == 0.0                      # orthogonal centroids
+    assert g1["l2_dist"] == round(math.sqrt(2.0), 6)
+    assert out["gone"]["n_new"] is None and out["gone"]["cosine"] is None
+    assert out["fresh"]["n_old"] is None and out["fresh"]["l2_dist"] is None
+
+
+# ------------------------------------------------- image dHash near-dup
+def test_dhash_media_stub_is_deterministic_and_hex_renders(spark):
+    import hashlib
+
+    from access_log_parser_spark.operators.multimodal import dhash_media
+
+    df = spark.createDataFrame(
+        [(1, b"img-A"), (2, b"img-A"), (3, b"img-B")],
+        schema="media_id long, payload binary",
+    )
+    out = {r["media_id"]: r for r in
+           dhash_media(df, "media_id", "payload").collect()}
+    # identical payloads -> identical hashes; distinct -> different
+    assert out[1]["bands"] == out[2]["bands"]
+    assert out[1]["dhash_hex"] == out[2]["dhash_hex"]
+    assert out[1]["bands"] != out[3]["bands"]
+    assert len(out[1]["dhash_hex"]) == 16
+    # pin against an independent pure-python replay of the stub
+    raw = b"img-A"
+    stream = hashlib.md5(raw).digest() + hashlib.md5(raw + b"\x01").digest()
+    stream += hashlib.md5(raw + b"\x02").digest()
+    stream += hashlib.md5(raw + b"\x03").digest()
+    stream += hashlib.md5(raw + b"\x04").digest()
+    g = list(stream[:72])
+    expect = []
+    for b in range(4):
+        acc = 0
+        for j in range(16):
+            k = b * 16 + j
+            r, c = divmod(k, 8)
+            if g[r * 9 + c + 1] > g[r * 9 + c]:
+                acc |= 1 << j
+        expect.append(acc)
+    assert list(out[1]["bands"]) == expect
+    hexpect = "".join(f"{v:04x}" for v in reversed(expect))
+    assert out[1]["dhash_hex"] == hexpect
+
+
+def test_dhash_near_dup_pairs_and_threshold(spark):
+    from access_log_parser_spark.operators.multimodal import (
+        dhash_media,
+        dhash_near_dup,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"same"), (2, b"same"), (3, b"same"), (4, b"other")],
+        schema="media_id long, payload binary",
+    )
+    h = dhash_media(df, "media_id", "payload")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dhash_near_dup(h, max_hamming=6).collect()}
+    # all 3 identical-payload pairs at hamming 0, ordered id_a < id_b
+    assert pairs[(1, 2)] == 0 and pairs[(1, 3)] == 0 and pairs[(2, 3)] == 0
+    # md5 avalanche: "other" lands far away from "same" (way over 6 bits)
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_dhash_near_dup_catches_small_band_confined_flips(spark):
+    from access_log_parser_spark.operators.multimodal import dhash_near_dup
+
+    # hand-built band rows: b differs from a by 2 bits inside band 1
+    # (caught: bands 2-4 still collide); c differs from a by 2 bits in
+    # EVERY band (missed by pigeonhole: no band collides) — the
+    # documented recall trade
+    hashes = spark.createDataFrame(
+        [(1, [7, 0, 0, 0]), (2, [4, 0, 0, 0]), (3, [6, 1, 1, 1])],
+        schema="media_id long, bands array<long>",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dhash_near_dup(hashes, max_hamming=6).collect()}
+    assert pairs[(1, 2)] == 2
+    assert (1, 3) not in pairs  # differs in all four bands -> no candidate
+    assert (2, 3) not in pairs  # likewise: no band collides

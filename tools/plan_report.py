@@ -280,6 +280,31 @@ SELECTED = [
      "ONE (host, lang) pre-aggregation shrinks the corpus before the "
      "host-keyed rollup, window argmax and join — no second corpus "
      "exchange"),
+    ("mixture_plan", False,
+     "dimension-sized full-outer domain join + the 1-row broadcast "
+     "weight normalizer (the standard scalar pattern)"),
+    ("label_prop_hosts", False,
+     "per-round neighbor-label equi-join + two node-keyed aggregates; "
+     "rounds are lineage-cut (localCheckpoint), so the final plan reads "
+     "from the checkpointed node table — no exponential re-expansion"),
+    ("redirect_chains", False,
+     "unrolled LEFT equi-joins against the edge-sized redirect map — "
+     "broadcastable; one fixed-depth lazy plan, no iteration state"),
+    ("url_templates", False,
+     "one projection + ONE (host, template)-keyed aggregate with "
+     "map-side combine; distinct via the standard two-phase expand"),
+    ("snapshot_diff", False,
+     "two URL-keyed pre-aggregations + one full-outer sort-merge join "
+     "on the already-partitioned key"),
+    ("centroid_drift", False,
+     "posexplode -> (group, dim)-keyed partial+final aggregate (the "
+     "shuffle carries groups x dim rows, not the corpus) + a group-keyed "
+     "join of dimension-sized centroid tables; pairwise math is "
+     "within-row HOFs"),
+    ("image_dhash_dedup", False,
+     "banded pigeonhole equi-join on (band_idx, band_val) — NEVER an "
+     "all-pairs product; hamming verify is expression-only bit_count; "
+     "the only Python is the Arrow-batched grid decode"),
 ]
 
 
