@@ -3715,6 +3715,36 @@ def _q_image_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-copy detection (dedup.containment_pairs): docs < 200 plus
+    planted prefix copies (doc_id + 10000 carries the first half of the
+    original's tokens) — containment ~1.0 where Jaccard would read ~0.5,
+    the case the overlap coefficient exists for. Oracle replays the
+    prefix construction, the normalized shingling, and the inverted-
+    index intersection."""
+    from access_log_parser_spark.operators.dedup import containment_pairs
+
+    base = (
+        _docs_par(spark, sf_dir)
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    t = F.split(F.col("text"), " ")
+    planted = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                t, 1,
+                F.greatest(
+                    F.floor(F.size(t) / 2).cast("int"), F.lit(1)
+                ),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    return containment_pairs(base.unionByName(planted), threshold=0.9)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse+route the CLF corpus derived from sf0.001 events,
     enrich per-sink counts — the north_rule pipeline in one DataFrame."""
@@ -3792,6 +3822,7 @@ _GATE_FIRST = [
     "snapshot_diff",
     "centroid_drift",
     "image_dhash_dedup",
+    "containment_dedup",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3879,6 +3910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": _q_snapshot_diff,
         "centroid_drift": _q_centroid_drift,
         "image_dhash_dedup": _q_image_dhash_dedup,
+        "containment_dedup": _q_containment_dedup,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -7095,6 +7127,36 @@ SELECT COALESCE(o.url, n.url) AS url, o.old_digest, n.new_digest,
             WHEN o.old_digest <> n.new_digest THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM o FULL OUTER JOIN n ON o.url = n.url
+"""
+
+_ORACLE["containment_dedup"] = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 200
+), raw_t AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM base
+), pl AS (
+  SELECT doc_id + 10000 AS doc_id,
+         array_to_string(t[1:GREATEST(len(t)//2, 1)], ' ') AS text
+  FROM raw_t
+), alld AS (
+  SELECT doc_id, text FROM base UNION ALL SELECT doc_id, text FROM pl
+), toks AS (
+  SELECT doc_id, string_split({_NORM_TEXT}, ' ') AS t FROM alld
+), grams AS (
+  SELECT DISTINCT doc_id, concat(t[i], ' ', t[i+1], ' ', t[i+2]) AS g
+  FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 1))) AS u(i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+  ROUND(c / LEAST(sa.n, sb.n), 6) AS overlap
+FROM inter JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(c / LEAST(sa.n, sb.n), 6) >= 0.9
 """
 
 _ORACLE["image_dhash_dedup"] = r"""

@@ -113,6 +113,47 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame, threshold: float = 0.8, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Candidate pairs by shingle overlap COEFFICIENT — the subset-copy
+    detector Jaccard structurally misses: a short document embedded
+    verbatim inside a long one (quoted article + commentary, boilerplate-
+    wrapped copies, truncated mirrors) has Jaccard ~ |A|/|B| (small) but
+    containment ~ 1. Curation pipelines run BOTH: Jaccard for near-equal
+    pairs, containment for subset pairs (Broder 1997 resemblance vs
+    containment).
+
+        overlap(A, B) = |A n B| / min(|A|, |B|)
+
+    Same inverted-shingle-index plan shape as :func:`ngram_jaccard_pairs`
+    (explode distinct shingles -> shingle-keyed self-join -> per-pair
+    count; never an all-pairs product). Returns (id_a, id_b, overlap 6dp)
+    with id_a < id_b, filtered to >= threshold."""
+    sh = df.select(
+        F.col("doc_id"), shingles(F.col(text_col), n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = sh.select("doc_id", "n_sh", F.explode("sh").alias("g"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    common = (
+        a.join(b, on="g")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    ov = F.round(F.col("inter") / F.least(F.col("na"), F.col("nb")), 6)
+    return (
+        common.select("id_a", "id_b", ov.alias("overlap"))
+        .filter(F.col("overlap") >= threshold)
+    )
+
+
 # --- MinHash + LSH ---
 
 def _minhash_py(grams: list[str], k: int = MINHASH_K) -> list[int]:

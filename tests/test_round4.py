@@ -1066,3 +1066,42 @@ def test_dhash_near_dup_catches_small_band_confined_flips(spark):
     assert pairs[(1, 2)] == 2
     assert (1, 3) not in pairs  # differs in all four bands -> no candidate
     assert (2, 3) not in pairs  # likewise: no band collides
+
+
+# ------------------------------------------------- containment dedup
+def test_containment_catches_subset_copies_jaccard_misses(spark):
+    from access_log_parser_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_text = "the quick brown fox jumps over the lazy dog again and again"
+    short_text = "the quick brown fox jumps"       # strict prefix
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "completely different words "
+                                              "about unrelated topics here")],
+        schema="doc_id long, text string",
+    )
+    cont = {(r["id_a"], r["id_b"]): r["overlap"]
+            for r in containment_pairs(df, threshold=0.9).collect()}
+    assert cont[(1, 2)] == 1.0                     # subset -> overlap 1
+    assert (1, 3) not in cont and (2, 3) not in cont
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) not in jac                       # Jaccard misses it
+
+
+def test_containment_threshold_and_ordering(spark):
+    from access_log_parser_spark.operators.dedup import containment_pairs
+
+    # half-overlapping shingle sets -> overlap 0.5 < 0.8 threshold
+    df = spark.createDataFrame(
+        [(10, "a b c d e f"), (20, "c d e f x y")],
+        schema="doc_id long, text string",
+    )
+    assert containment_pairs(df, threshold=0.8).count() == 0
+    got = containment_pairs(df, threshold=0.4).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["id_a"] == 10 and r["id_b"] == 20     # id_a < id_b
+    assert 0.4 <= r["overlap"] < 0.8

@@ -305,6 +305,9 @@ SELECTED = [
      "banded pigeonhole equi-join on (band_idx, band_val) — NEVER an "
      "all-pairs product; hamming verify is expression-only bit_count; "
      "the only Python is the Arrow-batched grid decode"),
+    ("containment_dedup", False,
+     "inverted shingle index self-join on the shingle key (same plan "
+     "shape as ngram_jaccard) — shuffle on shingle, never all-pairs"),
 ]
 
 
