@@ -3745,6 +3745,26 @@ def _q_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(base.unionByName(planted), threshold=0.9)
 
 
+def _q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host politeness gate, batch twin
+    (streaming/ratelimit.rate_limit_batch): fetch requests derived from
+    events spread over 20 hosts, 300 s minimum spacing; greedy semantics
+    (only ALLOWED fetches advance the clock) are window-inexpressible,
+    so the oracle replays the per-host walk as a recursive CTE —
+    the strongest check a sequential operator can get. floor(epoch(ts))
+    matches Spark's truncating long cast on fractional timestamps."""
+    from access_log_parser_spark.streaming.ratelimit import rate_limit_batch
+
+    ev = _load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    reqs = ev.select(
+        F.concat(F.lit("h"), (F.col("user_id") % 20).cast("string"))
+        .alias("host"),
+        F.concat(F.lit("u"), F.col("event_id").cast("string")).alias("url"),
+        F.col("ts").cast("timestamp").cast("long").alias("ts_epoch"),
+    )
+    return rate_limit_batch(reqs, delay_seconds=300)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse+route the CLF corpus derived from sf0.001 events,
     enrich per-sink counts — the north_rule pipeline in one DataFrame."""
@@ -3823,6 +3843,7 @@ _GATE_FIRST = [
     "centroid_drift",
     "image_dhash_dedup",
     "containment_dedup",
+    "rate_limit_batch",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3911,6 +3932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_drift": _q_centroid_drift,
         "image_dhash_dedup": _q_image_dhash_dedup,
         "containment_dedup": _q_containment_dedup,
+        "rate_limit_batch": _q_rate_limit,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -7127,6 +7149,29 @@ SELECT COALESCE(o.url, n.url) AS url, o.old_digest, n.new_digest,
             WHEN o.old_digest <> n.new_digest THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM o FULL OUTER JOIN n ON o.url = n.url
+"""
+
+_ORACLE["rate_limit_batch"] = """
+WITH RECURSIVE req AS (
+  SELECT 'h' || CAST(user_id % 20 AS VARCHAR) AS host,
+         'u' || CAST(event_id AS VARCHAR) AS url,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch
+  FROM events WHERE event_id < 2000
+), ev AS (
+  SELECT host, url, ts_epoch,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY ts_epoch, url) AS rn
+  FROM req
+), walk(host, rn, url, ts_epoch, allowed, last_ok) AS (
+  SELECT host, rn, url, ts_epoch, TRUE, ts_epoch FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT e.host, e.rn, e.url, e.ts_epoch,
+         e.ts_epoch >= w.last_ok + 300,
+         CASE WHEN e.ts_epoch >= w.last_ok + 300
+              THEN e.ts_epoch ELSE w.last_ok END
+  FROM ev e JOIN walk w ON e.host = w.host AND e.rn = w.rn + 1
+)
+SELECT host, url, ts_epoch, allowed FROM walk
 """
 
 _ORACLE["containment_dedup"] = f"""

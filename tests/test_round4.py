@@ -1105,3 +1105,122 @@ def test_containment_threshold_and_ordering(spark):
     r = got[0]
     assert r["id_a"] == 10 and r["id_b"] == 20     # id_a < id_b
     assert 0.4 <= r["overlap"] < 0.8
+
+
+# ------------------------------------------------- per-host rate limiter
+class _FakeState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def test_rate_limit_batch_greedy_semantics(spark):
+    from access_log_parser_spark.streaming.ratelimit import rate_limit_batch
+
+    # h1 at delay 10: t=0 ok; t=5 denied (5 < 0+10); t=9 denied — the
+    # greedy point: 9 >= 5+10 is irrelevant because 5 was DENIED and did
+    # not advance the clock; t=10 ok; t=15 denied; h2 independent.
+    df = spark.createDataFrame(
+        [("h1", "a", 0), ("h1", "b", 5), ("h1", "c", 9),
+         ("h1", "d", 10), ("h1", "e", 15), ("h2", "z", 1)],
+        schema="host string, url string, ts_epoch long",
+    )
+    out = {(r["host"], r["url"]): r["allowed"]
+           for r in rate_limit_batch(df, delay_seconds=10).collect()}
+    assert out == {("h1", "a"): True, ("h1", "b"): False,
+                   ("h1", "c"): False, ("h1", "d"): True,
+                   ("h1", "e"): False, ("h2", "z"): True}
+
+
+def test_rate_limit_ties_break_by_url(spark):
+    from access_log_parser_spark.streaming.ratelimit import rate_limit_batch
+
+    df = spark.createDataFrame(
+        [("h", "b", 100), ("h", "a", 100)],
+        schema="host string, url string, ts_epoch long",
+    )
+    out = {r["url"]: r["allowed"]
+           for r in rate_limit_batch(df, delay_seconds=10).collect()}
+    assert out == {"a": True, "b": False}  # 'a' sorts first, wins the slot
+
+
+def test_rate_limiter_state_carries_across_batches():
+    import pandas as pd
+
+    from access_log_parser_spark.streaming.ratelimit import make_rate_limiter
+
+    fn = make_rate_limiter(10)
+    state = _FakeState()
+    rows = []
+    for batch in ([("u1", 0), ("u2", 5)], [("u3", 8), ("u4", 12)]):
+        pdf = pd.DataFrame(batch, columns=["url", "ts_epoch"])
+        for res in fn(("h",), iter([pdf]), state):
+            rows.extend(map(tuple, res.itertuples(index=False)))
+    # u3 at t=8 is denied because batch-1's allowed fetch at t=0 is in
+    # STATE; u4 at t=12 is allowed
+    assert rows == [("h", "u1", 0, True), ("h", "u2", 5, False),
+                    ("h", "u3", 8, False), ("h", "u4", 12, True)]
+    assert state._v == (12,)
+
+
+def test_rate_limit_stream_matches_batch_twin(spark, tmp_path):
+    import pandas as pd
+
+    from access_log_parser_spark.streaming.ratelimit import (
+        rate_limit_batch,
+        rate_limit_stream,
+    )
+
+    # two micro-batch files in event-time order
+    rows1 = [("h%d" % (i % 3), "u%03d" % i, 1_700_000_000 + i * 7)
+             for i in range(30)]
+    rows2 = [("h%d" % (i % 3), "u%03d" % i, 1_700_000_000 + i * 7)
+             for i in range(30, 60)]
+    src = tmp_path / "req"
+    src.mkdir()
+    cols = ["host", "url", "ts"]
+
+    def write(rows, name):
+        # epoch-second longs; the stream's long->timestamp->long cast
+        # chain is the identity on them
+        pd.DataFrame(rows, columns=cols).to_parquet(src / name)
+
+    write(rows1, "b1.parquet")
+    write(rows2, "b2.parquet")
+    schema = "host string, url string, ts long"
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src))
+    out_q = (
+        rate_limit_stream(stream, delay_seconds=20)
+        .writeStream.format("memory")
+        .queryName("rl_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    out_q.awaitTermination(120)
+    got = {
+        (r["host"], r["url"]): (r["ts_epoch"], r["allowed"])
+        for r in spark.sql("SELECT * FROM rl_out").collect()
+    }
+    batch_df = spark.createDataFrame(
+        [(h, u, t) for h, u, t in rows1 + rows2],
+        schema="host string, url string, ts_epoch long",
+    )
+    want = {
+        (r["host"], r["url"]): (r["ts_epoch"], r["allowed"])
+        for r in rate_limit_batch(batch_df, delay_seconds=20).collect()
+    }
+    assert got == want and len(got) == 60
