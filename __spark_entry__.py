@@ -2672,6 +2672,76 @@ def _q_warc_to_wet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_to_wet(parse_warc_records(files))
 
 
+def _q_http_status_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP-layer routing (sources/warc.parse_warc_http +
+    status_class_col): the north-rule parse->route->aggregate shape at
+    the HTTP tier. Five closed-form response variants per doc_id%5 —
+    200+charset, 200 json, 301+Location, 404 quoted-charset, and a
+    non-HTTP garbage block that must route 'unmatched', never drop —
+    aggregated per (status_class, content_type, charset) sink. The
+    oracle states the closed-form counts and body octet sums the bytes
+    encode."""
+    from access_log_parser_spark.sources.warc import (
+        parse_warc_http,
+        status_class_col,
+    )
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 600)
+    k = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    html = F.concat(
+        F.lit("<html><body>"), F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</body></html>"),
+    )
+    uri = F.concat(F.lit("https://warc.example/"), k)
+    status_line = (
+        F.when(m == 2, F.lit("HTTP/1.1 301 Moved Permanently"))
+        .when(m == 3, F.lit("HTTP/1.1 404 Not Found"))
+        .otherwise(F.lit("HTTP/1.1 200 OK"))
+    )
+    ct_hdr = (
+        F.when(m == 0, F.lit("\r\nContent-Type: text/html; charset=UTF-8"))
+        .when(m == 1, F.lit("\r\nContent-Type: application/json"))
+        .when(m == 2, F.lit("\r\nContent-Type: text/html"))
+        .otherwise(
+            F.lit('\r\nContent-Type: Text/HTML; charset="iso-8859-1"')
+        )
+    )
+    loc_hdr = F.when(
+        m == 2,
+        F.concat(F.lit("\r\nLocation: https://warc.example/redir/"), k),
+    ).otherwise(F.lit(""))
+    http = F.concat(
+        status_line, ct_hdr, loc_hdr,
+        F.lit("\r\nContent-Length: "),
+        F.octet_length(html).cast("string"),
+        F.lit("\r\n\r\n"), html,
+    )
+    block = F.when(m == 4, F.concat(F.lit("GARBAGE "), html)).otherwise(http)
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "), uri,
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        F.octet_length(block).cast("string"),
+        F.lit("\r\n\r\n"), block, F.lit("\r\n\r\n"),
+    )
+    files = docs.select(
+        F.concat(F.lit("mem://"), k).alias("path"),
+        F.encode(rec, "utf-8").alias("content"),
+    )
+    parsed = parse_warc_http(files)
+    return (
+        parsed.withColumn(
+            "status_class", status_class_col(F.col("http_status"))
+        )
+        .groupBy("status_class", "content_type", "charset")
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.count("http_location").alias("n_redirects"),
+            F.sum(F.octet_length("html")).alias("body_bytes"),
+        )
+    )
+
+
 def _q_wet_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WET extracted-text scan (sources/warc.wet_records): every doc
     becomes a WET member (one conversion record whose block IS the
@@ -3844,6 +3914,7 @@ _GATE_FIRST = [
     "image_dhash_dedup",
     "containment_dedup",
     "rate_limit_batch",
+    "http_status_route",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -3933,6 +4004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_dhash_dedup": _q_image_dhash_dedup,
         "containment_dedup": _q_containment_dedup,
         "rate_limit_batch": _q_rate_limit,
+        "http_status_route": _q_http_status_route,
         "pagerank_hosts": _q_pagerank_hosts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
@@ -7172,6 +7244,33 @@ WITH RECURSIVE req AS (
   FROM ev e JOIN walk w ON e.host = w.host AND e.rn = w.rn + 1
 )
 SELECT host, url, ts_epoch, allowed FROM walk
+"""
+
+_ORACLE["http_status_route"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS m,
+         octet_length(encode(
+           '<html><body>' || COALESCE(text, '') || '</body></html>'
+         )) AS blen
+  FROM documents WHERE doc_id < 600
+), r AS (
+  SELECT CASE WHEN m IN (0, 1) THEN '2xx' WHEN m = 2 THEN '3xx'
+              WHEN m = 3 THEN '4xx' ELSE 'unmatched' END AS status_class,
+         CASE WHEN m = 1 THEN 'application/json'
+              WHEN m = 4 THEN NULL ELSE 'text/html' END AS content_type,
+         CASE WHEN m = 0 THEN 'utf-8' WHEN m = 3 THEN 'iso-8859-1'
+              ELSE NULL END AS charset,
+         CASE WHEN m = 2 THEN 1 ELSE 0 END AS redir,
+         -- the garbage block is 'GARBAGE ' (8 octets) + the html
+         CASE WHEN m = 4 THEN blen + 8 ELSE blen END AS body_bytes
+  FROM d
+)
+SELECT status_class, content_type, charset,
+       COUNT(*) AS n_records,
+       CAST(SUM(redir) AS BIGINT) AS n_redirects,
+       CAST(SUM(body_bytes) AS BIGINT) AS body_bytes
+FROM r
+GROUP BY status_class, content_type, charset
 """
 
 _ORACLE["containment_dedup"] = f"""

@@ -71,6 +71,52 @@ def _parse_http(block: bytes) -> tuple[int | None, bytes]:
     return status, body if sep else b""
 
 
+def _parse_http_full(
+    block: bytes,
+) -> tuple[int | None, dict[str, str], bytes]:
+    """HTTP response block -> (status, headers, body); headers are
+    lowercased names, FIRST occurrence wins (RFC 9110 §5.3 lets
+    repeated fields be list-combined; for the routing fields parsed
+    here — Content-Type, Location, Content-Length — repetition is
+    itself malformed, and first-wins is the deterministic choice real
+    lenient parsers make). Non-HTTP or unparsable status lines come
+    back as (None, {}, whole block) so the caller can route them to an
+    unmatched sink — the same fail-visible discipline as the regex
+    decode engine."""
+    if not block.startswith(b"HTTP/"):
+        return None, {}, block
+    head, sep, body = block.partition(b"\r\n\r\n")
+    lines = head.split(b"\r\n")
+    try:
+        status = int(lines[0].split(b" ")[1])
+    except (IndexError, ValueError):
+        return None, {}, block
+    headers: dict[str, str] = {}
+    for line in lines[1:]:
+        name, _, value = line.partition(b":")
+        key = name.decode("ascii", "replace").strip().lower()
+        if key and key not in headers:
+            headers[key] = value.decode("utf-8", "replace").strip()
+    return status, headers, (body if sep else b"")
+
+
+def _split_content_type(ct: str | None) -> tuple[str | None, str | None]:
+    """``Content-Type`` value -> (media_type, charset), both lowercased
+    (RFC 9110: type/subtype and the charset parameter value are
+    case-insensitive), charset unquoted; absent pieces are None."""
+    if ct is None:
+        return None, None
+    parts = ct.split(";")
+    media = parts[0].strip().lower() or None
+    charset = None
+    for p in parts[1:]:
+        name, _, value = p.partition("=")
+        if name.strip().lower() == "charset":
+            charset = value.strip().strip('"').lower() or None
+            break
+    return media, charset
+
+
 def scan_warc_records(
     data: bytes,
 ) -> tuple[list[tuple[dict[str, str], bytes]], bool]:
@@ -160,6 +206,102 @@ def parse_warc_records(
             )
 
     return sel.mapInPandas(run, WARC_SCHEMA)
+
+
+HTTP_RESPONSE_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("record_idx", LongType()),
+        StructField("target_uri", StringType()),
+        StructField("warc_date", StringType()),
+        StructField("http_status", IntegerType()),
+        StructField("content_type", StringType()),
+        StructField("charset", StringType()),
+        StructField("http_location", StringType()),
+        StructField("content_length_hdr", LongType()),
+        StructField("html", BinaryType()),
+        StructField("truncated", BooleanType()),
+    ]
+)
+
+
+def parse_warc_http(
+    df: DataFrame, data_col: str = "content", source_col: str = "path"
+) -> DataFrame:
+    """binaryFile rows -> one row per ``WARC-Type: response`` record
+    with the HTTP response line and routing headers PARSED into typed
+    columns: (source, record_idx, target_uri, warc_date, http_status,
+    content_type, charset, http_location, content_length_hdr, html,
+    truncated). ``content_type``/``charset`` are the lowercased media
+    type and charset parameter (RFC 9110 case rules, quotes stripped);
+    ``http_location`` is the verbatim Location header (redirect
+    routing); ``content_length_hdr`` is the DECLARED HTTP body length
+    (the WARC frame is authoritative for slicing — the header is kept
+    as a signal so truncated fetches, where declared > actual, are
+    routable). A response record whose block is not parseable HTTP
+    keeps NULL status/headers and the raw block as ``html`` — route it
+    unmatched, never drop it.
+
+    Plan at 100 TB: the SAME single Arrow-batched pass per file as
+    :func:`parse_warc_records` (header parsing rides the framing scan
+    for free); everything downstream — status-class routing,
+    per-content-type aggregation — is pure Catalyst expression work."""
+    sel = df.select(
+        F.col(source_col).alias("source"), F.col(data_col).alias("data")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for src, data in zip(pdf["source"], pdf["data"]):
+                records, truncated = scan_warc_records(bytes(data))
+                for i, (hdr, block) in enumerate(records):
+                    if hdr.get("warc-type", "") != "response":
+                        continue
+                    status, http_hdrs, body = _parse_http_full(block)
+                    media, charset = _split_content_type(
+                        http_hdrs.get("content-type")
+                    )
+                    try:
+                        declared = int(http_hdrs["content-length"])
+                    except (KeyError, ValueError):
+                        declared = None
+                    rows.append(
+                        (
+                            src,
+                            i,
+                            hdr.get("warc-target-uri", ""),
+                            hdr.get("warc-date", ""),
+                            status,
+                            media,
+                            charset,
+                            http_hdrs.get("location"),
+                            declared,
+                            body,
+                            truncated,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in HTTP_RESPONSE_SCHEMA.fields]
+            )
+
+    return sel.mapInPandas(run, HTTP_RESPONSE_SCHEMA)
+
+
+def status_class_col(status: F.Column) -> F.Column:
+    """HTTP status -> routing class: '2xx'/'3xx'/... for 100-599,
+    'other' for out-of-range numerics, 'unmatched' for NULL (non-HTTP
+    or unparsable blocks) — the fan-out key a log pipeline routes sinks
+    by (mirrors the reference's matched/unmatched split at the HTTP
+    layer). Pure expression; stays in whole-stage codegen."""
+    return (
+        F.when(status.isNull(), F.lit("unmatched"))
+        .when(
+            (status >= 100) & (status < 600),
+            F.concat(F.floor(status / 100).cast("string"), F.lit("xx")),
+        )
+        .otherwise(F.lit("other"))
+    )
 
 
 def read_warc(spark, path_glob: str) -> DataFrame:

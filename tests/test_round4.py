@@ -1224,3 +1224,88 @@ def test_rate_limit_stream_matches_batch_twin(spark, tmp_path):
         for r in rate_limit_batch(batch_df, delay_seconds=20).collect()
     }
     assert got == want and len(got) == 60
+
+
+# -------------------------------------------- HTTP response header parse
+def test_parse_http_full_headers_and_charset():
+    from access_log_parser_spark.sources.warc import (
+        _parse_http_full,
+        _split_content_type,
+    )
+
+    block = (
+        b"HTTP/1.1 301 Moved Permanently\r\n"
+        b"Content-Type: Text/HTML; charset=\"ISO-8859-1\"\r\n"
+        b"Location: https://a.example/x\r\n"
+        b"Location: https://b.example/dup\r\n"   # repeated: first wins
+        b"Content-Length: 4\r\n"
+        b"\r\nbody"
+    )
+    status, hdrs, body = _parse_http_full(block)
+    assert status == 301 and body == b"body"
+    assert hdrs["location"] == "https://a.example/x"
+    assert _split_content_type(hdrs["content-type"]) == (
+        "text/html", "iso-8859-1"
+    )
+    assert _split_content_type("application/json") == (
+        "application/json", None
+    )
+    assert _split_content_type(None) == (None, None)
+    # non-HTTP and unparsable status lines fail visibly, not silently
+    assert _parse_http_full(b"GARBAGE") == (None, {}, b"GARBAGE")
+    assert _parse_http_full(b"HTTP/1.1 abc\r\n\r\nx") == (
+        None, {}, b"HTTP/1.1 abc\r\n\r\nx"
+    )
+
+
+def test_parse_warc_http_and_status_class(spark):
+    from access_log_parser_spark.sources.warc import (
+        parse_warc_http,
+        status_class_col,
+    )
+
+    def member(block: bytes, wtype: bytes = b"response") -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: " + wtype
+            + b"\r\nWARC-Target-URI: https://w.example/p"
+            + b"\r\nWARC-Date: 2024-01-01T00:00:00Z"
+            + b"\r\nContent-Length: " + str(len(block)).encode()
+            + b"\r\n\r\n" + block + b"\r\n\r\n"
+        )
+
+    ok = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+        b"Content-Length: 2\r\n\r\nhi"
+    )
+    data = member(ok) + member(b"meta", b"metadata") + member(b"NOT HTTP")
+    df = spark.createDataFrame(
+        [("f1", bytearray(data))], schema="path string, content binary"
+    )
+    out = (
+        parse_warc_http(df)
+        .withColumn("cls", status_class_col(F.col("http_status")))
+        .collect()
+    )
+    # metadata record filtered; response records keep their WARC index
+    assert [(r["record_idx"], r["http_status"], r["cls"]) for r in out] == [
+        (0, 200, "2xx"), (2, None, "unmatched")
+    ]
+    assert out[0]["content_type"] == "text/plain"
+    assert out[0]["content_length_hdr"] == 2
+    assert bytes(out[0]["html"]) == b"hi"
+    assert bytes(out[1]["html"]) == b"NOT HTTP"   # raw block kept
+
+
+def test_status_class_boundaries(spark):
+    from access_log_parser_spark.sources.warc import status_class_col
+
+    df = spark.createDataFrame(
+        [(99,), (100,), (599,), (600,), (None,)], schema="s int"
+    )
+    got = [
+        r["c"]
+        for r in df.select(
+            status_class_col(F.col("s")).alias("c")
+        ).collect()
+    ]
+    assert got == ["other", "1xx", "5xx", "other", "unmatched"]
