@@ -3388,6 +3388,34 @@ def _q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(edges, iterations=3)
 
 
+def _q_trustrank_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + relative spam mass (graph.trustrank/spam_mass) over
+    the same 20-host graph as pagerank_hosts with hosts h0-h4 as the
+    trusted seed set (S=5); 3 unrolled biased-teleport rounds, spam
+    mass computed from the two ROUNDED rank tables so the oracle's
+    replay is float-exact."""
+    from access_log_parser_spark.operators.graph import (
+        pagerank,
+        spam_mass,
+        trustrank,
+    )
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    edges = docs.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string")).alias("src"),
+        F.concat(
+            F.lit("h"), ((F.col("doc_id") * 7 + 3) % 20).cast("string")
+        ).alias("dst"),
+    )
+    seeds = docs.filter(F.col("doc_id") % 20 < 5).select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+        .alias("node")
+    )
+    pr = pagerank(edges, iterations=3)
+    tr = trustrank(edges, seeds, iterations=3)
+    return spam_mass(pr, tr)
+
+
 def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack-boundary manifest (packing.pack_manifest): documents
     bin-filled into 500-token packs per content-addressed shard; the
@@ -3915,6 +3943,7 @@ _GATE_FIRST = [
     "containment_dedup",
     "rate_limit_batch",
     "http_status_route",
+    "trustrank_spam",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4006,6 +4035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rate_limit_batch": _q_rate_limit,
         "http_status_route": _q_http_status_route,
         "pagerank_hosts": _q_pagerank_hosts,
+        "trustrank_spam": _q_trustrank_spam,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
         "shard_checksums": _q_shard_checksums,
@@ -6403,6 +6433,44 @@ m{i} AS (
 
 
 _ORACLE["pagerank_hosts"] = _pagerank_oracle()
+
+
+def _trustrank_spam_oracle(
+    iters: int = 3, d: float = 0.85, n: int = 20, n_seeds: int = 5
+) -> str:
+    """Pagerank CTE chain + an unrolled biased-teleport TrustRank chain
+    over the same e/nodes/deg tables; spam mass is computed from the
+    two ROUNDED rank columns exactly as graph.spam_mass does."""
+    cte, final = _pagerank_oracle(iters, d, n, as_cte=True)
+    dd, omd, tinit = repr(d), repr(1.0 - d), repr(1.0 / n_seeds)
+    sql = cte + f""",
+tele AS (
+  SELECT node, CASE WHEN CAST(substr(node, 2) AS INTEGER) < {n_seeds}
+               THEN {tinit} ELSE 0.0 END AS t
+  FROM nodes
+), t0 AS (SELECT node, t AS trust FROM tele)"""
+    prev = "t0"
+    for i in range(1, iters + 1):
+        sql += f""",
+tm{i} AS (
+  SELECT e.dst AS node, SUM({prev}.trust / deg.deg) AS mass
+  FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+  GROUP BY 1
+), t{i} AS (
+  SELECT tele.node,
+         {omd} * tele.t + {dd} * COALESCE(tm{i}.mass, 0.0) AS trust
+  FROM tele LEFT JOIN tm{i} USING (node)
+)"""
+        prev = f"t{i}"
+    return sql + f""",
+pr AS (SELECT node, ROUND(rank, 6) AS rank FROM {final}),
+tr AS (SELECT node, ROUND(trust, 6) AS trust FROM {prev})
+SELECT pr.node, pr.rank, tr.trust,
+       ROUND((pr.rank - tr.trust) / pr.rank, 6) AS spam_mass
+FROM pr JOIN tr USING (node)"""
+
+
+_ORACLE["trustrank_spam"] = _trustrank_spam_oracle()
 
 _ORACLE["fetch_schedule"] = """
 WITH f AS (

@@ -202,6 +202,125 @@ def hits(
         e.unpersist()  # rounds ran eagerly; the result needs only hub/auth
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fixed-iteration TrustRank (Gyongyi, Garcia-Molina & Pedersen,
+    VLDB 2004): PageRank with the teleport vector BIASED to a small
+    hand-vetted seed set of trusted hosts, so rank mass can only reach
+    a node through link paths from the seeds — the standard webspam
+    demotion prior a corpus-curation mix uses next to raw PageRank.
+
+    Semantics (pinned for the DuckDB oracle):
+
+    - edges deduped as in :func:`pagerank`; nodes = union of endpoints.
+    - seeds are restricted to nodes present in the graph (a seed with
+      no edges can neither receive nor forward trust); S = their count.
+    - teleport t(v) = 1/S for seeds, 0 otherwise; trust_0 = t;
+      trust_{t+1}(v) = (1-d)*t(v) + d * sum over in-edges (u,v) of
+      trust_t(u)/out_degree(u). Dangling mass is dropped (same
+      simplification as pagerank, mirrored in the oracle).
+
+    Returns (node, trust), trust rounded to 6 dp at the END only.
+    Plan at 100 TB: identical shape to :func:`pagerank` — one edge
+    shuffle per round, node-sized tables, per-round lineage cut — plus
+    one node-sized seed semi-join up front."""
+    cut = _round_cut(checkpoint_dir)
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct().cache()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    tele = None
+    try:
+        nodes = cut(
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        s = (
+            seeds.select(F.col(node_col).alias("node"))
+            .distinct()
+            .join(nodes, "node", "left_semi")
+        )
+        n_seeds = s.count()  # seed table is tiny by definition
+        if n_seeds == 0:
+            return nodes.select("node", F.lit(0.0).alias("trust"))
+        tele = (
+            nodes.join(
+                s.withColumn("is_seed", F.lit(True)), "node", "left"
+            )
+            .select(
+                "node",
+                F.when(F.col("is_seed"), F.lit(1.0 / n_seeds))
+                .otherwise(F.lit(0.0))
+                .alias("t"),
+            )
+            .cache()
+        )
+        ranks = tele.select("node", F.col("t").alias("trust"))
+        for _ in range(iterations):
+            contrib = (
+                e.join(ranks, e["src"] == ranks["node"])
+                .join(out_deg, "src")
+                .select(F.col("dst").alias("node"),
+                        (F.col("trust") / F.col("deg")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_mass"))
+            )
+            ranks = cut(
+                tele.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("t")
+                        + F.lit(damping)
+                        * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                    ).alias("trust"),
+                )
+            )
+        return ranks.select("node", F.round("trust", 6).alias("trust"))
+    finally:
+        e.unpersist()
+        out_deg.unpersist()
+        if tele is not None:
+            tele.unpersist()
+
+
+def spam_mass(
+    pagerank_df: DataFrame,
+    trustrank_df: DataFrame,
+    rank_col: str = "rank",
+    trust_col: str = "trust",
+) -> DataFrame:
+    """Relative spam mass (Gyongyi, Berkhin, Garcia-Molina & Pedersen
+    2005): the fraction of a node's PageRank NOT accounted for by trust
+    flowing from the seed set, m(v) = (pr(v) - tr(v)) / pr(v) — high
+    values mark hosts whose rank comes from unendorsed (likely spam)
+    link structure; trusted hubs go negative-or-near-zero. Computed
+    over the two operators' ROUNDED outputs so the oracle replays it
+    exactly; pr >= (1-d)/N > 0, so the division is total.
+
+    Plan: one node-keyed join of two node-sized rank tables."""
+    return (
+        pagerank_df.join(trustrank_df, "node")
+        .select(
+            "node",
+            F.col(rank_col).alias("rank"),
+            F.col(trust_col).alias("trust"),
+            F.round(
+                (F.col(rank_col) - F.col(trust_col)) / F.col(rank_col), 6
+            ).alias("spam_mass"),
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame,
     seeds: DataFrame,

@@ -1309,3 +1309,72 @@ def test_status_class_boundaries(spark):
         ).collect()
     ]
     assert got == ["other", "1xx", "5xx", "other", "unmatched"]
+
+
+# --------------------------------------------------- trustrank / spam mass
+def test_trustrank_seed_bias_and_python_replay(spark):
+    from access_log_parser_spark.operators.graph import trustrank
+
+    # a -> b -> c, d isolated-in-graph via d -> a; seed = {a}
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "a")], schema="src string, dst string"
+    )
+    seeds = spark.createDataFrame([("a",)], schema="node string")
+    got = {
+        r["node"]: r["trust"]
+        for r in trustrank(edges, seeds, iterations=2).collect()
+    }
+    # python replay of the pinned semantics
+    t = {"a": 1.0, "b": 0.0, "c": 0.0, "d": 0.0}
+    tele = dict(t)
+    deg = {"a": 1, "b": 1, "d": 1}
+    for _ in range(2):
+        mass = {}
+        for s, d_ in [("a", "b"), ("b", "c"), ("d", "a")]:
+            mass[d_] = mass.get(d_, 0.0) + t[s] / deg[s]
+        t = {
+            v: (1.0 - 0.85) * tele[v] + 0.85 * mass.get(v, 0.0)
+            for v in t
+        }
+    assert got == {k: round(v, 6) for k, v in t.items()}
+    # trust only flows FROM seeds: d has no in-path from a -> stays 0;
+    # after 2 rounds the front has propagated a->b->c, both positive
+    assert got["d"] == 0.0 and got["b"] > 0.0 and got["c"] > 0.0
+
+
+def test_trustrank_seeds_outside_graph_and_empty(spark):
+    from access_log_parser_spark.operators.graph import trustrank
+
+    edges = spark.createDataFrame(
+        [("a", "b")], schema="src string, dst string"
+    )
+    # seed 'z' is not in the graph: S counts only in-graph seeds
+    seeds = spark.createDataFrame([("a",), ("z",)], schema="node string")
+    got = {
+        r["node"]: r["trust"]
+        for r in trustrank(edges, seeds, iterations=1).collect()
+    }
+    assert got["a"] == round(0.15 * 1.0, 6)          # S == 1, not 2
+    assert got["b"] == round(0.85 * 1.0, 6)
+    # all seeds outside the graph -> all-zero trust, no crash
+    only_z = spark.createDataFrame([("z",)], schema="node string")
+    got0 = {
+        r["node"]: r["trust"]
+        for r in trustrank(edges, only_z, iterations=1).collect()
+    }
+    assert got0 == {"a": 0.0, "b": 0.0}
+
+
+def test_spam_mass_identity(spark):
+    from access_log_parser_spark.operators.graph import spam_mass
+
+    pr = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.25)], schema="node string, rank double"
+    )
+    tr = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.05)], schema="node string, trust double"
+    )
+    got = {
+        r["node"]: r["spam_mass"] for r in spam_mass(pr, tr).collect()
+    }
+    assert got == {"a": 0.0, "b": 0.8}   # (0.25-0.05)/0.25
