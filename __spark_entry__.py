@@ -3416,6 +3416,28 @@ def _q_trustrank_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spam_mass(pr, tr)
 
 
+def _q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link reciprocity (graph.link_reciprocity) over a two-family
+    20-host graph (dst1 = 7u+3, dst2 = 3u+1 mod 20 — every host has
+    out-degree exactly 2, no self-loops by construction, and exactly
+    the hosts u ≡ 2 (mod 5) have their first edge reciprocated), so the
+    output exercises 0 / 0.5 reciprocity tiers against the oracle's
+    direct EXISTS replay."""
+    from access_log_parser_spark.operators.graph import link_reciprocity
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    u = F.col("doc_id") % 20
+    e1 = docs.select(
+        F.concat(F.lit("h"), u.cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((u * 7 + 3) % 20).cast("string")).alias("dst"),
+    )
+    e2 = docs.select(
+        F.concat(F.lit("h"), u.cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((u * 3 + 1) % 20).cast("string")).alias("dst"),
+    )
+    return link_reciprocity(e1.unionByName(e2))
+
+
 def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack-boundary manifest (packing.pack_manifest): documents
     bin-filled into 500-token packs per content-addressed shard; the
@@ -3944,6 +3966,7 @@ _GATE_FIRST = [
     "rate_limit_batch",
     "http_status_route",
     "trustrank_spam",
+    "link_reciprocity",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4036,6 +4059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_status_route": _q_http_status_route,
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_spam": _q_trustrank_spam,
+        "link_reciprocity": _q_link_reciprocity,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
         "shard_checksums": _q_shard_checksums,
@@ -6471,6 +6495,29 @@ FROM pr JOIN tr USING (node)"""
 
 
 _ORACLE["trustrank_spam"] = _trustrank_spam_oracle()
+
+_ORACLE["link_reciprocity"] = """
+WITH e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+           'h' || CAST((doc_id % 20 * 7 + 3) % 20 AS VARCHAR) AS dst
+    FROM documents WHERE doc_id < 500
+    UNION ALL
+    SELECT 'h' || CAST(doc_id % 20 AS VARCHAR),
+           'h' || CAST((doc_id % 20 * 3 + 1) % 20 AS VARCHAR)
+    FROM documents WHERE doc_id < 500
+  ) WHERE src <> dst
+)
+SELECT e.src AS node,
+       CAST(COUNT(*) AS BIGINT) AS n_out,
+       CAST(SUM(CASE WHEN EXISTS (
+         SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+       ) THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+       ROUND(CAST(SUM(CASE WHEN EXISTS (
+         SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src
+       ) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS reciprocity
+FROM e GROUP BY e.src
+"""
 
 _ORACLE["fetch_schedule"] = """
 WITH f AS (

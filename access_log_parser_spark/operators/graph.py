@@ -422,6 +422,45 @@ def label_propagation(
         s.unpersist()
 
 
+def link_reciprocity(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node link reciprocity: the fraction of a host's distinct
+    out-links that are linked BACK (edge (u,v) with (v,u) also
+    present). Organic linking is largely one-directional (pages cite
+    authorities); near-1.0 reciprocity over a non-trivial out-degree is
+    the classic link-exchange / link-farm fingerprint (used alongside
+    :func:`spam_mass` — structural evidence vs rank-flow evidence).
+
+    Self-loops are dropped and edges deduped first. Returns
+    (node, n_out, n_reciprocal, reciprocity) for every node with >=1
+    out-edge; reciprocity rounded to 6 dp.
+
+    Plan at 100 TB: one distinct over the edge list, one (src,dst)-
+    keyed semi-join against the swapped edges, two src-keyed counts —
+    all edge-sized exchanges with map-side combine, output node-sized."""
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    )
+    out = e.groupBy("src").agg(F.count(F.lit(1)).alias("n_out"))
+    return out.join(recip, "src", "left").select(
+        F.col("src").alias("node"),
+        "n_out",
+        F.coalesce(F.col("n_reciprocal"), F.lit(0)).alias("n_reciprocal"),
+        F.round(
+            F.coalesce(F.col("n_reciprocal"), F.lit(0)) / F.col("n_out"), 6
+        ).alias("reciprocity"),
+    )
+
+
 def degree_histogram(edges: DataFrame) -> DataFrame:
     """Log2-binned in/out-degree distribution of the link graph — the
     standard first look at a crawled webgraph (degree distributions are

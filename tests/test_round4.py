@@ -1378,3 +1378,29 @@ def test_spam_mass_identity(spark):
         r["node"]: r["spam_mass"] for r in spam_mass(pr, tr).collect()
     }
     assert got == {"a": 0.0, "b": 0.8}   # (0.25-0.05)/0.25
+
+
+# ------------------------------------------------------- link reciprocity
+def test_link_reciprocity_tiers_and_dedup(spark):
+    from access_log_parser_spark.operators.graph import link_reciprocity
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "a"),          # mutual pair
+            ("a", "b"),                       # duplicate: must not double
+            ("a", "c"),                       # one-way
+            ("c", "c"),                       # self-loop: dropped
+            ("d", "a"),                       # one-way into a
+        ],
+        schema="src string, dst string",
+    )
+    got = {
+        r["node"]: (r["n_out"], r["n_reciprocal"], r["reciprocity"])
+        for r in link_reciprocity(edges).collect()
+    }
+    assert got == {
+        "a": (2, 1, 0.5),    # b reciprocated, c not
+        "b": (1, 1, 1.0),
+        "d": (1, 0, 0.0),
+    }
+    assert "c" not in got    # only the self-loop: no out-edges left
