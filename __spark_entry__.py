@@ -3624,6 +3624,19 @@ def _q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(_docs_par(spark, sf_dir))
 
 
+def _q_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff LM fluency
+    (text_quality.trigram_backoff_logprob, Brants et al. 2007) over the
+    whole documents table; the oracle replays positions, both lags, the
+    three count tables, the bigram-as-context reuse and the 0.4 backoff
+    cascade in DuckDB."""
+    from access_log_parser_spark.operators.text_quality import (
+        trigram_backoff_logprob,
+    )
+
+    return trigram_backoff_logprob(_docs_par(spark, sf_dir))
+
+
 def _q_cross_snapshot_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered exact cross-snapshot dedup
     (dedup.cross_snapshot_dedup_bloom): old snapshot = docs 0-299, new
@@ -3967,6 +3980,7 @@ _GATE_FIRST = [
     "http_status_route",
     "trustrank_spam",
     "link_reciprocity",
+    "trigram_backoff",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4069,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_drift": _q_snapshot_drift,
         "robots_meta": _q_robots_meta,
         "bigram_logprob": _q_bigram_logprob,
+        "trigram_backoff": _q_trigram_backoff,
         "cross_snapshot_bloom": _q_cross_snapshot_bloom,
         "dsir_select": _q_dsir_select,
         "epoch_shuffle": _q_epoch_shuffle,
@@ -6978,6 +6993,51 @@ bi AS (
   JOIN uni u USING (token)
   LEFT JOIN uni up ON up.token = tk.prev
   LEFT JOIN bi b ON b.prev = tk.prev AND b.token = tk.token, tot
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(lp), 4) AS mean_logprob
+FROM scored GROUP BY 1
+"""
+
+_ORACLE["trigram_backoff"] = f"""
+WITH docs AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(COALESCE(text, '')), '\\s+') AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, i AS pos, t[i] AS token,
+         CASE WHEN i > 1 THEN t[i-1] END AS prev,
+         CASE WHEN i > 2 THEN t[i-2] END AS prev2
+  FROM docs, UNNEST(generate_series(1, len(t))) u(i)
+), uni AS (
+  SELECT token, COUNT(*) AS c_uni FROM toks GROUP BY 1
+), tot AS (SELECT SUM(c_uni) AS total FROM uni),
+bi AS (
+  SELECT prev, token, COUNT(*) AS c_bi FROM toks
+  WHERE prev IS NOT NULL GROUP BY 1, 2
+), tri AS (
+  SELECT prev2, prev, token, COUNT(*) AS c_tri FROM toks
+  WHERE prev2 IS NOT NULL GROUP BY 1, 2, 3
+), scored AS (
+  SELECT tk.doc_id,
+    CASE
+      WHEN tk.prev IS NULL THEN ln(u.c_uni / tot.total)
+      WHEN tk.prev2 IS NULL THEN ln(
+        CASE WHEN b.c_bi IS NOT NULL THEN b.c_bi / up.c_uni
+             ELSE {0.4!r} * (u.c_uni / tot.total) END)
+      ELSE ln(
+        CASE WHEN tr.c_tri IS NOT NULL THEN tr.c_tri / ctx.c_bi
+             ELSE {0.4!r} * (
+               CASE WHEN b.c_bi IS NOT NULL THEN b.c_bi / up.c_uni
+                    ELSE {0.4!r} * (u.c_uni / tot.total) END) END)
+    END AS lp
+  FROM toks tk
+  JOIN uni u USING (token)
+  LEFT JOIN uni up ON up.token = tk.prev
+  LEFT JOIN bi b ON b.prev = tk.prev AND b.token = tk.token
+  LEFT JOIN bi ctx ON ctx.prev = tk.prev2 AND ctx.token = tk.prev
+  LEFT JOIN tri tr ON tr.prev2 = tk.prev2 AND tr.prev = tk.prev
+                  AND tr.token = tk.token, tot
 )
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lp), 4) AS mean_logprob

@@ -554,6 +554,114 @@ def bigram_logprob(
     )
 
 
+def trigram_backoff_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    alpha: float = 0.4,
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """Per-document mean log-score under a trigram stupid-backoff LM
+    (Brants et al., EMNLP 2007 — the scheme built FOR web-scale MapReduce
+    corpora: no discounting passes, just raw counts and a fixed backoff
+    penalty, which is why it composes into plain keyed aggregates):
+
+        S(w | u, v) = c(uvw)/c(uv)          if c(uvw) > 0
+                    = alpha * S(w | v)       otherwise
+        S(w | v)    = c(vw)/c(v)            if c(vw) > 0
+                    = alpha * c(w)/T         otherwise
+        S(w)        = c(w)/T
+
+    Position 0 scores S(w), position 1 scores S(w|v) (no trigram
+    context yet). Scores are NOT normalized probabilities (the 2007
+    paper's point — ranking quality without normalization cost);
+    mean ln S per doc, rounded to 4 dp. Self-contained like
+    :func:`bigram_logprob` — the model is the corpus's own counts, so
+    the DuckDB oracle replays scores exactly.
+
+    Plan at 100 TB: ONE posexplode + two lag windows on the same
+    doc-keyed exchange; unigram/bigram/trigram count tables are
+    token-keyed aggregates with map-side combine, joined back
+    broadcast (``broadcast_vocab=False`` for shuffle joins when the
+    n-gram tables outgrow broadcast); the trigram CONTEXT count
+    c(uv) is the bigram table reused under a (prev2, prev) key — no
+    extra aggregate."""
+    toks = df.select(
+        F.col("doc_id"),
+        F.posexplode(
+            tokens(F.coalesce(F.col(text_col), F.lit("")))
+        ).alias("pos", "token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seq = toks.withColumn("prev", F.lag("token", 1).over(w)).withColumn(
+        "prev2", F.lag("token", 2).over(w)
+    )
+
+    uni = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_uni"))
+    total = uni.agg(F.sum("c_uni").alias("t"))
+    uni = uni.join(F.broadcast(total)).select(
+        "token", "c_uni", (F.col("c_uni") / F.col("t")).alias("p_uni")
+    )
+    bi = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "token")
+        .agg(F.count(F.lit(1)).alias("c_bi"))
+    )
+    tri = (
+        seq.filter(F.col("prev2").isNotNull())
+        .groupBy("prev2", "prev", "token")
+        .agg(F.count(F.lit(1)).alias("c_tri"))
+    )
+
+    def _side(dim: DataFrame) -> DataFrame:
+        return F.broadcast(dim) if broadcast_vocab else dim
+
+    scored = (
+        seq.join(_side(uni.select("token", "p_uni")), "token")
+        .join(
+            _side(
+                uni.select(
+                    F.col("token").alias("prev"),
+                    F.col("c_uni").alias("c_prev"),
+                )
+            ),
+            "prev",
+            "left",
+        )
+        .join(_side(bi), ["prev", "token"], "left")
+        .join(
+            _side(
+                bi.select(
+                    F.col("prev").alias("prev2"),
+                    F.col("token").alias("prev"),
+                    F.col("c_bi").alias("c_ctx"),
+                )
+            ),
+            ["prev2", "prev"],
+            "left",
+        )
+        .join(_side(tri), ["prev2", "prev", "token"], "left")
+    )
+    s_bi = F.when(
+        F.col("c_bi").isNotNull(), F.col("c_bi") / F.col("c_prev")
+    ).otherwise(F.lit(alpha) * F.col("p_uni"))
+    s_tri = F.when(
+        F.col("c_tri").isNotNull(), F.col("c_tri") / F.col("c_ctx")
+    ).otherwise(F.lit(alpha) * s_bi)
+    lp = (
+        F.when(F.col("prev").isNull(), F.log(F.col("p_uni")))
+        .when(F.col("prev2").isNull(), F.log(s_bi))
+        .otherwise(F.log(s_tri))
+    )
+    return (
+        scored.withColumn("_lp", lp)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("_lp"), 4).alias("mean_logprob"),
+        )
+    )
+
+
 def token_distribution_drift(
     old: DataFrame,
     new: DataFrame,

@@ -1404,3 +1404,62 @@ def test_link_reciprocity_tiers_and_dedup(spark):
         "d": (1, 0, 0.0),
     }
     assert "c" not in got    # only the self-loop: no out-edges left
+
+
+# ---------------------------------------------- trigram stupid backoff
+def test_trigram_backoff_python_replay(spark):
+    """Pin the backoff cascade against a pure-Python replay on a tiny
+    corpus engineered to hit every tier: seen trigram, unseen trigram
+    with seen bigram, unseen bigram, and the pos-0/pos-1 edges."""
+    import math
+
+    from access_log_parser_spark.operators.text_quality import (
+        trigram_backoff_logprob,
+    )
+
+    corpus = {
+        1: "a b c a b c",     # 'a b c' trigram seen twice
+        2: "a b d",           # 'a b d' unseen trigram, 'b d' seen once
+        3: "e a c",           # 'a c' unseen bigram -> unigram backoff
+    }
+    df = spark.createDataFrame(
+        list(corpus.items()), schema="doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_logprob"])
+        for r in trigram_backoff_logprob(df).collect()
+    }
+
+    # python reference
+    seqs = {k: v.split() for k, v in corpus.items()}
+    uni: dict = {}
+    bi: dict = {}
+    tri: dict = {}
+    for s in seqs.values():
+        for i, w in enumerate(s):
+            uni[w] = uni.get(w, 0) + 1
+            if i >= 1:
+                bi[(s[i - 1], w)] = bi.get((s[i - 1], w), 0) + 1
+            if i >= 2:
+                key = (s[i - 2], s[i - 1], w)
+                tri[key] = tri.get(key, 0) + 1
+    T = sum(uni.values())
+
+    def s_uni(w):
+        return uni[w] / T
+
+    def s_bi(v, w):
+        return bi[(v, w)] / uni[v] if (v, w) in bi else 0.4 * s_uni(w)
+
+    def s_tri(u, v, w):
+        if (u, v, w) in tri:
+            return tri[(u, v, w)] / bi[(u, v)]
+        return 0.4 * s_bi(v, w)
+
+    for k, s in seqs.items():
+        lps = [math.log(s_uni(s[0]))]
+        if len(s) > 1:
+            lps.append(math.log(s_bi(s[0], s[1])))
+        for i in range(2, len(s)):
+            lps.append(math.log(s_tri(s[i - 2], s[i - 1], s[i])))
+        assert got[k] == (len(s), round(sum(lps) / len(lps), 4)), k
