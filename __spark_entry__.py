@@ -2448,6 +2448,24 @@ def _q_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_topk(docs, "source", "n_chars", k=5)
 
 
+def _q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPS sampling without replacement (sampling.weighted_sample_topk,
+    Efraimidis-Spirakis A-ES): 10 docs per source drawn with weight
+    doc_id%7+1 via the -ln(u)/w exp-sort key over the engine-portable
+    md5 uniform; the oracle replays the key math and window rank."""
+    from access_log_parser_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    docs = _docs_par(spark, sf_dir).select(
+        "doc_id", "source",
+        (F.col("doc_id") % 7 + 1).cast("double").alias("weight"),
+    )
+    return weighted_sample_topk(
+        docs, k=10, weight_col="weight", stratum_col="source"
+    )
+
+
 def _q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt crawl gate end-to-end (webtext.robots_txt_rules +
     robots_allowed): 7 hosts share a robots body with a comment, a
@@ -3981,6 +3999,7 @@ _GATE_FIRST = [
     "trustrank_spam",
     "link_reciprocity",
     "trigram_backoff",
+    "weighted_sample",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4147,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idf_tokens": _q_idf_tokens,
         "sample_hash_mod": _q_sample_hash_mod,
         "sample_stratified": _q_sample_stratified,
+        "weighted_sample": _q_weighted_sample,
         "pack_streaming": _q_pack_streaming,
         "train_holdout_counts": _q_train_holdout_counts,
         "json_props_stats": _q_json_props_stats,
@@ -6997,6 +7017,26 @@ bi AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lp), 4) AS mean_logprob
 FROM scored GROUP BY 1
+"""
+
+_ORACLE["weighted_sample"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         CAST(doc_id % 7 + 1 AS DOUBLE) AS weight,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM documents
+), k AS (
+  SELECT doc_id, source, weight,
+         -ln((h + 1) / 1152921504606846977.0) / weight AS es
+  FROM d
+), r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                               ORDER BY es, doc_id) AS rn
+  FROM k
+)
+SELECT doc_id, source, weight, ROUND(es, 6) AS es_key
+FROM r WHERE rn <= 10
 """
 
 _ORACLE["trigram_backoff"] = f"""

@@ -342,6 +342,54 @@ def stratified_topk(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the exp-sort / A-ES scheme): each row gets the key
+
+        es_key = -ln(u) / w,   u = (h + 1) / (2^60 + 1)  in (0, 1]
+
+    with ``h`` the first 15 hex chars of md5(key) (the repo's
+    engine-portable uniform — no RNG seed to disagree on), and the k
+    SMALLEST keys win; a row's win probability is proportional to its
+    weight at each draw, which is exactly PPS-without-replacement. This
+    is how a curation mix draws "n docs, quality-weighted" without the
+    with-replacement duplicates :func:`temperature_mixture_sample`'s
+    rate filter tolerates. Rows with NULL or non-positive weight are
+    excluded (they cannot win a PPS draw).
+
+    Global (``stratum_col=None``) returns the k smallest via
+    TakeOrderedAndProject — per-partition top-k then a k-row merge, no
+    full sort at 100 TB; per-stratum uses one stratum-keyed exchange +
+    bounded window rank like :func:`stratified_topk`. Ties break on the
+    key column. ``es_key`` is rounded to 6 dp in the OUTPUT only —
+    selection compares full-precision doubles."""
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60 + 1))
+    base = df.filter(F.col(weight_col) > 0).withColumn(
+        "_es", -F.log(u) / F.col(weight_col)
+    )
+    if stratum_col is None:
+        out = base.orderBy(F.col("_es").asc(), F.col(key_col).asc()).limit(k)
+    else:
+        w = Window.partitionBy(stratum_col).orderBy(
+            F.col("_es").asc(), F.col(key_col).asc()
+        )
+        out = (
+            base.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk")
+        )
+    return out.withColumn("es_key", F.round("_es", 6)).drop("_es")
+
+
 def mixture_budget_plan(
     token_counts: DataFrame,
     weights: DataFrame,

@@ -1463,3 +1463,66 @@ def test_trigram_backoff_python_replay(spark):
         for i in range(2, len(s)):
             lps.append(math.log(s_tri(s[i - 2], s[i - 1], s[i])))
         assert got[k] == (len(s), round(sum(lps) / len(lps), 4)), k
+
+
+# ------------------------------------- weighted sampling w/o replacement
+def test_weighted_sample_topk_python_replay(spark):
+    import hashlib
+    import math
+
+    from access_log_parser_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(i, float(i % 3 + 1)) for i in range(40)]
+    df = spark.createDataFrame(rows, schema="doc_id long, weight double")
+    got = sorted(
+        (r["doc_id"], r["es_key"])
+        for r in weighted_sample_topk(df, k=5, weight_col="weight").collect()
+    )
+
+    def es(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return -math.log((h + 1) / float(2**60 + 1)) / w
+
+    want = sorted(
+        (i, round(es(i, w), 6))
+        for i, w in sorted(rows, key=lambda p: (es(p[0], p[1]), p[0]))[:5]
+    )
+    assert got == want
+
+
+def test_weighted_sample_excludes_nonpositive_and_is_pps(spark):
+    from access_log_parser_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -1.0), (3, None), (4, 1e9), (5, 1e-12)],
+        schema="doc_id long, weight double",
+    )
+    got = [
+        r["doc_id"]
+        for r in weighted_sample_topk(df, k=2, weight_col="weight").collect()
+    ]
+    # only 4 and 5 are eligible; the huge weight must rank first
+    assert got == [4, 5]
+
+
+def test_weighted_sample_per_stratum_counts(spark):
+    from access_log_parser_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 2), 1.0) for i in range(20)],
+        schema="doc_id long, source string, weight double",
+    )
+    out = weighted_sample_topk(
+        df, k=3, weight_col="weight", stratum_col="source"
+    )
+    cnt = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert cnt == {"s0": 3, "s1": 3}
