@@ -308,6 +308,37 @@ SELECTED = [
     ("containment_dedup", False,
      "inverted shingle index self-join on the shingle key (same plan "
      "shape as ngram_jaccard) — shuffle on shingle, never all-pairs"),
+    ("rate_limit_batch", False,
+     "ONE host-keyed exchange into the Arrow-batched greedy scan "
+     "(FlatMapGroupsInPandas — the documented sequential-per-group "
+     "exception); per-group work bounded by the host's frontier-shard "
+     "request count; the request projection before the gate is "
+     "shuffle-free"),
+    ("http_status_route", False,
+     "HTTP header typing rides the SAME single Arrow framing pass as "
+     "warc_scan (one mapInPandas, no second Python stage); the "
+     "status-class routing key and the per-sink aggregate are pure "
+     "expressions with partial+final combine on the (class, type, "
+     "charset) key"),
+    ("trustrank_spam", False,
+     "biased-teleport rounds reuse pagerank's shape — one edge shuffle "
+     "+ one keyed agg per round over node-sized tables, lineage-cut "
+     "per round — plus a node-sized seed semi-join up front; spam "
+     "mass is one join of two node-sized rank tables"),
+    ("link_reciprocity", False,
+     "edge distinct + ONE (src,dst)-keyed semi-join against the "
+     "swapped edge list + two src-keyed counts with map-side combine; "
+     "output node-sized"),
+    ("trigram_backoff", False,
+     "ONE posexplode + two lag windows share the doc-keyed exchange; "
+     "uni/bi/tri count tables broadcast back onto the stream; the "
+     "bigram table is REUSED as the trigram context count — no fourth "
+     "aggregate"),
+    ("weighted_sample", False,
+     "the exp-sort key is a pure projection (md5 -> -ln(u)/w); "
+     "per-stratum selection is one stratum-keyed exchange + bounded "
+     "window rank (the global variant plans TakeOrderedAndProject, "
+     "never a full sort)"),
 ]
 
 
