@@ -3456,6 +3456,26 @@ def _q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_reciprocity(e1.unionByName(e2))
 
 
+def _q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + clustering coefficients (graph.triangle_counts)
+    over the same two-family 20-host graph as link_reciprocity; the
+    oracle replays symmetrize -> canonical orientation -> wedge close
+    directly in SQL."""
+    from access_log_parser_spark.operators.graph import triangle_counts
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    u = F.col("doc_id") % 20
+    e1 = docs.select(
+        F.concat(F.lit("h"), u.cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((u * 7 + 3) % 20).cast("string")).alias("dst"),
+    )
+    e2 = docs.select(
+        F.concat(F.lit("h"), u.cast("string")).alias("src"),
+        F.concat(F.lit("h"), ((u * 3 + 1) % 20).cast("string")).alias("dst"),
+    )
+    return triangle_counts(e1.unionByName(e2))
+
+
 def _q_pack_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack-boundary manifest (packing.pack_manifest): documents
     bin-filled into 500-token packs per content-addressed shard; the
@@ -3578,6 +3598,56 @@ def _q_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") < 250)
     new = docs.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 500))
     return token_distribution_drift(old, new, buckets=512)
+
+
+def _q_page_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (webtext.page_meta) over synthesized
+    payloads: doc_id %% 4 plants a full head (name-first attributes,
+    lang="en-US", a newline inside <title> to exercise whitespace
+    normalization) / content-first attribute order / a soft-404 title /
+    no head at all. The oracle is CLOSED-FORM per variant."""
+    from access_log_parser_spark.operators.webtext import page_meta
+
+    docs = _docs_par(spark, sf_dir)
+    k = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    body = F.concat(
+        F.lit("<body>"), F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</body></html>"),
+    )
+    h = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<html lang="en-US"><head><title> Doc '), k,
+                F.lit("\n overview </title>"
+                      '<meta name="description" content="desc '), k,
+                F.lit('"><meta property="og:title" content="OG '), k,
+                F.lit('"></head>'), body,
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<html><head><meta content="d2 '), k,
+                F.lit('" name="description">'
+                      '<meta content="og2 '), k,
+                F.lit('" property="og:title"><title>T'), k,
+                F.lit("</title></head>"), body,
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit('<html lang="en"><head><title>404 Not Found'
+                      "</title></head>"), body,
+            ),
+        )
+        .otherwise(F.concat(F.lit("<html>"), body))
+    )
+    return page_meta(
+        docs.select("doc_id", F.encode(h, "utf-8").alias("html"))
+    )
 
 
 def _q_robots_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4000,6 +4070,8 @@ _GATE_FIRST = [
     "link_reciprocity",
     "trigram_backoff",
     "weighted_sample",
+    "page_meta",
+    "triangle_counts",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4093,6 +4165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_hosts": _q_pagerank_hosts,
         "trustrank_spam": _q_trustrank_spam,
         "link_reciprocity": _q_link_reciprocity,
+        "triangle_counts": _q_triangle_counts,
         "hits_hosts": _q_hits_hosts,
         "pack_manifest": _q_pack_manifest,
         "shard_checksums": _q_shard_checksums,
@@ -4101,6 +4174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_keep_best": _q_near_dup_keep_best,
         "snapshot_drift": _q_snapshot_drift,
         "robots_meta": _q_robots_meta,
+        "page_meta": _q_page_meta,
         "bigram_logprob": _q_bigram_logprob,
         "trigram_backoff": _q_trigram_backoff,
         "cross_snapshot_bloom": _q_cross_snapshot_bloom,
@@ -7017,6 +7091,67 @@ bi AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lp), 4) AS mean_logprob
 FROM scored GROUP BY 1
+"""
+
+_ORACLE["triangle_counts"] = """
+WITH e0 AS (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS src,
+         'h' || CAST((doc_id % 20 * 7 + 3) % 20 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id < 500
+  UNION ALL
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR),
+         'h' || CAST((doc_id % 20 * 3 + 1) % 20 AS VARCHAR)
+  FROM documents WHERE doc_id < 500
+), e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+  ) WHERE src <> dst
+), canon AS (
+  SELECT src, dst FROM e WHERE src < dst
+), tri AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM canon ab
+  JOIN canon bc ON bc.src = ab.dst
+  JOIN canon ac ON ac.src = ab.src AND ac.dst = bc.dst
+), per AS (
+  SELECT node, COUNT(*) AS t FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY node
+), deg AS (
+  SELECT src AS node, COUNT(*) AS degree FROM e GROUP BY src
+)
+SELECT deg.node,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(COALESCE(t, 0) AS BIGINT) AS triangles,
+       ROUND(CASE WHEN degree >= 2
+                  THEN 2.0 * COALESCE(t, 0) / (degree * (degree - 1.0))
+                  ELSE 0.0 END, 6) AS clustering
+FROM deg LEFT JOIN per USING (node)
+"""
+
+_ORACLE["page_meta"] = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS k, doc_id % 4 AS m
+  FROM documents
+)
+SELECT doc_id,
+  CASE m WHEN 0 THEN 'Doc ' || k || ' overview'
+         WHEN 1 THEN 'T' || k
+         WHEN 2 THEN '404 Not Found' END AS title,
+  CASE m WHEN 0 THEN 'desc ' || k WHEN 1 THEN 'd2 ' || k END
+    AS meta_description,
+  CASE m WHEN 0 THEN 'OG ' || k WHEN 1 THEN 'og2 ' || k END AS og_title,
+  CASE m WHEN 0 THEN 'en-us' WHEN 2 THEN 'en' END AS html_lang,
+  CAST(CASE m WHEN 0 THEN 13 + length(k) WHEN 1 THEN 1 + length(k)
+              WHEN 2 THEN 13 ELSE 0 END AS INTEGER) AS title_chars,
+  -- the heuristic also fires when the doc number itself contains '404'
+  -- (e.g. 'Doc 404 overview') — that IS the operator's contract
+  CASE WHEN m = 2 THEN TRUE
+       WHEN m IN (0, 1) THEN k LIKE '%404%'
+       ELSE FALSE END AS looks_soft404
+FROM d
 """
 
 _ORACLE["weighted_sample"] = """

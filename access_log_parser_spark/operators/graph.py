@@ -461,6 +461,68 @@ def link_reciprocity(
     )
 
 
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    UNDIRECTED simple graph (edges symmetrized, deduped, self-loops
+    dropped) — the third structural spam/community signal next to
+    :func:`link_reciprocity` and :func:`spam_mass`: link farms and
+    tight cliques have anomalously high clustering; organic hub pages
+    sit in sparse neighborhoods.
+
+    Each triangle {a < b < c} is enumerated exactly once by joining the
+    canonical (low-id -> high-id) edge list as (a,b) |><| (b,c) and
+    closing the wedge against (a,c); per-node counts come from
+    exploding the triangle's three corners.
+
+        clustering(v) = 2 * T(v) / (deg(v) * (deg(v) - 1))   (deg >= 2)
+
+    Returns (node, degree, triangles, clustering), clustering rounded
+    to 6 dp; degree is the distinct-neighbor count.
+
+    Plan at 100 TB: the wedge join is keyed on the shared corner (one
+    edge-list shuffle per side), the closing join on (a,c) — never an
+    all-pairs product. On heavy-tailed host graphs, swap the id
+    orientation for degree orientation (orient edges low-degree ->
+    high-degree) to bound per-key wedge fan-out at O(sqrt(m)) per the
+    standard compact-forward argument — the triangle SET is identical,
+    only intermediate wedge counts change; the id orientation is the
+    pinned deterministic contract here."""
+    d = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    und = d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    canon = und.filter(F.col("src") < F.col("dst"))
+    ab = canon.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = canon.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = canon.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    t = F.coalesce(F.col("t"), F.lit(0))
+    return deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        t.alias("triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                2.0 * t / (F.col("degree") * (F.col("degree") - 1.0)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )
+
+
 def degree_histogram(edges: DataFrame) -> DataFrame:
     """Log2-binned in/out-degree distribution of the link graph — the
     standard first look at a crawled webgraph (degree distributions are

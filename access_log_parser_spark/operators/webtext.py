@@ -1044,6 +1044,83 @@ def robots_meta_signals(
     )
 
 
+# Page-metadata extraction (RE2-safe: lazy quantifiers + inline flags
+# only — both the Java regex engine and DuckDB's RE2 accept these, the
+# same compatibility contract as the robots-meta patterns above).
+TITLE_RE = r"(?is)<title\b[^>]*>(.*?)</title>"
+META_DESC_RE = (
+    r'(?is)<meta\s[^>]*name\s*=\s*["\']description["\']'
+    r'[^>]*content\s*=\s*["\']([^"\']*)["\']'
+)
+META_DESC_FIRST_RE = (
+    r'(?is)<meta\s[^>]*content\s*=\s*["\']([^"\']*)["\']'
+    r'[^>]*name\s*=\s*["\']description["\']'
+)
+OG_TITLE_RE = (
+    r'(?is)<meta\s[^>]*property\s*=\s*["\']og:title["\']'
+    r'[^>]*content\s*=\s*["\']([^"\']*)["\']'
+)
+OG_TITLE_FIRST_RE = (
+    r'(?is)<meta\s[^>]*content\s*=\s*["\']([^"\']*)["\']'
+    r'[^>]*property\s*=\s*["\']og:title["\']'
+)
+HTML_LANG_RE = r'(?is)<html\b[^>]*\blang\s*=\s*["\']([A-Za-z-]+)["\']'
+SOFT404_TITLE_RE = (
+    r"(404|not found|page (?:cannot|can't) be found|page does not exist"
+    r"|error)"
+)
+
+
+def page_meta(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Head-metadata extraction per page: ``<title>``, meta description,
+    ``og:title`` and the ``<html lang>`` attribute — the fields a crawl
+    pipeline indexes for snippeting, lang-ID priors and title-level
+    dedup — plus ``looks_soft404``, the classic soft-404 heuristic (a
+    page served HTTP 200 whose TITLE says it is an error page; soft
+    404s poison both corpora and link graphs, so the gate runs at
+    ingest). Both attribute orders handled, first match wins; title is
+    whitespace-normalized; values are returned RAW (no entity decode —
+    pinned so the oracle replay is exact); absent fields are NULL.
+
+    Returns (doc_id, title, meta_description, og_title, html_lang,
+    title_chars, looks_soft404).
+
+    Plan at 100 TB: pure per-row projection (one decode + five RE2-safe
+    regexp_extracts) — zero shuffles; composes with
+    :func:`robots_meta_signals` / :func:`html_to_text` on the same
+    decoded pass."""
+    t = F.decode(F.col(html_col), "utf-8")
+    title = F.nullif(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_extract(t, TITLE_RE, 1), r"\s+", " "
+            )
+        ),
+        F.lit(""),
+    )
+    desc = F.coalesce(
+        F.nullif(F.regexp_extract(t, META_DESC_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(t, META_DESC_FIRST_RE, 1), F.lit("")),
+    )
+    og = F.coalesce(
+        F.nullif(F.regexp_extract(t, OG_TITLE_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(t, OG_TITLE_FIRST_RE, 1), F.lit("")),
+    )
+    lang = F.nullif(F.regexp_extract(t, HTML_LANG_RE, 1), F.lit(""))
+    return df.select(
+        F.col(id_col),
+        title.alias("title"),
+        desc.alias("meta_description"),
+        og.alias("og_title"),
+        F.lower(lang).alias("html_lang"),
+        F.coalesce(F.length(title), F.lit(0)).alias("title_chars"),
+        F.coalesce(F.lower(title), F.lit("")).rlike(SOFT404_TITLE_RE)
+        .alias("looks_soft404"),
+    )
+
+
 # Block-level boilerplate heuristics (boilerpipe/jusText family). Shared
 # with the DuckDB oracle: blocks are split on block-level tags, each
 # block scored by link density (chars inside <a> / total chars).

@@ -1526,3 +1526,66 @@ def test_weighted_sample_per_stratum_counts(spark):
         for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
     }
     assert cnt == {"s0": 3, "s1": 3}
+
+
+# ----------------------------------------------------------- page meta
+def test_page_meta_extraction_and_soft404(spark):
+    from access_log_parser_spark.operators.webtext import page_meta
+
+    pages = {
+        1: ('<html lang="EN-gb"><head><title>  A\n  B </title>'
+            '<meta name="description" content="d1">'
+            '<meta property="og:title" content="o1"></head><body>x'),
+        2: ('<html><head><meta content="d2" name="description">'
+            '<meta content="o2" property="og:title"></head><body>'),
+        3: '<html><head><title>Page Not Found</title></head><body>ok',
+        4: "<html><body>no head at all",
+        5: '<html><head><title>error</title><title>second</title></head>',
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(h.encode())) for i, h in pages.items()],
+        schema="doc_id long, html binary",
+    )
+    got = {r["doc_id"]: r.asDict() for r in page_meta(df).collect()}
+    assert got[1]["title"] == "A B"                   # ws-normalized
+    assert got[1]["meta_description"] == "d1"
+    assert got[1]["og_title"] == "o1"
+    assert got[1]["html_lang"] == "en-gb"             # lowercased
+    assert got[1]["title_chars"] == 3
+    assert got[1]["looks_soft404"] is False
+    assert got[2]["meta_description"] == "d2"         # content-first order
+    assert got[2]["og_title"] == "o2"
+    assert got[2]["title"] is None and got[2]["title_chars"] == 0
+    assert got[3]["looks_soft404"] is True            # 'not found' title
+    assert got[4] == {
+        "doc_id": 4, "title": None, "meta_description": None,
+        "og_title": None, "html_lang": None, "title_chars": 0,
+        "looks_soft404": False,
+    }
+    assert got[5]["title"] == "error"                 # first title wins
+    assert got[5]["looks_soft404"] is True
+
+
+# ------------------------------------------------------ triangle counts
+def test_triangle_counts_known_graph(spark):
+    from access_log_parser_spark.operators.graph import triangle_counts
+
+    # K4 on {a,b,c,d} minus edge (c,d), plus pendant (d,e); given as
+    # DIRECTED with duplicates and a self-loop to exercise normalization
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"), ("b", "c"),
+         ("b", "d"), ("d", "e"), ("e", "e"), ("a", "b")],
+        schema="src string, dst string",
+    )
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering"])
+        for r in triangle_counts(edges).collect()
+    }
+    # triangles: abc, abd (cd missing kills acd/bcd)
+    assert got == {
+        "a": (3, 2, round(2 * 2 / (3 * 2), 6)),
+        "b": (3, 2, round(2 * 2 / (3 * 2), 6)),
+        "c": (2, 1, 1.0),
+        "d": (3, 1, round(2 * 1 / (3 * 2), 6)),
+        "e": (1, 0, 0.0),
+    }
