@@ -1009,6 +1009,40 @@ def _q_topk_uris(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection over the parsed CLF corpus
+    (operators/botdetect.bot_signals): decode -> per-client aggregate.
+    The synthetic UA is remapped by event_id %% 7 so two of seven
+    request classes self-identify (Googlebot, curl); URI diversity and
+    4xx/5xx appetite come from the corpus's own shapes. The oracle
+    replays the matched-line field arithmetic and the exact count
+    thresholds."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.botdetect import bot_signals
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    fields = extract_fields(
+        lines, "apache_clf", passthrough=["event_id"]
+    ).filter(F.col("pattern_id") >= 0)
+    ua = (
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.lit("Googlebot/2.1 (+http://www.google.com/bot.html)"),
+        )
+        .when(F.col("event_id") % 7 == 1, F.lit("curl/8.0.1"))
+        .otherwise(
+            F.concat(
+                F.lit("Mozilla/5.0 ua"),
+                (F.col("event_id") % 7).cast("string"),
+            )
+        )
+    )
+    reqs = fields.select(
+        "remote_host", "request_uri", "status", ua.alias("user_agent")
+    )
+    return bot_signals(reqs)
+
+
 def _q_topk_uris_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP top-k: top-3 request URIs within each source via a
     window rank (deterministic tie-break), the grouped twin of the global
@@ -4072,6 +4106,7 @@ _GATE_FIRST = [
     "weighted_sample",
     "page_meta",
     "triangle_counts",
+    "bot_signals",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4233,6 +4268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": _q_sessionize,
         "topk_uris": _q_topk_uris,
         "topk_uris_per_source": _q_topk_uris_per_source,
+        "bot_signals": _q_bot_signals,
         "size_histogram": _q_size_histogram,
         "curation_pipeline": _q_curation_pipeline,
         "curation_v2": _q_curation_v2,
@@ -7091,6 +7127,37 @@ bi AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lp), 4) AS mean_logprob
 FROM scored GROUP BY 1
+"""
+
+_ORACLE["bot_signals"] = """
+WITH m AS (
+  SELECT '192.0.2.' || CAST(user_id % 200 AS VARCHAR) AS host,
+         '/' || event_type || '/' || CAST(event_id AS VARCHAR) AS uri,
+         200 + (event_id % 4) * 100 AS status,
+         event_id % 7 AS uam
+  FROM events WHERE event_id % 10 <> 0
+), agg AS (
+  SELECT host, COUNT(*) AS n_req, COUNT(DISTINCT uri) AS n_uris,
+         MAX(CASE WHEN uam IN (0, 1) THEN 1 ELSE 0 END) AS ua_bot_i,
+         SUM(CASE WHEN status >= 400 THEN 1 ELSE 0 END) AS errs
+  FROM m GROUP BY host
+), sc AS (
+  SELECT *,
+         ua_bot_i
+         + (CASE WHEN n_req >= 10 AND n_uris >= 0.8 * n_req
+                 THEN 1 ELSE 0 END)
+         + (CASE WHEN errs >= 0.5 * n_req THEN 1 ELSE 0 END) AS score
+  FROM agg
+)
+SELECT host,
+       CAST(n_req AS BIGINT) AS n_req,
+       CAST(n_uris AS BIGINT) AS n_uris,
+       ROUND(CAST(n_uris AS DOUBLE) / n_req, 6) AS uri_diversity,
+       ROUND(CAST(errs AS DOUBLE) / n_req, 6) AS err_ratio,
+       (ua_bot_i = 1) AS ua_bot,
+       CAST(score AS INTEGER) AS bot_score,
+       (score >= 2) AS is_bot
+FROM sc
 """
 
 _ORACLE["triangle_counts"] = """

@@ -1589,3 +1589,37 @@ def test_triangle_counts_known_graph(spark):
         "d": (3, 1, round(2 * 1 / (3 * 2), 6)),
         "e": (1, 0, 0.0),
     }
+
+
+# ------------------------------------------------------- bot detection
+def test_bot_signals_flags_and_score(spark):
+    from access_log_parser_spark.operators.botdetect import bot_signals
+
+    rows = []
+    # 'crawler': 12 requests, all-distinct URIs, half errors, bot UA
+    for i in range(12):
+        rows.append(("1.1.1.1", f"/p{i}", "404" if i % 2 else "200",
+                     "FancyBot/1.0"))
+    # 'human': 12 requests over 3 URIs, no errors, browser UA
+    for i in range(12):
+        rows.append(("2.2.2.2", f"/page{i % 3}", "200", "Mozilla/5.0"))
+    # 'curl sampler': 4 requests (below min_requests), OK statuses
+    for i in range(4):
+        rows.append(("3.3.3.3", f"/x{i}", "200", "curl/8.0"))
+    # bad-status strings must not count as errors
+    rows.append(("4.4.4.4", "/y", "abc", "Mozilla/5.0"))
+    df = spark.createDataFrame(
+        rows,
+        schema="remote_host string, request_uri string, status string, "
+               "user_agent string",
+    )
+    got = {r["host"]: r.asDict() for r in bot_signals(df).collect()}
+    c = got["1.1.1.1"]
+    assert (c["ua_bot"], c["bot_score"], c["is_bot"]) == (True, 3, True)
+    assert c["uri_diversity"] == 1.0 and c["err_ratio"] == 0.5
+    h = got["2.2.2.2"]
+    assert (h["ua_bot"], h["bot_score"], h["is_bot"]) == (False, 0, False)
+    assert h["n_uris"] == 3
+    s = got["3.3.3.3"]      # UA fires, diversity gated by min_requests
+    assert (s["ua_bot"], s["bot_score"], s["is_bot"]) == (True, 1, False)
+    assert got["4.4.4.4"]["err_ratio"] == 0.0
