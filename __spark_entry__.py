@@ -2421,6 +2421,110 @@ def _q_sitemap_locs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sitemap_locs(sites)
 
 
+def _q_sitemap_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol tree classification (webtext.sitemap_tree):
+    doc_id %% 3 publishes a <sitemapindex> (2 child sitemaps — must be
+    tagged 'index', i.e. fetch-and-expand, NOT page URLs), a <urlset>
+    (2 pages), or a malformed root whose loc still surfaces under
+    'unknown' for quarantine. Oracle is closed-form per variant."""
+    from access_log_parser_spark.operators.webtext import sitemap_tree
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    xml = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<?xml version="1.0"?><sitemapindex><sitemap>'
+                      "<loc>https://s"),
+                k, F.lit(".example/sm1.xml</loc></sitemap><sitemap><loc>"
+                         "https://s"),
+                k, F.lit(".example/sm2.xml</loc></sitemap>"
+                         "</sitemapindex>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset><url><loc>https://s'),
+                k, F.lit(".example/a/"), k,
+                F.lit("</loc></url><url><loc>https://s"),
+                k, F.lit(".example/b/"), k,
+                F.lit("</loc></url></urlset>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<garbage><loc>https://s"), k,
+                F.lit(".example/x</loc></garbage>"),
+            )
+        )
+    )
+    sites = docs.select(
+        F.concat(F.lit("s"), k, F.lit(".example")).alias("host"),
+        xml.alias("sitemap_xml"),
+    )
+    return sitemap_tree(sites)
+
+
+def _q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh soft-redirect extraction
+    (webtext.meta_refresh_redirects): doc_id %% 4 plants http-equiv-
+    first / content-first / a refresh WITHOUT a url= (must not emit) /
+    no refresh at all. Oracle is closed-form per variant."""
+    from access_log_parser_spark.operators.webtext import (
+        meta_refresh_redirects,
+    )
+
+    docs = _docs_par(spark, sf_dir)
+    k = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    body = F.concat(
+        F.lit("<body>"), F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</body></html>"),
+    )
+    h = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<html><head><meta http-equiv="refresh" '
+                      'content="0;url=https://t.example/r'), k,
+                F.lit('"></head>'), body,
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<html><head><meta content="5; url=/local/'), k,
+                F.lit('" http-equiv="Refresh"></head>'), body,
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit('<html><head><meta http-equiv="refresh" '
+                      'content="30"></head>'), body,
+            ),
+        )
+        .otherwise(F.concat(F.lit("<html>"), body))
+    )
+    return meta_refresh_redirects(
+        docs.select("doc_id", F.encode(h, "utf-8").alias("html"))
+    )
+
+
+def _q_build_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (retrieval.build_postings) over
+    documents 0-199 with a cap of 3 postings per token — small enough
+    that cap truncation actually fires on common tokens; the oracle
+    replays the (tf desc, id asc) rank and the ordered string_agg."""
+    from access_log_parser_spark.operators.retrieval import build_postings
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 200)
+    return build_postings(docs, max_postings=3)
+
+
 def _q_sitemap_entries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full sitemap urlset parsing (webtext.sitemap_entries): each host
     publishes 3 url blocks — /a/ with lastmod (half with a datetime
@@ -4107,6 +4211,9 @@ _GATE_FIRST = [
     "page_meta",
     "triangle_counts",
     "bot_signals",
+    "sitemap_tree",
+    "meta_refresh",
+    "build_postings",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4165,6 +4272,9 @@ _GATE_FIRST = [
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         "sitemap_locs": _q_sitemap_locs,
+        "sitemap_tree": _q_sitemap_tree,
+        "meta_refresh": _q_meta_refresh,
+        "build_postings": _q_build_postings,
         "stratified_topk": _q_stratified_topk,
         "robots_gate": _q_robots_gate,
         "robots_gate_wildcards": _q_robots_gate_wildcards,
@@ -7127,6 +7237,62 @@ bi AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lp), 4) AS mean_logprob
 FROM scored GROUP BY 1
+"""
+
+_ORACLE["sitemap_tree"] = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS k, doc_id % 3 AS m
+  FROM documents WHERE doc_id < 500
+)
+SELECT 's' || k || '.example' AS host,
+       CASE m WHEN 0 THEN 'index' WHEN 1 THEN 'urlset'
+              ELSE 'unknown' END AS kind,
+       CAST(p AS BIGINT) AS position,
+       CASE WHEN m = 0 AND p = 1
+              THEN 'https://s' || k || '.example/sm1.xml'
+            WHEN m = 0 AND p = 2
+              THEN 'https://s' || k || '.example/sm2.xml'
+            WHEN m = 1 AND p = 1
+              THEN 'https://s' || k || '.example/a/' || k
+            WHEN m = 1 AND p = 2
+              THEN 'https://s' || k || '.example/b/' || k
+            ELSE 'https://s' || k || '.example/x' END AS loc
+FROM d, unnest(generate_series(1, CASE WHEN m = 2 THEN 1 ELSE 2 END)) t(p)
+"""
+
+_ORACLE["meta_refresh"] = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS k, doc_id % 4 AS m
+  FROM documents
+)
+SELECT doc_id,
+       CAST(CASE m WHEN 0 THEN 0 WHEN 1 THEN 5 END AS INTEGER)
+         AS refresh_seconds,
+       CASE m WHEN 0 THEN 'https://t.example/r' || k
+              WHEN 1 THEN '/local/' || k END AS refresh_target
+FROM d WHERE m IN (0, 1)
+"""
+
+_ORACLE["build_postings"] = r"""
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(regexp_split_to_array(trim(COALESCE(text, '')), '\s+'))
+           AS token
+  FROM documents WHERE doc_id < 200
+), tf AS (
+  SELECT token, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY token
+                               ORDER BY tf DESC, doc_id) AS rk
+  FROM tf
+)
+SELECT token,
+       CAST(COUNT(*) AS BIGINT) AS df_docs,
+       COALESCE(string_agg(
+         CASE WHEN rk <= 3
+              THEN CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+         END, ',' ORDER BY tf DESC, doc_id), '') AS postings
+FROM ranked GROUP BY token
 """
 
 _ORACLE["bot_signals"] = """

@@ -156,3 +156,71 @@ def rrf_fuse(
             F.round("_s", round_dp).alias("rrf_score"),
         )
     )
+
+
+def build_postings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = 1000,
+) -> DataFrame:
+    """Inverted-index construction: one row per token with its document
+    frequency and a tf-ranked posting list — the artifact a lexical
+    search tier serves from (and the exploded-index counterpart of the
+    literal-query :func:`bm25_score`, for when the QUERY side is itself
+    corpus-sized).
+
+    ``postings`` is a deterministic string: the top ``max_postings``
+    docs per token ordered by (tf desc, id asc), serialized as
+    ``id:tf`` joined by ','. The cap is the standard impact-ordered
+    truncation (stopword posting lists are corpus-sized; a serving tier
+    keeps the high-impact prefix) — it is part of the CONTRACT, not a
+    silent bound: ``df_docs`` always reports the FULL document
+    frequency, so cap loss is observable per token.
+
+    Returns (token, df_docs, postings).
+
+    Plan at 100 TB: ONE (token, doc) keyed count with map-side combine,
+    then ONE token-keyed exchange shared by the window rank and the
+    final aggregate; the per-token ordering happens inside
+    ``array_sort`` over the already-capped struct list (<= max_postings
+    elements), not as a corpus sort. Skewed tokens (stopwords) are the
+    AQE skew-agg case; the cap bounds what survives the rank anyway."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(tokens(F.coalesce(F.col(text_col), F.lit(""))))
+            .alias("token"),
+        )
+        .groupBy("token", "_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("token").orderBy(
+        F.col("tf").desc(), F.col("_id").asc()
+    )
+    ranked = tf.withColumn("_rk", F.row_number().over(w))
+    entry = F.struct(
+        (-F.col("tf")).alias("neg_tf"),
+        F.col("_id").alias("id"),
+        F.concat_ws(":", F.col("_id").cast("string"),
+                    F.col("tf").cast("string")).alias("s"),
+    )
+    return (
+        ranked.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("_rk") <= max_postings, entry)
+                        )
+                    ),
+                    lambda e: e["s"],
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )

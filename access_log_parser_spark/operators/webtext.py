@@ -1566,6 +1566,84 @@ def sitemap_locs(
     ).select("host", (F.col("pos") + 1).cast("long").alias("position"), "loc")
 
 
+def sitemap_tree(
+    df: DataFrame, xml_col: str = "sitemap_xml", host_col: str = "host"
+) -> DataFrame:
+    """Sitemap-protocol tree classification: real crawls mostly hit
+    ``<sitemapindex>`` files whose ``<loc>`` children are MORE SITEMAPS
+    to fetch-and-expand, not pages — treating them as page URLs (what a
+    naive loc scan does) floods the frontier with XML documents. This
+    classifies each fetched sitemap by its root element and tags every
+    extracted loc with what the frontier should DO with it:
+
+        kind = 'index'  -> loc is a child sitemap (fetch + re-expand)
+        kind = 'urlset' -> loc is a page URL (schedule for crawl)
+        kind = 'unknown'-> malformed root; loc surfaced for quarantine
+
+    Returns (host, kind, position, loc) — :func:`sitemap_locs` with the
+    routing column. Pure per-row projection (one rlike pair +
+    regexp_extract_all + posexplode), zero shuffles."""
+    xml = F.coalesce(F.col(xml_col), F.lit(""))
+    kind = (
+        F.when(xml.rlike(r"(?is)<\s*sitemapindex\b"), F.lit("index"))
+        .when(xml.rlike(r"(?is)<\s*urlset\b"), F.lit("urlset"))
+        .otherwise(F.lit("unknown"))
+    )
+    locs = F.regexp_extract_all(xml, F.lit(SITEMAP_LOC_RE), 1)
+    return df.select(
+        F.col(host_col).alias("host"),
+        kind.alias("kind"),
+        F.posexplode(locs).alias("pos", "loc"),
+    ).select(
+        "host", "kind",
+        (F.col("pos") + 1).cast("long").alias("position"), "loc",
+    )
+
+
+META_REFRESH_RE = (
+    r'(?is)<meta\s[^>]*http-equiv\s*=\s*["\']refresh["\']'
+    r'[^>]*content\s*=\s*["\']\s*(\d+)\s*;\s*url\s*=\s*([^"\'>\s]+)'
+)
+META_REFRESH_FIRST_RE = (
+    r'(?is)<meta\s[^>]*content\s*=\s*["\']\s*(\d+)\s*;\s*url\s*='
+    r'\s*([^"\'>\s]+)[^>]*http-equiv\s*=\s*["\']refresh["\']'
+)
+
+
+def meta_refresh_redirects(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Meta-refresh soft-redirect extraction: pages that redirect via
+    ``<meta http-equiv="refresh" content="N;url=...">`` are served
+    HTTP 200, so they are invisible to :func:`~.warc.status_class_col`
+    routing and to the Location-header redirect map — yet they are
+    redirects (doorway/parked pages use exactly this), and their
+    targets belong in the same edge list ``redirect_chains`` resolves.
+    Both attribute orders, first match wins; emits only pages that have
+    one.
+
+    Returns (doc_id, refresh_seconds, refresh_target). Pure per-row
+    projection, zero shuffles; union the output with Location-header
+    edges before chain resolution."""
+    t = F.decode(F.col(html_col), "utf-8")
+    sec = F.coalesce(
+        F.nullif(F.regexp_extract(t, META_REFRESH_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(t, META_REFRESH_FIRST_RE, 1), F.lit("")),
+    )
+    url = F.coalesce(
+        F.nullif(F.regexp_extract(t, META_REFRESH_RE, 2), F.lit("")),
+        F.nullif(F.regexp_extract(t, META_REFRESH_FIRST_RE, 2), F.lit("")),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            sec.try_cast("int").alias("refresh_seconds"),
+            url.alias("refresh_target"),
+        )
+        .filter(F.col("refresh_target").isNotNull())
+    )
+
+
 def change_rate(
     observations: DataFrame,
     url_col: str = "url",

@@ -1623,3 +1623,70 @@ def test_bot_signals_flags_and_score(spark):
     s = got["3.3.3.3"]      # UA fires, diversity gated by min_requests
     assert (s["ua_bot"], s["bot_score"], s["is_bot"]) == (True, 1, False)
     assert got["4.4.4.4"]["err_ratio"] == 0.0
+
+
+# --------------------------------------- sitemap tree / meta refresh
+def test_sitemap_tree_kinds(spark):
+    from access_log_parser_spark.operators.webtext import sitemap_tree
+
+    rows = [
+        ("a.ex", '<sitemapindex><sitemap><loc>https://a.ex/s1.xml</loc>'
+                 '</sitemap></sitemapindex>'),
+        ("b.ex", '<urlset><url><loc>https://b.ex/p</loc></url></urlset>'),
+        ("c.ex", 'plain text <loc>https://c.ex/x</loc>'),
+        ("d.ex", None),
+    ]
+    df = spark.createDataFrame(rows, schema="host string, sitemap_xml string")
+    got = {
+        (r["host"], r["position"]): (r["kind"], r["loc"])
+        for r in sitemap_tree(df).collect()
+    }
+    assert got == {
+        ("a.ex", 1): ("index", "https://a.ex/s1.xml"),
+        ("b.ex", 1): ("urlset", "https://b.ex/p"),
+        ("c.ex", 1): ("unknown", "https://c.ex/x"),
+    }
+
+
+def test_meta_refresh_variants(spark):
+    from access_log_parser_spark.operators.webtext import (
+        meta_refresh_redirects,
+    )
+
+    pages = {
+        1: '<meta http-equiv="refresh" content="0;url=https://t/x">',
+        2: '<meta content="5; url=/rel" http-equiv="Refresh">',
+        3: '<meta http-equiv="refresh" content="30">',      # no url=
+        4: '<meta name="refresh" content="0;url=https://no">',  # wrong attr
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(h.encode())) for i, h in pages.items()],
+        schema="doc_id long, html binary",
+    )
+    got = {
+        r["doc_id"]: (r["refresh_seconds"], r["refresh_target"])
+        for r in meta_refresh_redirects(df).collect()
+    }
+    assert got == {1: (0, "https://t/x"), 2: (5, "/rel")}
+
+
+# ------------------------------------------------------ postings index
+def test_build_postings_rank_and_cap(spark):
+    from access_log_parser_spark.operators.retrieval import build_postings
+
+    docs = [
+        (1, "x x x y"),
+        (2, "x x z"),
+        (3, "x y y"),
+        (4, "x"),
+    ]
+    df = spark.createDataFrame(docs, schema="doc_id long, text string")
+    got = {
+        r["token"]: (r["df_docs"], r["postings"])
+        for r in build_postings(df, max_postings=2).collect()
+    }
+    # x: tf 3,2,1,1 over docs 1,2,3,4 -> df 4, capped to top-2
+    assert got["x"] == (4, "1:3,2:2")
+    # y: tf 2 in doc3, 1 in doc1 -> rank by tf desc
+    assert got["y"] == (2, "3:2,1:1")
+    assert got["z"] == (1, "2:1")

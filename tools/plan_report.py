@@ -339,6 +339,19 @@ SELECTED = [
      "per-stratum selection is one stratum-keyed exchange + bounded "
      "window rank (the global variant plans TakeOrderedAndProject, "
      "never a full sort)"),
+    ("page_meta", False,
+     "pure per-row projection: one decode + five RE2-safe "
+     "regexp_extracts + the soft-404 rlike — zero shuffles beyond the "
+     "harness repartition"),
+    ("triangle_counts", False,
+     "wedge join keyed on the shared corner and closed against (a,c) "
+     "— equi-joins only, never an all-pairs product; per-node counts "
+     "from a 3-corner explode with map-side combine"),
+    ("bot_signals", False,
+     "ONE host-keyed aggregate after the decode: counts + UA flag are "
+     "map-side partials, exact distinct rewrites to two-phase "
+     "expand+agg on the same key; flag/score projection is pure "
+     "codegen after the agg"),
 ]
 
 
