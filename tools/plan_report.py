@@ -352,6 +352,19 @@ SELECTED = [
      "map-side partials, exact distinct rewrites to two-phase "
      "expand+agg on the same key; flag/score projection is pure "
      "codegen after the agg"),
+    ("sitemap_tree", False,
+     "root classification is one rlike pair and locs one "
+     "regexp_extract_all + posexplode — pure per-row projection, zero "
+     "shuffles beyond the harness repartition"),
+    ("meta_refresh", False,
+     "pure per-row projection (decode + two RE2-safe two-group "
+     "regexp_extracts + try_cast); zero shuffles beyond the harness "
+     "repartition"),
+    ("build_postings", False,
+     "ONE (token, doc)-keyed count with map-side combine, then ONE "
+     "token-keyed exchange shared by the window rank and the final "
+     "aggregate; per-token ordering is array_sort over the capped "
+     "struct list, never a corpus sort"),
 ]
 
 
