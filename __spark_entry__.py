@@ -1043,6 +1043,24 @@ def _q_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bot_signals(reqs)
 
 
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-shuffle skew diagnosis (enrich.key_skew_profile): a planted
+    hot key holds ~half the events ('hot' when user_id %% 100 < 50,
+    else 50 cold keys) — the profile must surface it at rank 1 with
+    share ~0.5 and imbalance ~25x; the oracle replays counts, the
+    1-row totals and the (n desc, key) top-k."""
+    from access_log_parser_spark.enrich import key_skew_profile
+
+    ev = _load(spark, sf_dir, "events")
+    m = F.col("user_id") % 100
+    keyed = ev.select(
+        F.when(m < 50, F.lit("hot"))
+        .otherwise(F.concat(F.lit("h"), m.cast("string")))
+        .alias("host")
+    )
+    return key_skew_profile(keyed, "host", topk=5)
+
+
 def _q_topk_uris_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP top-k: top-3 request URIs within each source via a
     window rank (deterministic tie-break), the grouped twin of the global
@@ -4214,6 +4232,7 @@ _GATE_FIRST = [
     "sitemap_tree",
     "meta_refresh",
     "build_postings",
+    "key_skew",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4379,6 +4398,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_uris": _q_topk_uris,
         "topk_uris_per_source": _q_topk_uris_per_source,
         "bot_signals": _q_bot_signals,
+        "key_skew": _q_key_skew,
         "size_histogram": _q_size_histogram,
         "curation_pipeline": _q_curation_pipeline,
         "curation_v2": _q_curation_v2,
@@ -7237,6 +7257,28 @@ bi AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lp), 4) AS mean_logprob
 FROM scored GROUP BY 1
+"""
+
+_ORACLE["key_skew"] = """
+WITH keyed AS (
+  SELECT CASE WHEN user_id % 100 < 50 THEN 'hot'
+              ELSE 'h' || CAST(user_id % 100 AS VARCHAR) END AS key
+  FROM events
+), counts AS (
+  SELECT key, COUNT(*) AS n_rows FROM keyed GROUP BY key
+), totals AS (
+  SELECT SUM(n_rows) AS total, COUNT(*) AS n_distinct FROM counts
+), top AS (
+  SELECT key, n_rows,
+         ROW_NUMBER() OVER (ORDER BY n_rows DESC, key) AS rank
+  FROM counts
+)
+SELECT CAST(rank AS BIGINT) AS rank, key,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       ROUND(CAST(n_rows AS DOUBLE) / total, 6) AS share,
+       ROUND(n_rows / (CAST(total AS DOUBLE) / n_distinct), 6)
+         AS imbalance
+FROM top, totals WHERE rank <= 5
 """
 
 _ORACLE["sitemap_tree"] = """

@@ -113,3 +113,56 @@ def two_phase_count(df: DataFrame, key: str, buckets: int = 16) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("_c"))
     )
     return partial.groupBy(key).agg(F.sum("_c").alias("count"))
+
+
+def key_skew_profile(
+    df: DataFrame, key: str, topk: int = 10
+) -> DataFrame:
+    """Pre-shuffle skew diagnosis: the evidence a pipeline inspects
+    BEFORE deciding where :func:`salted_repartition` /
+    :func:`two_phase_count` / AQE skew-join hints are needed. Every
+    groupBy/join on ``key`` sends each key's rows to one reducer, so
+    the hot-key share IS the stage's parallelism ceiling: a key holding
+    20%% of rows caps the shuffle at 5 effective reducers no matter the
+    cluster size.
+
+    Returns the ``topk`` heaviest keys, one row each:
+    (rank, key, n_rows, share, imbalance) — share = n_rows/total,
+    imbalance = n_rows/mean-rows-per-distinct-key, both rounded to 6 dp
+    (imbalance ~1 everywhere = uniform; imbalance >> buckets = salt).
+
+    Plan at 100 TB: ONE key-keyed count with map-side combine (itself
+    skew-prone, but a count's partial agg collapses the hot key's rows
+    to one partial per map task — the diagnosis never suffers the
+    disease it measures), a 1-row global aggregate broadcast back, and
+    TakeOrderedAndProject for the top-k (per-partition top-k + a k-row
+    merge — NEVER a global window over the key table, which would
+    single-partition a million-host count at web scale; the rank
+    window runs over the <= topk survivors only). Output <= topk
+    rows."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"),
+        F.count(F.lit(1)).alias("_distinct"),
+    )
+    top = counts.orderBy(
+        F.col("n_rows").desc(), F.col("key").asc()
+    ).limit(topk)
+    w = Window.orderBy(F.col("n_rows").desc(), F.col("key").asc())
+    return (
+        top.join(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w))
+        .select(
+            F.col("rank").cast("long").alias("rank"),
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            F.round(
+                F.col("n_rows") / (F.col("_total") / F.col("_distinct")), 6
+            ).alias("imbalance"),
+        )
+    )

@@ -1690,3 +1690,19 @@ def test_build_postings_rank_and_cap(spark):
     # y: tf 2 in doc3, 1 in doc1 -> rank by tf desc
     assert got["y"] == (2, "3:2,1:1")
     assert got["z"] == (1, "2:1")
+
+
+# -------------------------------------------------- key skew profile
+def test_key_skew_profile_surfaces_hot_key(spark):
+    from access_log_parser_spark.enrich import key_skew_profile
+
+    rows = [("hot",)] * 60 + [(f"c{i}",) for i in range(40)]
+    df = spark.createDataFrame(rows, schema="k string")
+    got = key_skew_profile(df, "k", topk=3).collect()
+    assert [(r["rank"], r["key"], r["n_rows"]) for r in got] == [
+        (1, "hot", 60), (2, "c0", 1), (3, "c1", 1)
+    ]
+    top = got[0]
+    assert top["share"] == 0.6
+    # mean rows/key = 100/41; imbalance = 60 / (100/41)
+    assert top["imbalance"] == round(60 / (100 / 41), 6)
