@@ -1043,6 +1043,43 @@ def _q_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bot_signals(reqs)
 
 
+def _q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation (evaluation.ndcg_at_k): 5 synthetic
+    queries over docs 0-199 with score (7*doc_id)%%100 and graded
+    rel doc_id%%4; NDCG@10 with both tie-breaks pinned on doc_id. The
+    oracle replays both window ranks and the exponential-gain sums."""
+    from access_log_parser_spark.operators.evaluation import ndcg_at_k
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 200)
+    cand = docs.select(
+        F.concat(F.lit("q"), (F.col("doc_id") % 5).cast("string"))
+        .alias("query_id"),
+        "doc_id",
+        ((F.col("doc_id") * 7) % 100).cast("double").alias("score"),
+        (F.col("doc_id") % 4).alias("rel"),
+    )
+    return ndcg_at_k(cand, k=10)
+
+
+def _q_zscore_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch z-score spike detection (streaming/anomaly.zscore_spikes):
+    events bucketed per (user-group, hour) with ~40%% of rows planted
+    into hour 0 — the detector must flag exactly those buckets; the
+    oracle replays the exact-integer moment arithmetic."""
+    from access_log_parser_spark.streaming.anomaly import zscore_spikes
+
+    ev = _load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat(F.lit("u"), (F.col("user_id") % 10).cast("string"))
+        .alias("grp"),
+        F.when(F.col("event_id") % 50 < 20, F.lit(0))
+        .otherwise(F.col("event_id") % 24)
+        .cast("long")
+        .alias("hour"),
+    )
+    return zscore_spikes(keyed, key_col="grp", bucket_col="hour")
+
+
 def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-shuffle skew diagnosis (enrich.key_skew_profile): a planted
     hot key holds ~half the events ('hot' when user_id %% 100 < 50,
@@ -4233,6 +4270,8 @@ _GATE_FIRST = [
     "meta_refresh",
     "build_postings",
     "key_skew",
+    "ndcg_eval",
+    "zscore_spikes",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4399,6 +4438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_uris_per_source": _q_topk_uris_per_source,
         "bot_signals": _q_bot_signals,
         "key_skew": _q_key_skew,
+        "ndcg_eval": _q_ndcg_eval,
+        "zscore_spikes": _q_zscore_spikes,
         "size_histogram": _q_size_histogram,
         "curation_pipeline": _q_curation_pipeline,
         "curation_v2": _q_curation_v2,
@@ -7257,6 +7298,61 @@ bi AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lp), 4) AS mean_logprob
 FROM scored GROUP BY 1
+"""
+
+_ORACLE["ndcg_eval"] = """
+WITH d AS (
+  SELECT 'q' || CAST(doc_id % 5 AS VARCHAR) AS query_id,
+         doc_id, CAST((doc_id * 7) % 100 AS DOUBLE) AS score,
+         doc_id % 4 AS rel
+  FROM documents WHERE doc_id < 200
+), r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score DESC, doc_id) AS rk,
+    ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, doc_id) AS irk
+  FROM d
+), g AS (
+  SELECT query_id,
+    SUM(CASE WHEN rk <= 10
+             THEN (pow(2.0, rel) - 1) / log2(rk + 1.0) ELSE 0.0 END)
+      AS dcg,
+    SUM(CASE WHEN irk <= 10
+             THEN (pow(2.0, rel) - 1) / log2(irk + 1.0) ELSE 0.0 END)
+      AS idcg
+  FROM r GROUP BY query_id
+)
+SELECT query_id, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+       ROUND(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+FROM g
+"""
+
+_ORACLE["zscore_spikes"] = """
+WITH keyed AS (
+  SELECT 'u' || CAST(user_id % 10 AS VARCHAR) AS key,
+         CAST(CASE WHEN event_id % 50 < 20 THEN 0
+                   ELSE event_id % 24 END AS BIGINT) AS bucket
+  FROM events
+), counts AS (
+  SELECT key, bucket, COUNT(*) AS c FROM keyed GROUP BY 1, 2
+), moments AS (
+  SELECT key, COUNT(*) AS n, SUM(c) AS s1, SUM(c * c) AS s2
+  FROM counts GROUP BY key
+), z AS (
+  SELECT counts.key, bucket, c,
+         CAST(s1 AS DOUBLE) / n AS mean,
+         CASE WHEN n >= 3
+               AND (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) > 0
+              THEN (c - CAST(s1 AS DOUBLE) / n)
+                   / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+         END AS zv
+  FROM counts JOIN moments USING (key)
+)
+SELECT key, bucket, CAST(c AS BIGINT) AS c,
+       ROUND(mean, 4) AS mean, ROUND(zv, 4) AS z,
+       COALESCE(zv >= 3.0, FALSE) AS is_spike
+FROM z
 """
 
 _ORACLE["key_skew"] = """

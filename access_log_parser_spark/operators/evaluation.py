@@ -100,3 +100,69 @@ def threshold_sweep(
             F.round(f1, round_dp).alias("f1"),
         )
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NDCG@k per query (Jarvelin & Kekalainen 2002, the exponential
+    gain form) — the ranking-quality metric for the retrieval legs
+    (:mod:`retrieval`'s BM25 / RRF, similarity's ANN): given per-query
+    candidates with a ranker ``score`` and a graded relevance label
+    ``rel`` (integer >= 0),
+
+        DCG@k  = sum over the top-k by (score desc, id asc) of
+                 (2^rel - 1) / log2(position + 1)
+        IDCG@k = the same sum under the IDEAL order (rel desc, id asc)
+        NDCG@k = DCG/IDCG            (0.0 when IDCG = 0: no relevant
+                                      docs -> every ranking is equally
+                                      uninformative, pinned for the
+                                      oracle)
+
+    Both tie-breaks are pinned on the id column so the metric — and its
+    DuckDB replay — is deterministic. Returns
+    (query_id, dcg, idcg, ndcg), each rounded to 6 dp.
+
+    Plan at 100 TB: ONE query-keyed exchange shared by the two window
+    ranks (same partition key, Catalyst reuses the sort) and the final
+    per-query aggregate; candidate lists are ranker output (k-bounded
+    upstream), so nothing here is corpus-sized."""
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy(query_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wi = Window.partitionBy(query_col).orderBy(
+        F.col(rel_col).desc(), F.col(id_col).asc()
+    )
+    gain = F.pow(F.lit(2.0), F.col(rel_col)) - F.lit(1.0)
+    ranked = df.withColumn("_r", F.row_number().over(wr)).withColumn(
+        "_ir", F.row_number().over(wi)
+    )
+    dcg = F.sum(
+        F.when(F.col("_r") <= k, gain / F.log2(F.col("_r") + 1.0))
+        .otherwise(0.0)
+    )
+    idcg = F.sum(
+        F.when(F.col("_ir") <= k, gain / F.log2(F.col("_ir") + 1.0))
+        .otherwise(0.0)
+    )
+    return (
+        ranked.groupBy(F.col(query_col))
+        .agg(dcg.alias("_dcg"), idcg.alias("_idcg"))
+        .select(
+            query_col,
+            F.round("_dcg", 6).alias("dcg"),
+            F.round("_idcg", 6).alias("idcg"),
+            F.round(
+                F.when(F.col("_idcg") > 0, F.col("_dcg") / F.col("_idcg"))
+                .otherwise(0.0),
+                6,
+            ).alias("ndcg"),
+        )
+    )

@@ -170,3 +170,64 @@ def rate_anomaly_batch(
         counts[count_col].alias("batch_count"),
     )
     return base.groupBy("source").applyInPandas(run, BATCH_ANOMALY_SCHEMA)
+
+
+def zscore_spikes(
+    df,
+    key_col: str = "key",
+    bucket_col: str = "bucket",
+    threshold: float = 3.0,
+    min_buckets: int = 3,
+):
+    """Batch z-score spike detection per (key, time-bucket) — the
+    global-statistics complement of the sequential EWMA detector above
+    (:func:`rate_anomaly_batch` reacts online with warm-up bias; this
+    one judges every bucket against the key's FULL history, the shape
+    a daily batch audit over an access-log corpus wants).
+
+    Counts per (key, bucket), then per-key moments computed from EXACT
+    integer sums (n, sum c, sum c^2 — engine-portable: no float
+    accumulation order to disagree on; the sample variance
+    (s2 - s1^2/n)/(n-1) goes float only in the final expression):
+
+        z = (c - mean) / sqrt(var)     (NULL when the key has fewer
+                                        than ``min_buckets`` buckets or
+                                        zero variance — flat history
+                                        has no meaningful z)
+        is_spike = z >= threshold      (one-sided: traffic SPIKES; dips
+                                        are not spikes)
+
+    Returns (key, bucket, c, mean, z, is_spike); mean/z rounded to 4 dp.
+
+    Plan at 100 TB: ONE (key, bucket) count with map-side combine, ONE
+    key-keyed aggregate over the (small) bucket-count table, broadcast
+    of the per-key moments back onto it — nothing corpus-sized past the
+    first count."""
+    from pyspark.sql import functions as F
+
+    counts = df.groupBy(
+        F.col(key_col).alias("key"), F.col(bucket_col).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    moments = counts.groupBy("key").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("c").alias("_s1"),
+        F.sum(F.col("c") * F.col("c")).alias("_s2"),
+    )
+    n, s1, s2 = F.col("_n"), F.col("_s1"), F.col("_s2")
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = F.when(
+        (n >= min_buckets) & (var > 0),
+        (F.col("c") - mean) / F.sqrt(var),
+    )
+    return (
+        counts.join(moments, "key")
+        .select(
+            "key",
+            "bucket",
+            "c",
+            F.round(mean, 4).alias("mean"),
+            F.round(z, 4).alias("z"),
+            F.coalesce(z >= threshold, F.lit(False)).alias("is_spike"),
+        )
+    )

@@ -1706,3 +1706,62 @@ def test_key_skew_profile_surfaces_hot_key(spark):
     assert top["share"] == 0.6
     # mean rows/key = 100/41; imbalance = 60 / (100/41)
     assert top["imbalance"] == round(60 / (100 / 41), 6)
+
+
+# ----------------------------------------------------------- NDCG@k
+def test_ndcg_python_replay(spark):
+    import math
+
+    from access_log_parser_spark.operators.evaluation import ndcg_at_k
+
+    rows = [
+        # query A: ranker puts rel=0 first (imperfect), rel 2 second
+        ("A", 1, 9.0, 0), ("A", 2, 8.0, 2), ("A", 3, 7.0, 1),
+        # query B: perfect ranking -> ndcg 1.0
+        ("B", 4, 5.0, 3), ("B", 5, 4.0, 1), ("B", 6, 3.0, 0),
+        # query C: all irrelevant -> idcg 0 -> ndcg 0 by contract
+        ("C", 7, 2.0, 0), ("C", 8, 1.0, 0),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="query_id string, doc_id long, score double, rel int"
+    )
+    got = {r["query_id"]: r.asDict() for r in ndcg_at_k(df, k=2).collect()}
+
+    def dcg(rels):
+        return sum(
+            (2**r - 1) / math.log2(i + 2) for i, r in enumerate(rels[:2])
+        )
+
+    a = got["A"]
+    assert a["dcg"] == round(dcg([0, 2]), 6)
+    assert a["idcg"] == round(dcg([2, 1]), 6)
+    assert a["ndcg"] == round(dcg([0, 2]) / dcg([2, 1]), 6)
+    assert got["B"]["ndcg"] == 1.0
+    assert got["C"] == {"query_id": "C", "dcg": 0.0, "idcg": 0.0,
+                        "ndcg": 0.0}
+
+
+# ------------------------------------------------------ z-score spikes
+def test_zscore_spikes_flags_planted_spike(spark):
+    from access_log_parser_spark.streaming.anomaly import zscore_spikes
+
+    # 20 flat buckets: a lone outlier's z is bounded by (n-1)/sqrt(n),
+    # so n must exceed ~9.5 buckets before ANY single spike can clear
+    # z=3 — with n=10 the bound is 2.846 (checked: it doesn't fire)
+    rows = [("k", b) for b in range(20) for _ in range(5)]  # flat 5/bucket
+    rows += [("k", 0)] * 45                                  # bucket 0 -> 50
+    rows += [("flat", b) for b in range(4)]                  # zero variance
+    rows += [("tiny", 0), ("tiny", 1)]                       # < min_buckets
+    df = spark.createDataFrame(rows, schema="grp string, hour long")
+    got = {
+        (r["key"], r["bucket"]): (r["c"], r["z"], r["is_spike"])
+        for r in zscore_spikes(df, key_col="grp", bucket_col="hour").collect()
+    }
+    n, s1, s2 = 20, 145, 50 * 50 + 19 * 25
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    mean = s1 / n
+    want_z = round((50 - mean) / var**0.5, 4)
+    assert got[("k", 0)] == (50, want_z, True)
+    assert got[("k", 1)][2] is False and got[("k", 1)][0] == 5
+    assert got[("flat", 0)] == (1, None, False)   # zero variance -> NULL z
+    assert got[("tiny", 0)] == (1, None, False)   # history too short
