@@ -4217,6 +4217,7 @@ _GATE_FIRST = [
     "ann_ivf",
     "ann_ivf_nprobe",
     "ann_lsh",
+    "ann_cosine_topk",
     "stream_windowed_counts",
     "stream_paragraph_dedup",
     "stream_hourly_counts",

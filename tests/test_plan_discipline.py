@@ -33,12 +33,14 @@ BNLJ_ALLOWED = {
     "perplexity_buckets",  # 1-row broadcast side (corpus token total scalar)
     "dsir_select",  # 1-row broadcast sides (raw/target token-total scalars)
     "bigram_logprob",  # 1-row broadcast side (corpus token total scalar)
+    "trigram_backoff",  # same 1-row token-total scalar as bigram_logprob
     "snapshot_drift",  # 1-row broadcast sides (old/new token-total scalars)
     "bm25_topic",  # 1-row broadcast side (N, sum_dl, per-term df scalars)
     "rrf_hybrid",  # inherits bm25_topic's 1-row stats broadcast and
                    # ann_cosine_topk's corpus x broadcast(1 query vec)
     "dup_profile",  # 1-row doc count x 1-row broadcast block stats
     "mixture_plan",  # domain-sized plan x 1-row broadcast weight normalizer
+    "key_skew",  # <= topk rows x 1-row broadcast totals (scalar pattern)
 }
 
 
