@@ -1043,6 +1043,71 @@ def _q_bot_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bot_signals(reqs)
 
 
+def _q_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL cluster dedup (webtext.canonical_pick): doc_id %% 3
+    declares no canonical / a shared per-decade canonical / an EMPTY
+    canonical (both non-declarations must fall back to the page's own
+    URL); quality (13*doc_id)%%50 picks the representative. Oracle
+    replays the key fallback, rank and cluster-size windows."""
+    from access_log_parser_spark.operators.webtext import canonical_pick
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 400)
+    k = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    pages = docs.select(
+        F.concat(F.lit("https://ex/p/"), k).alias("url"),
+        F.when(
+            m == 1,
+            F.concat(
+                F.lit("https://canon/"),
+                F.floor(F.col("doc_id") / 10).cast("string"),
+            ),
+        )
+        .when(m == 2, F.lit(""))
+        .alias("canonical_url"),
+        ((F.col("doc_id") * 13) % 50).cast("double").alias("quality"),
+    )
+    return canonical_pick(pages)
+
+
+def _q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate extraction (webtext.hreflang_alternates):
+    doc_id %% 3 plants two lang-first alternates / one href-first / no
+    alternates; BCP 47 case-insensitivity pinned by an uppercase
+    region. Oracle is closed-form per variant."""
+    from access_log_parser_spark.operators.webtext import (
+        hreflang_alternates,
+    )
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 400)
+    k = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 3
+    h = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<html><head><link rel="alternate" hreflang="en" '
+                      'href="https://ex/en/'), k,
+                F.lit('"><link rel="alternate" hreflang="fr-FR" '
+                      'href="https://ex/fr/'), k,
+                F.lit('"></head><body></body></html>'),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit('<html><head><link rel="alternate" '
+                      'href="https://ex/de/'), k,
+                F.lit('" hreflang="de"></head><body></body></html>'),
+            ),
+        )
+        .otherwise(F.lit("<html><body>no alternates</body></html>"))
+    )
+    return hreflang_alternates(
+        docs.select("doc_id", F.encode(h, "utf-8").alias("html"))
+    )
+
+
 def _q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality evaluation (evaluation.ndcg_at_k): 5 synthetic
     queries over docs 0-199 with score (7*doc_id)%%100 and graded
@@ -4273,6 +4338,8 @@ _GATE_FIRST = [
     "key_skew",
     "ndcg_eval",
     "zscore_spikes",
+    "canonical_pick",
+    "hreflang_clusters",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4441,6 +4508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "key_skew": _q_key_skew,
         "ndcg_eval": _q_ndcg_eval,
         "zscore_spikes": _q_zscore_spikes,
+        "canonical_pick": _q_canonical_pick,
+        "hreflang_clusters": _q_hreflang,
         "size_histogram": _q_size_histogram,
         "curation_pipeline": _q_curation_pipeline,
         "curation_v2": _q_curation_v2,
@@ -7299,6 +7368,44 @@ bi AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lp), 4) AS mean_logprob
 FROM scored GROUP BY 1
+"""
+
+_ORACLE["canonical_pick"] = """
+WITH pages AS (
+  SELECT 'https://ex/p/' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 3 = 1
+                THEN 'https://canon/' || CAST(doc_id // 10 AS VARCHAR)
+              WHEN doc_id % 3 = 2 THEN '' END AS canonical_url,
+         CAST((doc_id * 13) % 50 AS DOUBLE) AS quality
+  FROM documents WHERE doc_id < 400
+), keyed AS (
+  SELECT *,
+         CASE WHEN canonical_url IS NOT NULL AND canonical_url <> ''
+              THEN canonical_url ELSE url END AS canonical_key
+  FROM pages
+), ranked AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY canonical_key
+                            ORDER BY quality DESC, url) AS rk,
+         COUNT(*) OVER (PARTITION BY canonical_key) AS cluster_size
+  FROM keyed
+)
+SELECT canonical_key, url, quality,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM ranked WHERE rk = 1
+"""
+
+_ORACLE["hreflang_clusters"] = """
+WITH d AS (
+  SELECT doc_id, CAST(doc_id AS VARCHAR) AS k, doc_id % 3 AS m
+  FROM documents WHERE doc_id < 400
+)
+SELECT doc_id, 'en' AS hreflang, 'https://ex/en/' || k AS href
+FROM d WHERE m = 0
+UNION ALL
+SELECT doc_id, 'fr-fr', 'https://ex/fr/' || k FROM d WHERE m = 0
+UNION ALL
+SELECT doc_id, 'de', 'https://ex/de/' || k FROM d WHERE m = 1
 """
 
 _ORACLE["ndcg_eval"] = """

@@ -1566,6 +1566,104 @@ def sitemap_locs(
     ).select("host", (F.col("pos") + 1).cast("long").alias("position"), "loc")
 
 
+def canonical_pick(
+    df: DataFrame,
+    url_col: str = "url",
+    canonical_col: str = "canonical_url",
+    quality_col: str = "quality",
+) -> DataFrame:
+    """Canonical-URL cluster dedup: group fetched pages by their
+    DECLARED canonical (``rel=canonical`` from
+    :func:`robots_meta_signals` / :func:`page_meta`; absent or empty ->
+    the page's own URL) and keep ONE representative per cluster —
+    highest ``quality_col``, ties to the lexicographically smallest
+    url. This is the dedup key search engines themselves honor:
+    re-hosted articles, tracking-parameter variants and m./www.
+    mirrors all declare the same canonical, so the cluster collapses
+    BEFORE any content hashing runs (cheaper than MinHash, catches
+    what URL normalization alone cannot).
+
+    Returns one row per cluster:
+    (canonical_key, url, quality, cluster_size).
+
+    Plan at 100 TB: ONE exchange on the canonical key shared by the
+    cluster-size count and the rank window (same partitioning —
+    Catalyst reuses the sort); output one row per cluster."""
+    from pyspark.sql import Window
+
+    key = F.when(
+        F.col(canonical_col).isNotNull() & (F.col(canonical_col) != ""),
+        F.col(canonical_col),
+    ).otherwise(F.col(url_col))
+    keyed = df.withColumn("canonical_key", key)
+    w = Window.partitionBy("canonical_key").orderBy(
+        F.col(quality_col).desc(), F.col(url_col).asc()
+    )
+    wc = Window.partitionBy("canonical_key")
+    return (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "canonical_key",
+            F.col(url_col).alias("url"),
+            F.col(quality_col).alias("quality"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+# hreflang alternates: rel=alternate must precede the hreflang/href
+# attributes; those two may come in either order (the two patterns
+# below). RE2-safe like the other head-metadata patterns.
+HREFLANG_LH_RE = (
+    r'(?is)<link\s[^>]*rel\s*=\s*["\']alternate["\']'
+    r'[^>]*hreflang\s*=\s*["\']([A-Za-z0-9-]+)["\']'
+    r'[^>]*href\s*=\s*["\']([^"\']+)["\']'
+)
+HREFLANG_HL_RE = (
+    r'(?is)<link\s[^>]*rel\s*=\s*["\']alternate["\']'
+    r'[^>]*href\s*=\s*["\']([^"\']+)["\']'
+    r'[^>]*hreflang\s*=\s*["\']([A-Za-z0-9-]+)["\']'
+)
+
+
+def hreflang_alternates(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """``rel=alternate hreflang`` cluster extraction — how a
+    multilingual corpus pipeline discovers parallel-translation page
+    sets (the hreflang cluster IS the alignment unit for parallel-text
+    mining, and dedup must NOT collapse translations the way it
+    collapses mirrors). Emits one row per alternate link:
+    (doc_id, hreflang lowercased per BCP 47 case-insensitivity, href).
+
+    Both attribute orders are handled; each tag matches exactly one
+    pattern (the lang-first scan requires hreflang BEFORE href, the
+    href-first scan the reverse), so nothing double-counts. Pure
+    per-row projection: two regexp_extract_all pairs zipped +
+    one explode, zero shuffles."""
+    t = F.decode(F.col(html_col), "utf-8")
+
+    def pairs(pat: str, lang_idx: int, href_idx: int) -> F.Column:
+        return F.arrays_zip(
+            F.regexp_extract_all(t, F.lit(pat), lang_idx).alias("lang"),
+            F.regexp_extract_all(t, F.lit(pat), href_idx).alias("href"),
+        )
+
+    both = F.concat(
+        pairs(HREFLANG_LH_RE, 1, 2), pairs(HREFLANG_HL_RE, 2, 1)
+    )
+    return (
+        df.select(F.col(id_col), F.explode(both).alias("p"))
+        .select(
+            id_col,
+            F.lower(F.col("p.lang")).alias("hreflang"),
+            F.col("p.href").alias("href"),
+        )
+    )
+
+
 def sitemap_tree(
     df: DataFrame, xml_col: str = "sitemap_xml", host_col: str = "host"
 ) -> DataFrame:

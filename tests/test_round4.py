@@ -1765,3 +1765,53 @@ def test_zscore_spikes_flags_planted_spike(spark):
     assert got[("k", 1)][2] is False and got[("k", 1)][0] == 5
     assert got[("flat", 0)] == (1, None, False)   # zero variance -> NULL z
     assert got[("tiny", 0)] == (1, None, False)   # history too short
+
+
+# -------------------------------------------- canonical pick / hreflang
+def test_canonical_pick_fallback_and_best(spark):
+    from access_log_parser_spark.operators.webtext import canonical_pick
+
+    rows = [
+        ("https://a/1", "https://c/x", 5.0),
+        ("https://a/2", "https://c/x", 9.0),   # wins cluster x
+        ("https://a/3", None, 1.0),            # no canonical -> own URL
+        ("https://a/4", "", 2.0),              # empty -> own URL
+        ("https://a/5", "https://c/y", 3.0),
+        ("https://a/0", "https://c/y", 3.0),   # tie -> smaller url wins
+    ]
+    df = spark.createDataFrame(
+        rows, schema="url string, canonical_url string, quality double"
+    )
+    got = {
+        r["canonical_key"]: (r["url"], r["cluster_size"])
+        for r in canonical_pick(df).collect()
+    }
+    assert got == {
+        "https://c/x": ("https://a/2", 2),
+        "https://a/3": ("https://a/3", 1),
+        "https://a/4": ("https://a/4", 1),
+        "https://c/y": ("https://a/0", 2),
+    }
+
+
+def test_hreflang_both_orders_and_case(spark):
+    from access_log_parser_spark.operators.webtext import (
+        hreflang_alternates,
+    )
+
+    html = (
+        '<html><head>'
+        '<link rel="alternate" hreflang="EN-us" href="https://x/en">'
+        '<link rel="alternate" href="https://x/de" hreflang="de">'
+        '<link rel="stylesheet" href="https://x/css">'      # not alternate
+        '</head><body>'
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(html.encode())), (2, bytearray(b"<html></html>"))],
+        schema="doc_id long, html binary",
+    )
+    got = sorted(
+        (r["doc_id"], r["hreflang"], r["href"])
+        for r in hreflang_alternates(df).collect()
+    )
+    assert got == [(1, "de", "https://x/de"), (1, "en-us", "https://x/en")]
