@@ -1163,6 +1163,43 @@ def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return key_skew_profile(keyed, "host", topk=5)
 
 
+def _q_search_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search-referrer term report (operators/referrers.search_referrers)
+    over a parsed combined-log corpus whose Referer field carries five
+    variants (google, bing with case-folding, an EMPTY q that must
+    drop, a generic ?query= carrier -> 'other', and the CLF '-'): the
+    classic top-search-terms log report, decode -> extract -> one
+    keyed count. Oracle is closed-form per variant."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.referrers import (
+        search_referrers,
+    )
+
+    m = "event_id % 5"
+    t = "CAST(event_id % 9 AS STRING)"
+    ref = (
+        f"CASE WHEN {m} = 0 THEN concat("
+        f"'https://www.google.com/search?q=term+', {t})"
+        f" WHEN {m} = 1 THEN concat("
+        f"'https://www.bing.com/search?q=Term+', {t}, '&form=QB')"
+        f" WHEN {m} = 2 THEN 'https://duckduckgo.com/?q='"
+        f" WHEN {m} = 3 THEN 'https://internal.example/page?query=x%20y'"
+        f" ELSE '-' END"
+    )
+    line = (
+        "concat('192.0.2.', CAST(user_id % 200 AS STRING), "
+        "' - user', CAST(user_id % 50 AS STRING), "
+        "' [16/Feb/2019:11:23:45 +0000] \"GET /', event_type, '/', "
+        "CAST(event_id AS STRING), ' HTTP/1.1\" 200 123 \"', "
+        f"{ref}, '\" \"ua\"')"
+    )
+    lines = _event_lines(spark, sf_dir, line)
+    fields = extract_fields(
+        lines, "apache_clf", fields=["referer"]
+    ).filter(F.col("pattern_id") >= 0)
+    return search_referrers(fields)
+
+
 def _q_topk_uris_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-GROUP top-k: top-3 request URIs within each source via a
     window rank (deterministic tie-break), the grouped twin of the global
@@ -4340,6 +4377,7 @@ _GATE_FIRST = [
     "zscore_spikes",
     "canonical_pick",
     "hreflang_clusters",
+    "search_terms",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4506,6 +4544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_uris_per_source": _q_topk_uris_per_source,
         "bot_signals": _q_bot_signals,
         "key_skew": _q_key_skew,
+        "search_terms": _q_search_terms,
         "ndcg_eval": _q_ndcg_eval,
         "zscore_spikes": _q_zscore_spikes,
         "canonical_pick": _q_canonical_pick,
@@ -7368,6 +7407,19 @@ bi AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lp), 4) AS mean_logprob
 FROM scored GROUP BY 1
+"""
+
+_ORACLE["search_terms"] = """
+WITH e AS (
+  SELECT event_id % 5 AS m, event_id % 9 AS t FROM events
+), rows_ AS (
+  SELECT CASE WHEN m = 0 THEN 'google' WHEN m = 1 THEN 'bing'
+              ELSE 'other' END AS engine,
+         CASE WHEN m IN (0, 1) THEN 'term ' || CAST(t AS VARCHAR)
+              ELSE 'x%20y' END AS term
+  FROM e WHERE m IN (0, 1, 3)
+)
+SELECT engine, term, COUNT(*) AS hits FROM rows_ GROUP BY engine, term
 """
 
 _ORACLE["canonical_pick"] = """

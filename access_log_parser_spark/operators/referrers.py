@@ -1,0 +1,75 @@
+"""Search-referrer analytics over parsed access-log fields — the other
+classic consumer of the reference's parse surface next to
+:mod:`botdetect`: the Referer column of CLF/combined logs
+(parser_regex.go's presets all capture it) tells a site which search
+engine sent each visitor and what they searched for, and "top search
+terms driving traffic" is the canonical log-analytics report built on
+it.
+
+Grammar subset (pinned so the DuckDB oracle replays it exactly):
+
+- engine = first match in a fixed host-substring list over the
+  referer's authority (google / bing / duckduckgo / yandex / baidu,
+  else a generic ``?q=``/``?query=`` carrier classifies as 'other');
+  non-search referers and the CLF empty marker ``-`` yield no row.
+- term = the first ``q`` or ``query`` parameter value, with ``+``
+  decoded to space and lowercased. Full percent-decoding is NOT
+  performed (pinned: the common engines plus-encode spaces; %-escapes
+  pass through verbatim so the report never mangles multibyte terms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+REFERER_HOST_RE = r"^https?://([^/?#]+)"
+SEARCH_PARAM_RE = r"[?&](?:q|query)=([^&#]*)"
+
+_ENGINES = [
+    ("google", "google"),
+    ("bing", "bing"),
+    ("duckduckgo", "duckduckgo"),
+    ("yandex", "yandex"),
+    ("baidu", "baidu"),
+]
+
+
+def _engine_col(host: Column, term_raw: Column) -> Column:
+    expr = None
+    for sub, name in _ENGINES:
+        branch = F.when(host.contains(sub), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            host.contains(sub), F.lit(name)
+        )
+    return expr.otherwise(
+        F.when(term_raw != "", F.lit("other"))
+    )
+
+
+def search_referrers(
+    df: DataFrame, referer_col: str = "referer"
+) -> DataFrame:
+    """Per-(engine, term) search-traffic counts from the Referer field.
+
+    Returns (engine, term, hits) for rows whose referer is a search
+    engine carrying a non-empty ``q``/``query`` parameter; everything
+    else (direct '-', internal navigation, non-search sites) drops.
+
+    Plan at 100 TB: the extraction is a pure projection (two RE2-safe
+    regexp_extracts + replace/lower) and the report ONE (engine, term)
+    keyed count with map-side combine — term space is heavy-tailed but
+    the partial agg collapses hot terms map-side."""
+    ref = F.coalesce(F.col(referer_col), F.lit(""))
+    host = F.lower(F.regexp_extract(ref, REFERER_HOST_RE, 1))
+    term_raw = F.regexp_extract(ref, SEARCH_PARAM_RE, 1)
+    term = F.nullif(
+        F.lower(F.replace(term_raw, F.lit("+"), F.lit(" "))), F.lit("")
+    )
+    engine = _engine_col(host, term_raw)
+    return (
+        df.select(engine.alias("engine"), term.alias("term"))
+        .filter(F.col("engine").isNotNull() & F.col("term").isNotNull())
+        .groupBy("engine", "term")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )

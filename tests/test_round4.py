@@ -1815,3 +1815,33 @@ def test_hreflang_both_orders_and_case(spark):
         for r in hreflang_alternates(df).collect()
     )
     assert got == [(1, "de", "https://x/de"), (1, "en-us", "https://x/en")]
+
+
+# -------------------------------------------------- search referrers
+def test_search_referrers_grammar(spark):
+    from access_log_parser_spark.operators.referrers import (
+        search_referrers,
+    )
+
+    refs = [
+        "https://www.google.com/search?q=big+data&hl=en",
+        "https://www.google.com/search?q=big+data",       # same term x2
+        "https://www.bing.com/search?form=X&q=Big+Data",  # case-folds in
+        "https://duckduckgo.com/?q=",                     # empty -> drop
+        "https://yandex.ru/search/?query=%D0%BF",         # %-escapes verbatim
+        "https://site.example/?q=hidden",                 # non-engine -> other
+        "https://news.example/article",                   # no q -> drop
+        "-",                                              # direct -> drop
+        None,                                             # null -> drop
+    ]
+    df = spark.createDataFrame([(r,) for r in refs], schema="referer string")
+    got = {
+        (r["engine"], r["term"]): r["hits"]
+        for r in search_referrers(df).collect()
+    }
+    assert got == {
+        ("google", "big data"): 2,
+        ("bing", "big data"): 1,
+        ("yandex", "%d0%bf"): 1,
+        ("other", "hidden"): 1,
+    }
