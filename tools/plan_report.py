@@ -365,6 +365,30 @@ SELECTED = [
      "token-keyed exchange shared by the window rank and the final "
      "aggregate; per-token ordering is array_sort over the capped "
      "struct list, never a corpus sort"),
+    ("key_skew", False,
+     "one key-keyed count (the partial agg collapses the hot key "
+     "map-side — the diagnosis never suffers the disease it measures), "
+     "a 1-row totals broadcast (intentional scalar BNLJ), and "
+     "TakeOrderedAndProject for the top-k — never a global window "
+     "over the key table"),
+    ("ndcg_eval", False,
+     "ONE query-keyed exchange shared by both window ranks (same "
+     "partition key -> Catalyst reuses the sort) and the per-query "
+     "aggregate; candidate lists are ranker-bounded upstream"),
+    ("zscore_spikes", False,
+     "ONE (key, bucket) count with map-side combine + ONE key-keyed "
+     "moment aggregate over the bucket-count table; moments from exact "
+     "integer sums — nothing corpus-sized past the first count"),
+    ("canonical_pick", False,
+     "ONE exchange on the canonical key shared by the cluster-size "
+     "count and rank windows; output one row per cluster"),
+    ("hreflang_clusters", False,
+     "pure per-row projection: two regexp_extract_all pairs zipped + "
+     "one explode; zero shuffles beyond the harness repartition"),
+    ("search_terms", False,
+     "extraction is a pure projection after the decode; the report is "
+     "ONE (engine, term) keyed count whose partial agg collapses hot "
+     "terms map-side"),
 ]
 
 
