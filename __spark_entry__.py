@@ -1108,6 +1108,31 @@ def _q_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_idn_homograph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Homograph/lookalike-host detection (webtext.idn_homograph_signals):
+    doc_id %% 5 visits a leet paypal clone / a www-prefixed g00gle clone
+    / the GENUINE paypal.com (must not self-flag) / a punycode label /
+    a benign host. Oracle replays the confusable fold and the
+    levenshtein argmin with the (distance, brand) tiebreak."""
+    from access_log_parser_spark.operators.webtext import (
+        idn_homograph_signals,
+    )
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    k = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 5
+    url = F.concat(
+        F.lit("https://"),
+        F.when(m == 0, F.lit("paypa1.com"))
+        .when(m == 1, F.lit("www.g00gle.net"))
+        .when(m == 2, F.lit("paypal.com"))
+        .when(m == 3, F.lit("xn--pple-43d.com"))
+        .otherwise(F.lit("news.example.org")),
+        F.lit("/p/"), k,
+    )
+    return idn_homograph_signals(docs.select("doc_id", url.alias("url")))
+
+
 def _q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality evaluation (evaluation.ndcg_at_k): 5 synthetic
     queries over docs 0-199 with score (7*doc_id)%%100 and graded
@@ -4378,6 +4403,7 @@ _GATE_FIRST = [
     "canonical_pick",
     "hreflang_clusters",
     "search_terms",
+    "idn_homograph",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "warc_scan",
     "stream_minhash_dedup",
@@ -4549,6 +4575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zscore_spikes": _q_zscore_spikes,
         "canonical_pick": _q_canonical_pick,
         "hreflang_clusters": _q_hreflang,
+        "idn_homograph": _q_idn_homograph,
         "size_histogram": _q_size_histogram,
         "curation_pipeline": _q_curation_pipeline,
         "curation_v2": _q_curation_v2,
@@ -7407,6 +7434,38 @@ bi AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        ROUND(AVG(lp), 4) AS mean_logprob
 FROM scored GROUP BY 1
+"""
+
+_ORACLE["idn_homograph"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS m
+  FROM documents WHERE doc_id < 500
+), v AS (
+  SELECT doc_id,
+    CASE m WHEN 0 THEN 'paypa1.com' WHEN 1 THEN 'www.g00gle.net'
+           WHEN 2 THEN 'paypal.com' WHEN 3 THEN 'xn--pple-43d.com'
+           ELSE 'news.example.org' END AS host,
+    CASE m WHEN 0 THEN 'paypa1' WHEN 1 THEN 'g00gle'
+           WHEN 2 THEN 'paypal' WHEN 3 THEN 'xn--pple-43d'
+           ELSE 'example' END AS label,
+    (m = 3) AS has_punycode
+  FROM d
+), f AS (
+  SELECT *, translate(label, '013457', 'oleast') AS folded FROM v
+), nb AS (
+  SELECT doc_id, b.brand, levenshtein(folded, b.brand) AS dist
+  FROM f, (SELECT UNNEST(['amazon', 'apple', 'google', 'microsoft',
+                          'paypal', 'wikipedia']) AS brand) b
+), best AS (
+  SELECT doc_id, brand AS nearest_brand, dist,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY dist, brand) AS rn
+  FROM nb
+)
+SELECT v.doc_id, host, label, has_punycode,
+       nearest_brand, CAST(dist AS INTEGER) AS distance,
+       (dist <= 1 AND label <> nearest_brand) AS lookalike
+FROM v JOIN best USING (doc_id) WHERE rn = 1
 """
 
 _ORACLE["search_terms"] = """

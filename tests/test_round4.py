@@ -1845,3 +1845,31 @@ def test_search_referrers_grammar(spark):
         ("yandex", "%d0%bf"): 1,
         ("other", "hidden"): 1,
     }
+
+
+# ------------------------------------------------ IDN homograph signals
+def test_idn_homograph_lookalikes(spark):
+    from access_log_parser_spark.operators.webtext import (
+        idn_homograph_signals,
+    )
+
+    urls = {
+        1: "https://paypa1.com/login",          # leet clone -> flags
+        2: "https://paypal.com/login",          # genuine -> must NOT flag
+        3: "https://www.g00gle.net/q",          # 2nd-level label used
+        4: "https://xn--pple-43d.com/",         # punycode flag
+        5: "https://appl.example.net/",         # 'example' label, benign
+        6: "https://micr0soft.com/x",           # 0->o fold
+    }
+    df = spark.createDataFrame(
+        list(urls.items()), schema="doc_id long, url string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in idn_homograph_signals(df).collect()}
+    assert got[1]["lookalike"] is True
+    assert (got[1]["nearest_brand"], got[1]["distance"]) == ("paypal", 0)
+    assert got[2]["lookalike"] is False and got[2]["distance"] == 0
+    assert got[3]["label"] == "g00gle" and got[3]["lookalike"] is True
+    assert got[4]["has_punycode"] is True and got[4]["lookalike"] is False
+    assert got[5]["lookalike"] is False
+    assert got[6]["nearest_brand"] == "microsoft"
+    assert got[6]["distance"] == 0 and got[6]["lookalike"] is True
