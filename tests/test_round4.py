@@ -1873,3 +1873,37 @@ def test_idn_homograph_lookalikes(spark):
     assert got[5]["lookalike"] is False
     assert got[6]["nearest_brand"] == "microsoft"
     assert got[6]["distance"] == 0 and got[6]["lookalike"] is True
+
+
+def test_rate_limit_batch_fuzz_vs_python_reference(spark):
+    """Seeded sweep: the distributed greedy gate must agree with a
+    pure-Python per-host walk on 300 random requests over 7 hosts with
+    clustered timestamps (many within-delay collisions)."""
+    import random
+
+    from access_log_parser_spark.streaming.ratelimit import rate_limit_batch
+
+    rng = random.Random(17)
+    rows = [
+        ("h%d" % rng.randint(0, 6), "u%03d" % i, rng.randint(0, 120))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="host string, url string, ts_epoch long"
+    )
+    got = {
+        (r["host"], r["url"]): r["allowed"]
+        for r in rate_limit_batch(df, delay_seconds=15).collect()
+    }
+    byhost: dict = {}
+    for h, u, t in rows:
+        byhost.setdefault(h, []).append((t, u))
+    want = {}
+    for h, reqs in byhost.items():
+        last = None
+        for t, u in sorted(reqs):
+            ok = last is None or t >= last + 15
+            if ok:
+                last = t
+            want[(h, u)] = ok
+    assert got == want
