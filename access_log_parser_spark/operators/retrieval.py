@@ -181,11 +181,18 @@ def build_postings(
     Returns (token, df_docs, postings).
 
     Plan at 100 TB: ONE (token, doc) keyed count with map-side combine,
-    then ONE token-keyed exchange shared by the window rank and the
-    final aggregate; the per-token ordering happens inside
-    ``array_sort`` over the already-capped struct list (<= max_postings
-    elements), not as a corpus sort. Skewed tokens (stopwords) are the
-    AQE skew-agg case; the cap bounds what survives the rank anyway."""
+    whose exchange is SHARED (ReuseExchange) by two token-keyed
+    branches — the document-frequency count, and the rank-filter whose
+    ``row_number() <= cap`` compiles to WindowGroupLimit with a
+    Partial pass BEFORE the token exchange, so a stopword's
+    corpus-sized posting list is top-k-truncated map-side instead of
+    fully sorted in one reducer partition (the skew case this operator
+    lives in). Keeping df_docs out of the windowed branch is what
+    makes the pushdown legal: a combined single-window formulation
+    must carry every row through the hot partition's sort. The final
+    join is token-keyed on both already-partitioned sides; per-token
+    ordering happens inside ``array_sort`` over the capped struct list
+    (<= max_postings elements), never a corpus sort."""
     from pyspark.sql import Window
 
     tf = (
@@ -197,30 +204,28 @@ def build_postings(
         .groupBy("token", "_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
     w = Window.partitionBy("token").orderBy(
         F.col("tf").desc(), F.col("_id").asc()
     )
-    ranked = tf.withColumn("_rk", F.row_number().over(w))
     entry = F.struct(
         (-F.col("tf")).alias("neg_tf"),
         F.col("_id").alias("id"),
         F.concat_ws(":", F.col("_id").cast("string"),
                     F.col("tf").cast("string")).alias("s"),
     )
-    return (
-        ranked.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("df_docs"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(F.col("_rk") <= max_postings, entry)
-                        )
-                    ),
-                    lambda e: e["s"],
-                ),
-                ",",
-            ).alias("postings"),
-        )
+    capped = (
+        tf.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_postings)
     )
+    postings = capped.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(entry)), lambda e: e["s"]
+            ),
+            ",",
+        ).alias("postings")
+    )
+    return dfreq.join(postings, "token")

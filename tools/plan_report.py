@@ -361,10 +361,12 @@ SELECTED = [
      "regexp_extracts + try_cast); zero shuffles beyond the harness "
      "repartition"),
     ("build_postings", False,
-     "ONE (token, doc)-keyed count with map-side combine, then ONE "
-     "token-keyed exchange shared by the window rank and the final "
-     "aggregate; per-token ordering is array_sort over the capped "
-     "struct list, never a corpus sort"),
+     "ONE (token, doc)-keyed count with map-side combine, shared by "
+     "two token-keyed branches: the df count, and a rank filter that "
+     "compiles to WindowGroupLimit with a PARTIAL pass before the "
+     "exchange — a stopword's corpus-sized posting list is "
+     "top-k-truncated map-side, never fully sorted in one reducer; "
+     "final join is token-keyed on both pre-partitioned sides"),
     ("key_skew", False,
      "one key-keyed count (the partial agg collapses the hot key "
      "map-side — the diagnosis never suffers the disease it measures), "
