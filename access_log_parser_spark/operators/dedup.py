@@ -769,26 +769,35 @@ def keep_best_duplicate(
     Returns (doc_id, fp, <score_col>, n_dups) — one row per group, the
     surviving copy, with the group's duplicate count.
 
-    Plan at 100 TB: one exchange on the md5 fingerprint (same key as
-    :func:`exact_duplicates`), then a per-group window rank — output is
-    one row per distinct content, never wider than the input. Composes
-    with any score (quality_score_col, linear_quality_score_col, or a
-    provenance rank) as a plain column.
+    Plan at 100 TB: ONE hash aggregate on the md5 fingerprint (same key
+    as :func:`exact_duplicates`) — the argmax is a struct-min
+    (min(struct(-score, doc_id)) picks max score, then min id on ties),
+    so the whole group collapses in the MAP-SIDE partial and no sort or
+    window touches the hot fingerprint (a window formulation carries
+    every duplicate through one reducer partition's sort; this carries
+    one partial row per map task). Scores must be non-NULL (compose a
+    coalesce upstream) — the struct-min tie order is only total on
+    non-NULL scores. Composes with any score (quality_score_col,
+    linear_quality_score_col, or a provenance rank) as a plain column.
     """
     fp = F.md5(normalized(F.col(text_col)))
-    w = Window.partitionBy("fp").orderBy(
-        F.col(score_col).desc(), F.col("doc_id").asc()
+    best = F.min(
+        F.struct(
+            (-F.col(score_col)).alias("neg"),
+            F.col("doc_id").alias("doc_id"),
+        )
     )
     return (
         df.filter(F.col(text_col).isNotNull())
         .select("doc_id", F.col(score_col), fp.alias("fp"))
-        .withColumn("_rk", F.row_number().over(w))
-        .withColumn(
-            "n_dups", F.count(F.lit(1)).over(Window.partitionBy("fp")).cast("long")
+        .groupBy("fp")
+        .agg(best.alias("b"), F.count(F.lit(1)).cast("long").alias("n_dups"))
+        .select(
+            F.col("b.doc_id").alias("doc_id"),
+            "fp",
+            (-F.col("b.neg")).alias(score_col),
+            "n_dups",
         )
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
-        .select("doc_id", "fp", score_col, "n_dups")
     )
 
 
@@ -1020,22 +1029,31 @@ def cluster_canonical(assign: DataFrame, score_col: str) -> DataFrame:
     Input columns: (doc_id, cluster_id, <score_col>). Returns
     (cluster_id, doc_id, <score_col>, n_members).
 
-    Plan at scale: one exchange on cluster_id + window rank — output one
+    Plan at scale: ONE hash aggregate on cluster_id — argmax as a
+    struct-min (max score, min id on ties) with map-side partial
+    combine, no sort/window on the hot cluster (same rewrite as
+    :func:`keep_best_duplicate`; scores must be non-NULL). Output one
     row per cluster. Composes after the MinHash -> LSH ->
     connected-components chain without touching it.
     """
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col(score_col).desc(), F.col("doc_id").asc()
+    best = F.min(
+        F.struct(
+            (-F.col(score_col)).alias("neg"),
+            F.col("doc_id").alias("doc_id"),
+        )
     )
     return (
-        assign.withColumn("_rk", F.row_number().over(w))
-        .withColumn(
-            "n_members",
-            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")).cast("long"),
+        assign.groupBy("cluster_id")
+        .agg(
+            best.alias("b"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
         )
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
-        .select("cluster_id", "doc_id", score_col, "n_members")
+        .select(
+            "cluster_id",
+            F.col("b.doc_id").alias("doc_id"),
+            (-F.col("b.neg")).alias(score_col),
+            "n_members",
+        )
     )
 
 

@@ -1658,29 +1658,39 @@ def canonical_pick(
     Returns one row per cluster:
     (canonical_key, url, quality, cluster_size).
 
-    Plan at 100 TB: ONE exchange on the canonical key shared by the
-    cluster-size count and the rank window (same partitioning —
-    Catalyst reuses the sort); output one row per cluster."""
-    from pyspark.sql import Window
-
+    Plan at 100 TB: ONE hash aggregate on the canonical key — the
+    argmax is a struct-min (min(struct(-quality, url)) = max quality,
+    then min url on ties) with map-side partial combine, so a hot
+    canonical (an aggregator with thousands of tracking-variant URLs)
+    collapses per map task instead of sorting in one reducer partition
+    (quality must be non-NULL; same rewrite as
+    dedup.keep_best_duplicate). Output one row per cluster."""
     key = F.when(
         F.col(canonical_col).isNotNull() & (F.col(canonical_col) != ""),
         F.col(canonical_col),
     ).otherwise(F.col(url_col))
-    keyed = df.withColumn("canonical_key", key)
-    w = Window.partitionBy("canonical_key").orderBy(
-        F.col(quality_col).desc(), F.col(url_col).asc()
+    best = F.min(
+        F.struct(
+            (-F.col(quality_col)).alias("neg"),
+            F.col(url_col).alias("url"),
+        )
     )
-    wc = Window.partitionBy("canonical_key")
     return (
-        keyed.withColumn("_rk", F.row_number().over(w))
-        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
-        .filter(F.col("_rk") == 1)
-        .select(
-            "canonical_key",
+        df.select(
+            key.alias("canonical_key"),
             F.col(url_col).alias("url"),
             F.col(quality_col).alias("quality"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+        .groupBy("canonical_key")
+        .agg(
+            best.alias("b"),
+            F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        )
+        .select(
+            "canonical_key",
+            F.col("b.url").alias("url"),
+            (-F.col("b.neg")).alias("quality"),
+            "cluster_size",
         )
     )
 

@@ -137,8 +137,10 @@ SELECTED = [
      "per-doc agg via the ln(n) - sum(c ln c)/n identity; no window, "
      "no within-row O(distinct x n) scan"),
     ("keep_best_duplicate", False,
-     "one exchange on the md5 fingerprint + per-group window rank; "
-     "output one row per distinct content"),
+     "ONE hash aggregate on the md5 fingerprint — the argmax is a "
+     "struct-min with MAP-SIDE partial combine (no sort/window "
+     "touches the hot fingerprint); output one row per distinct "
+     "content"),
     ("cross_snapshot_bloom", False,
      "the Bloom bitmap is a broadcast LITERAL array probed with "
      "element_at + bitwise AND inside codegen — bloom-absent rows never "
@@ -160,8 +162,9 @@ SELECTED = [
      "one per-row HOF chain — zero shuffles beyond the ingest "
      "repartition"),
     ("near_dup_keep_best", False,
-     "the canonical pick adds ONE cluster_id exchange + window on top "
-     "of the banded-join + components chain; never all-pairs"),
+     "the canonical pick adds ONE cluster_id hash aggregate (struct-"
+     "min argmax, map-side partials, no window) on top of the banded-"
+     "join + components chain; never all-pairs"),
     ("shard_checksums", False,
      "one keyed exchange with map-side partial bit_xor; output is "
      "n_shards rows regardless of corpus size"),
@@ -382,8 +385,10 @@ SELECTED = [
      "moment aggregate over the bucket-count table; moments from exact "
      "integer sums — nothing corpus-sized past the first count"),
     ("canonical_pick", False,
-     "ONE exchange on the canonical key shared by the cluster-size "
-     "count and rank windows; output one row per cluster"),
+     "ONE hash aggregate on the canonical key — struct-min argmax "
+     "with map-side partial combine, so a hot canonical collapses per "
+     "map task instead of sorting in one reducer; output one row per "
+     "cluster"),
     ("hreflang_clusters", False,
      "pure per-row projection: two regexp_extract_all pairs zipped + "
      "one explode; zero shuffles beyond the harness repartition"),
