@@ -4306,6 +4306,271 @@ def _q_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rate_limit_batch(reqs, delay_seconds=300)
 
 
+# --------------------------------------------------------------------------
+# round-4b: SRE / traffic analytics over parsed fields (operators/sre.py)
+# --------------------------------------------------------------------------
+
+# ALB line variant with a value-derived target_processing_time (the stock
+# ALB_LINE pins it to '0.012', which is right for the parse goldens but
+# degenerate for latency analytics): 0.000-0.999 s from the event value.
+_ALB_LAT_TPT = (
+    "concat('0.', lpad(CAST(CAST(FLOOR(value * 100) AS BIGINT) % 1000 "
+    "AS STRING), 3, '0'))"
+)
+_ALB_LAT_FIELDS = list(_ALB_FIELDS)
+_ALB_LAT_FIELDS[6] = _ALB_LAT_TPT
+ALB_LAT_LINE = (
+    "CASE WHEN event_id % 10 = 0 THEN concat('GARBAGE-', CAST(event_id AS STRING)) "
+    "ELSE concat_ws(' ', " + ", ".join(_ALB_LAT_FIELDS) + ") END"
+)
+
+# oracle-side latency for matched ALB-lat lines (same three parsed fields)
+_LAT_SQL = (
+    "CAST(concat('0.00', CAST(event_id % 10 AS VARCHAR)) AS DOUBLE) + "
+    "CAST(concat('0.', lpad(CAST(CAST(FLOOR(value * 100) AS BIGINT) % 1000 "
+    "AS VARCHAR), 3, '0')) AS DOUBLE) + CAST('0.000' AS DOUBLE)"
+)
+
+# CloudFront line variant with a varied x-edge-result-type (stock CF_LINE
+# pins 'Hit'): % 4 cycles Hit/Miss/RefreshHit/Error — coprime with the
+# % 5 distribution host so every host sees every result type.
+_CF_CACHE_FIELDS = list(_CF_FIELDS)
+_CF_CACHE_FIELDS[13] = (
+    "CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'Hit' WHEN 1 THEN 'Miss' "
+    "WHEN 2 THEN 'RefreshHit' ELSE 'Error' END"
+)
+CF_CACHE_LINE = (
+    "CASE WHEN event_id % 10 = 0 THEN concat('GARBAGE-', CAST(event_id AS STRING)) "
+    "ELSE concat_ws(chr(9), " + ", ".join(_CF_CACHE_FIELDS) + ") END"
+)
+
+# CLF line variant whose request target carries utm_* campaign parameters
+# (spliced into the stock CLF request just before the protocol literal):
+# event_id % 3 = 1 -> full triple (source exercises +-decode and case
+# folding), 2 -> source only (medium/campaign report '-'), 0 -> untagged.
+_UTM_SUFFIX = (
+    "CASE CAST(event_id % 3 AS INT) "
+    "WHEN 1 THEN concat('?utm_source=Src+', CAST(user_id % 3 AS STRING), "
+    "'&utm_medium=', CASE CAST(event_id % 2 AS INT) WHEN 0 THEN 'Email' "
+    "ELSE 'cpc' END, '&utm_campaign=c', CAST(event_id % 5 AS STRING)) "
+    "WHEN 2 THEN concat('?utm_source=s', CAST(user_id % 3 AS STRING)) "
+    "ELSE '' END"
+)
+UTM_CLF_LINE = CLF_LINE.replace(
+    "' HTTP/1.1\" '", _UTM_SUFFIX + ", ' HTTP/1.1\" '"
+)
+assert UTM_CLF_LINE != CLF_LINE  # splice point must exist
+
+
+def _q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-load-balancer latency percentiles (operators/sre
+    .latency_percentiles) over parsed ALB fields: latency = the three
+    processing-time captures summed. Exact mode pins the oracle
+    (DuckDB quantile_cont — same closest-ranks interpolation as
+    Spark's percentile, verified bit-equal); the operator's
+    exact=False approx_percentile path is the 100-TB serving shape."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.sre import latency_percentiles
+
+    lines = _event_lines(spark, sf_dir, ALB_LAT_LINE)
+    fields = extract_fields(
+        lines,
+        "alb",
+        fields=[
+            "elb",
+            "request_processing_time",
+            "target_processing_time",
+            "response_processing_time",
+        ],
+    ).filter(F.col("pattern_id") >= 0)
+    lat = fields.select(
+        "elb",
+        (
+            F.col("request_processing_time").cast("double")
+            + F.col("target_processing_time").cast("double")
+            + F.col("response_processing_time").cast("double")
+        ).alias("latency"),
+    )
+    return latency_percentiles(lat, "elb", "latency")
+
+
+def _q_apdex_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apdex per load balancer (operators/sre.apdex) over the same
+    parsed ALB latency; T = 0.25 s puts the synthetic corpus's
+    0.012-1.008 s range across all three satisfaction classes."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.sre import apdex
+
+    lines = _event_lines(spark, sf_dir, ALB_LAT_LINE)
+    fields = extract_fields(
+        lines,
+        "alb",
+        fields=[
+            "elb",
+            "request_processing_time",
+            "target_processing_time",
+            "response_processing_time",
+        ],
+    ).filter(F.col("pattern_id") >= 0)
+    lat = fields.select(
+        "elb",
+        (
+            F.col("request_processing_time").cast("double")
+            + F.col("target_processing_time").cast("double")
+            + F.col("response_processing_time").cast("double")
+        ).alias("latency"),
+    )
+    return apdex(lat, "elb", "latency", t=0.25)
+
+
+def _q_error_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-endpoint 5xx rate with Wilson bounds (operators/sre
+    .error_rate_wilson) over parsed CLF fields — endpoint = first
+    path segment, error = status 500. The oracle replays the
+    closed-form interval arithmetic term for term."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.sre import error_rate_wilson
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    fields = extract_fields(
+        lines, "apache_clf", fields=["request_uri", "status"]
+    ).filter(F.col("pattern_id") >= 0)
+    reqs = fields.select(
+        F.regexp_extract("request_uri", r"^/([^/]+)", 1).alias("endpoint"),
+        (F.col("status") == "500").cast("int").alias("err"),
+    )
+    return error_rate_wilson(reqs, "endpoint", "err")
+
+
+def _q_slo_burn_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn alerting (operators/sre.slo_burn) over
+    parsed CLF status + the event timestamp carried through the
+    decode as a passthrough column (the parse keeps arbitrary input
+    columns alongside the captures). Buckets surface as epoch seconds
+    so the oracle stays in integer arithmetic."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.sre import slo_burn
+
+    ev = _load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    lines = ev.select("event_id", "ts", F.expr(CLF_LINE).alias("raw"))
+    fields = extract_fields(
+        lines, "apache_clf", passthrough=["ts"], fields=["status"]
+    ).filter(F.col("pattern_id") >= 0)
+    reqs = fields.select(
+        "ts", (F.col("status") == "500").cast("int").alias("err")
+    )
+    out = slo_burn(reqs, "ts", "err", slo=0.99, fast_hours=6, slow_hours=24)
+    return out.select(
+        F.unix_timestamp("bucket").alias("bucket_epoch"),
+        "n",
+        "errors",
+        "fast_burn",
+        "slow_burn",
+        "alert",
+    )
+
+
+def _q_cache_hit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDN cache efficiency per distribution host (operators/sre
+    .cache_report) over parsed CloudFront fields with a varied
+    x-edge-result-type; RefreshHit counts as served-from-cache."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.sre import cache_report
+
+    lines = _event_lines(spark, sf_dir, CF_CACHE_LINE)
+    fields = extract_fields(
+        lines,
+        "cloudfront",
+        fields=["cs_host", "x_edge_result_type", "sc_bytes"],
+    ).filter(F.col("pattern_id") >= 0)
+    return cache_report(fields, "cs_host", "x_edge_result_type", "sc_bytes")
+
+
+def _q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types per
+    user (operators/sre.session_transitions): lag window + one pair
+    count; (ts, page) ordering pins ties."""
+    from access_log_parser_spark.operators.sre import session_transitions
+
+    ev = _load(spark, sf_dir, "events")
+    return session_transitions(ev, "user_id", "ts", "event_type")
+
+
+def _q_gap_downtime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Availability gaps over 30 minutes per source file
+    (operators/sre.gap_windows): the "emitter went quiet" report; one
+    lag window on the source key."""
+    from access_log_parser_spark.operators.sre import gap_windows
+
+    ev = _load(spark, sf_dir, "events")
+    src = ev.select(F.expr(SRC).alias("source"), "ts")
+    return gap_windows(src, "source", "ts", min_gap_s=1800)
+
+
+def _q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-grain retention cohorts over the event stream
+    (operators/sre.retention_cohorts): first-seen-day cohort x active
+    day offset user counts."""
+    from access_log_parser_spark.operators.sre import retention_cohorts
+
+    ev = _load(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts")
+
+
+def _q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard routing of the document corpus across 8
+    shards (operators/sre.rendezvous_shards) plus the stability proof:
+    dropping the last shard only moves that shard's keys — the report
+    shows n_moved_on_remove_last = n_keys exactly on shard 7, 0
+    elsewhere, measured not asserted."""
+    from access_log_parser_spark.operators.sre import rendezvous_shards
+
+    docs = _load(spark, sf_dir, "documents")
+    return rendezvous_shards(docs, "doc_id", n_shards=8)
+
+
+def _q_cms_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch accuracy report (operators/sketches
+    .cms_vs_exact): every distinct token's exact count vs its d=4,
+    w=32 sketch estimate — overshoot is the one-sided CMS error made
+    visible. Tokenization matches the vocab_top20 pair (split on
+    whitespace after trim)."""
+    from access_log_parser_spark.operators.sketches import cms_vs_exact
+
+    docs = _docs_par(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    return cms_vs_exact(toks, "tok", depth=4, width=32)
+
+
+def _q_utm_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Campaign attribution from utm_* request parameters
+    (operators/referrers.utm_attribution) over parsed CLF request
+    URIs: +-decode and case folding on values, '-' for absent
+    parameters, untagged rows drop."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.referrers import utm_attribution
+
+    lines = _event_lines(spark, sf_dir, UTM_CLF_LINE)
+    fields = extract_fields(
+        lines, "apache_clf", fields=["request_uri"]
+    ).filter(F.col("pattern_id") >= 0)
+    return utm_attribution(fields, "request_uri")
+
+
+def _q_readability_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (operators/text_quality
+    .readability) with the conventional 60/30 difficulty bands; the
+    counting grammar (whitespace words, [.!?]+ sentences, vowel-group
+    syllables) replays in any regex dialect."""
+    from access_log_parser_spark.operators.text_quality import readability
+
+    return readability(_docs_par(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse+route the CLF corpus derived from sf0.001 events,
     enrich per-sink counts — the north_rule pipeline in one DataFrame."""
@@ -4344,7 +4609,7 @@ _GATE_FIRST = [
     "ann_ivf",
     "ann_ivf_nprobe",
     "ann_lsh",
-    "ann_cosine_topk",
+    # (ann_cosine_topk already has r01/r02 driver rows — not re-gated here)
     "stream_windowed_counts",
     "stream_paragraph_dedup",
     "stream_hourly_counts",
@@ -4404,7 +4669,21 @@ _GATE_FIRST = [
     "hreflang_clusters",
     "search_terms",
     "idn_homograph",
+    # -- round-4b SRE/analytics wave (r05 gate candidates) --
+    "latency_percentiles",
+    "apdex_report",
+    "error_wilson",
+    "slo_burn_alerts",
+    "cache_hit_report",
+    "session_transitions",
+    "gap_downtime",
+    "retention_cohorts",
+    "rendezvous_shards",
+    "cms_accuracy",
+    "utm_attribution",
+    "readability_bands",
     # -- code paths touched in round 4: re-prove under the hard signal --
+    "ann_cosine_topk",
     "warc_scan",
     "stream_minhash_dedup",
     "semdedup",
@@ -4639,6 +4918,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_hybrid": _q_rrf_hybrid,
         "cross_snapshot_dedup": _q_cross_snapshot_dedup,
         "perplexity_buckets": _q_perplexity_buckets,
+        "latency_percentiles": _q_latency_percentiles,
+        "apdex_report": _q_apdex_report,
+        "error_wilson": _q_error_wilson,
+        "slo_burn_alerts": _q_slo_burn_alerts,
+        "cache_hit_report": _q_cache_hit_report,
+        "session_transitions": _q_session_transitions,
+        "gap_downtime": _q_gap_downtime,
+        "retention_cohorts": _q_retention_cohorts,
+        "rendezvous_shards": _q_rendezvous_shards,
+        "cms_accuracy": _q_cms_accuracy,
+        "utm_attribution": _q_utm_attribution,
+        "readability_bands": _q_readability_bands,
     }
     ordered = {k: base[k] for k in _GATE_FIRST}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -8517,6 +8808,238 @@ WITH toks AS (
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
        ROUND(SUM(c), 6) AS rrf_score
 FROM u GROUP BY doc_id
+"""
+
+
+# --- round-4b SRE/analytics oracles -----------------------------------------
+
+_ELB_SQL = "concat('app/lb', CAST(event_id % 3 AS VARCHAR), '/abc')"
+
+_ORACLE["latency_percentiles"] = f"""
+WITH m AS (
+  SELECT {_ELB_SQL} AS elb, {_LAT_SQL} AS lat
+  FROM events WHERE event_id % 10 <> 0
+), a AS (
+  SELECT elb, quantile_cont(lat, [0.5, 0.9, 0.99]) AS q, COUNT(*) AS n
+  FROM m GROUP BY elb
+)
+SELECT elb, ROUND(q[1], 6) AS p50, ROUND(q[2], 6) AS p90,
+       ROUND(q[3], 6) AS p99, CAST(n AS BIGINT) AS n
+FROM a
+"""
+
+_ORACLE["apdex_report"] = f"""
+WITH m AS (
+  SELECT {_ELB_SQL} AS elb, {_LAT_SQL} AS lat
+  FROM events WHERE event_id % 10 <> 0
+), a AS (
+  SELECT elb,
+    SUM(CASE WHEN lat <= 0.25 THEN 1 ELSE 0 END) AS satisfied,
+    SUM(CASE WHEN lat > 0.25 AND lat <= 1.0 THEN 1 ELSE 0 END) AS tolerating,
+    COUNT(*) AS n
+  FROM m GROUP BY elb
+)
+SELECT elb, CAST(satisfied AS BIGINT) AS satisfied,
+  CAST(tolerating AS BIGINT) AS tolerating,
+  CAST(n - satisfied - tolerating AS BIGINT) AS frustrated,
+  CAST(n AS BIGINT) AS n,
+  ROUND((CAST(satisfied AS DOUBLE) + CAST(tolerating AS DOUBLE) / 2.0)
+        / CAST(n AS DOUBLE), 6) AS apdex
+FROM a
+"""
+
+_WZ = 1.959963984540054
+_WZ2 = _WZ * _WZ
+
+_ORACLE["error_wilson"] = f"""
+WITH m AS (
+  SELECT event_type AS endpoint,
+    CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END AS err
+  FROM events WHERE event_id % 10 <> 0
+), a AS (
+  SELECT endpoint, COUNT(*) AS n, SUM(err) AS errors FROM m GROUP BY endpoint
+), c AS (
+  SELECT endpoint, CAST(n AS BIGINT) AS n, CAST(errors AS BIGINT) AS errors,
+    CAST(errors AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+    CAST(n AS DOUBLE) AS nd
+  FROM a
+)
+SELECT endpoint, n, errors, ROUND(p, 6) AS rate,
+  ROUND(GREATEST(CAST(0.0 AS DOUBLE),
+    ((p + {_WZ2!r} / (2.0 * nd))
+     - {_WZ!r} * sqrt((p * (1.0 - p) / nd) + {_WZ2!r} / ((4.0 * nd) * nd)))
+    / (1.0 + {_WZ2!r} / nd)), 6) AS wilson_low,
+  ROUND(LEAST(CAST(1.0 AS DOUBLE),
+    ((p + {_WZ2!r} / (2.0 * nd))
+     + {_WZ!r} * sqrt((p * (1.0 - p) / nd) + {_WZ2!r} / ((4.0 * nd) * nd)))
+    / (1.0 + {_WZ2!r} / nd)), 6) AS wilson_high
+FROM c
+"""
+
+_SLO_BUDGET = 1.0 - 0.99  # replayed exactly: repr of the Python double
+
+_ORACLE["slo_burn_alerts"] = f"""
+WITH m AS (
+  SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT) // 21600) * 21600 AS bucket_epoch,
+    CASE WHEN event_id % 4 = 3 THEN 1 ELSE 0 END AS err
+  FROM events WHERE event_id % 10 <> 0
+), fast AS (
+  SELECT bucket_epoch, COUNT(*) AS n, SUM(err) AS errors
+  FROM m GROUP BY bucket_epoch
+), slow AS (
+  SELECT (bucket_epoch // 86400) * 86400 AS sb, SUM(n) AS sn, SUM(errors) AS se
+  FROM fast GROUP BY 1
+), j AS (
+  SELECT f.bucket_epoch, f.n, f.errors,
+    (CAST(f.errors AS DOUBLE) / CAST(f.n AS DOUBLE)) / {_SLO_BUDGET!r} AS fb,
+    (CAST(s.se AS DOUBLE) / CAST(s.sn AS DOUBLE)) / {_SLO_BUDGET!r} AS sb2
+  FROM fast f JOIN slow s ON (f.bucket_epoch // 86400) * 86400 = s.sb
+)
+SELECT bucket_epoch, CAST(n AS BIGINT) AS n, CAST(errors AS BIGINT) AS errors,
+  ROUND(fb, 6) AS fast_burn, ROUND(sb2, 6) AS slow_burn,
+  (fb > 2.0 AND sb2 > 1.0) AS alert
+FROM j
+"""
+
+_ORACLE["cache_hit_report"] = """
+WITH m AS (
+  SELECT concat('d', CAST(event_id % 5 AS VARCHAR), '.cloudfront.net') AS cs_host,
+    CASE WHEN event_id % 4 IN (0, 2) THEN 1 ELSE 0 END AS cached,
+    CAST(FLOOR(value * 100) AS BIGINT) AS b
+  FROM events WHERE event_id % 10 <> 0
+)
+SELECT cs_host, CAST(COUNT(*) AS BIGINT) AS requests,
+  CAST(SUM(cached) AS BIGINT) AS hits,
+  ROUND(CAST(SUM(cached) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS hit_ratio,
+  CAST(SUM(b) AS BIGINT) AS bytes_total,
+  CAST(SUM(CASE WHEN cached = 1 THEN b ELSE 0 END) AS BIGINT) AS bytes_from_cache
+FROM m GROUP BY cs_host
+"""
+
+_ORACLE["session_transitions"] = """
+WITH t AS (
+  SELECT user_id, event_type AS page,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type) AS prev_page
+  FROM events
+)
+SELECT prev_page, page, CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM t WHERE prev_page IS NOT NULL GROUP BY prev_page, page
+"""
+
+_ORACLE["gap_downtime"] = """
+WITH s AS (
+  SELECT concat('src', CAST(event_id % 20 AS VARCHAR)) AS source, ts FROM events
+), t AS (
+  SELECT source, ts, lag(ts) OVER (PARTITION BY source ORDER BY ts) AS prev
+  FROM s
+)
+SELECT source, prev AS gap_start, ts AS gap_end,
+  CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev)) AS BIGINT) AS gap_s
+FROM t
+WHERE prev IS NOT NULL
+  AND CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev)) AS BIGINT) >= 1800
+"""
+
+_ORACLE["retention_cohorts"] = """
+WITH a AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day FROM events
+), c AS (
+  SELECT u, MIN(day) AS cohort_day FROM a GROUP BY u
+)
+SELECT cohort_day, CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM a JOIN c USING (u) GROUP BY cohort_day, day_offset
+"""
+
+
+def _rendezvous_oracle(n: int = 8) -> str:
+    """Unrolled HRW argmax: first index whose digest equals the
+    GREATEST digest — the same first-occurrence tiebreak as Spark's
+    array_position."""
+    hs = [f"md5(concat(CAST(doc_id AS VARCHAR), ':{s}'))" for s in range(n)]
+
+    def argmax(k: int) -> str:
+        g = "GREATEST(" + ", ".join(hs[:k]) + ")"
+        cases = " ".join(f"WHEN {hs[s]} = {g} THEN {s}" for s in range(k))
+        return f"(CASE {cases} END)"
+
+    return f"""
+WITH a AS (
+  SELECT {argmax(n)} AS shard,
+    CASE WHEN {argmax(n)} <> {argmax(n - 1)} THEN 1 ELSE 0 END AS moved
+  FROM documents
+)
+SELECT CAST(shard AS INT) AS shard, CAST(COUNT(*) AS BIGINT) AS n_keys,
+  CAST(SUM(moved) AS BIGINT) AS n_moved_on_remove_last
+FROM a GROUP BY shard
+"""
+
+
+_ORACLE["rendezvous_shards"] = _rendezvous_oracle(8)
+
+_ORACLE["cms_accuracy"] = r"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+), exact AS (
+  SELECT tok AS item, CAST(COUNT(*) AS BIGINT) AS exact FROM toks GROUP BY tok
+), rs AS (
+  SELECT UNNEST([0, 1, 2, 3]) AS r
+), occ AS (
+  SELECT rs.r,
+    CAST('0x' || substr(md5(concat(CAST(rs.r AS VARCHAR), ':', tok)), 1, 8)
+         AS BIGINT) % 32 AS bucket
+  FROM toks CROSS JOIN rs
+), grid AS (
+  SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt FROM occ GROUP BY r, bucket
+), probe AS (
+  SELECT e.item, e.exact, rs.r,
+    CAST('0x' || substr(md5(concat(CAST(rs.r AS VARCHAR), ':', e.item)), 1, 8)
+         AS BIGINT) % 32 AS b
+  FROM exact e CROSS JOIN rs
+)
+SELECT p.item, p.exact, MIN(g.cnt) AS est, MIN(g.cnt) - p.exact AS overshoot
+FROM probe p JOIN grid g ON g.r = p.r AND g.bucket = p.b
+GROUP BY p.item, p.exact
+"""
+
+_ORACLE["utm_attribution"] = """
+WITH m AS (
+  SELECT
+    CASE WHEN event_id % 3 = 1 THEN concat('src ', CAST(user_id % 3 AS VARCHAR))
+         ELSE concat('s', CAST(user_id % 3 AS VARCHAR)) END AS utm_source,
+    CASE WHEN event_id % 3 = 1 THEN
+      (CASE WHEN event_id % 2 = 0 THEN 'email' ELSE 'cpc' END)
+         ELSE '-' END AS utm_medium,
+    CASE WHEN event_id % 3 = 1 THEN concat('c', CAST(event_id % 5 AS VARCHAR))
+         ELSE '-' END AS utm_campaign
+  FROM events WHERE event_id % 10 <> 0 AND event_id % 3 <> 0
+)
+SELECT utm_source, utm_medium, utm_campaign, CAST(COUNT(*) AS BIGINT) AS hits
+FROM m GROUP BY utm_source, utm_medium, utm_campaign
+"""
+
+_ORACLE["readability_bands"] = r"""
+WITH c AS (
+  SELECT doc_id,
+    len(list_filter(regexp_split_to_array(coalesce(text, ''), '\s+'),
+                    x -> x <> '')) AS words,
+    GREATEST(len(regexp_extract_all(coalesce(text, ''), '[.!?]+')), 1)
+      AS sentences,
+    len(regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+')) AS syllables
+  FROM documents
+), f AS (
+  SELECT doc_id, words, sentences, syllables,
+    206.835 - 1.015 * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+            - 84.6 * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) AS raw
+  FROM c WHERE words > 0
+)
+SELECT doc_id, CAST(words AS BIGINT) AS words,
+  CAST(sentences AS BIGINT) AS sentences,
+  CAST(syllables AS BIGINT) AS syllables,
+  ROUND(raw, 6) AS flesch,
+  CASE WHEN raw >= 60 THEN 'easy' WHEN raw >= 30 THEN 'standard'
+       ELSE 'difficult' END AS band
+FROM f
 """
 
 

@@ -73,3 +73,50 @@ def search_referrers(
         .groupBy("engine", "term")
         .agg(F.count(F.lit(1)).alias("hits"))
     )
+
+
+UTM_RES = {
+    "utm_source": r"[?&]utm_source=([^&#]*)",
+    "utm_medium": r"[?&]utm_medium=([^&#]*)",
+    "utm_campaign": r"[?&]utm_campaign=([^&#]*)",
+}
+
+
+def utm_attribution(df: DataFrame, uri_col: str = "request_uri") -> DataFrame:
+    """Campaign attribution from the request URI's utm_* parameters —
+    the marketing-side twin of :func:`search_referrers`, read from the
+    landing URL instead of the Referer.
+
+    Grammar subset (oracle-replayable): each parameter is the first
+    ``utm_source`` / ``utm_medium`` / ``utm_campaign`` occurrence in
+    the query string, lowercased, ``+`` decoded to space; an absent or
+    empty parameter reports as ``-`` (the CLF empty marker). Rows with
+    none of the three parameters drop — they are untagged traffic, not
+    an attribution row.
+
+    Output: (utm_source, utm_medium, utm_campaign, hits). Plan: a pure
+    regexp projection into ONE triple-keyed count with map-side
+    combine.
+    """
+    uri = F.coalesce(F.col(uri_col), F.lit(""))
+
+    def param(pattern: str) -> Column:
+        raw = F.regexp_extract(uri, pattern, 1)
+        return F.when(
+            raw == "", F.lit("-")
+        ).otherwise(F.lower(F.replace(raw, F.lit("+"), F.lit(" "))))
+
+    cols = {name: param(p) for name, p in UTM_RES.items()}
+    tagged = None
+    for c in cols.values():
+        t = (c != "-").cast("int")
+        tagged = t if tagged is None else tagged + t
+    return (
+        df.select(
+            *[c.alias(name) for name, c in cols.items()],
+            tagged.alias("_tagged"),
+        )
+        .filter(F.col("_tagged") > 0)
+        .groupBy("utm_source", "utm_medium", "utm_campaign")
+        .agg(F.count(F.lit(1)).cast("long").alias("hits"))
+    )

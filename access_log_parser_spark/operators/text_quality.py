@@ -766,3 +766,47 @@ def lang_id_margin(
         (top - second).cast("long").alias("margin"),
         ((top - second) >= min_margin).alias("confident"),
     )
+
+
+def readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease score per document (Flesch 1948) — the
+    classic prose-difficulty signal a curation mix uses to balance
+    simple vs dense text (e.g. routing kids'-encyclopedia-grade prose
+    and legalese into different mixture buckets).
+
+    score = 206.835 - 1.015 * (words/sentences) - 84.6 * (syllables/words)
+
+    Counting grammar (pinned so the oracle replays it exactly):
+    words = whitespace-separated tokens; sentences = maximal runs of
+    ``.!?`` (min 1 so headline-only fragments don't divide by zero);
+    syllables = vowel GROUPS ``[aeiouy]+`` in the lowercased text —
+    the standard cheap proxy (true syllabification needs a dictionary;
+    the vowel-group count is within ~10% on English prose and is
+    deterministic in any regex dialect).
+
+    Returns (doc_id, words, sentences, syllables, flesch, band) with
+    band in {easy, standard, difficult} at the conventional 60/30
+    cuts. Plan at 100 TB: pure per-row projection — three
+    regexp_count expressions, zero shuffles.
+    """
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.size(F.filter(F.split(t, r"\s+"), lambda x: x != ""))
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.regexp_count(F.lower(t), F.lit(r"[aeiouy]+"))
+    w = words.cast("double")
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / sentences.cast("double"))
+        - F.lit(84.6) * (syllables.cast("double") / w)
+    )
+    return df.filter(words > 0).select(
+        "doc_id",
+        words.cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+        syllables.cast("long").alias("syllables"),
+        F.round(flesch, 6).alias("flesch"),
+        F.when(flesch >= 60, F.lit("easy"))
+        .when(flesch >= 30, F.lit("standard"))
+        .otherwise(F.lit("difficult"))
+        .alias("band"),
+    )

@@ -396,6 +396,31 @@ SELECTED = [
      "extraction is a pure projection after the decode; the report is "
      "ONE (engine, term) keyed count whose partial agg collapses hot "
      "terms map-side"),
+    ("latency_percentiles", False,
+     "ONE key exchange; exact percentile is the oracle pin — the "
+     "exact=False approx_percentile path is the 100-TB shape (mergeable "
+     "sketch, map-side partials, bounded state)"),
+    ("error_wilson", False,
+     "ONE hash aggregate (two conditional counts) with map-side "
+     "combine; the interval is closed-form arithmetic after the agg"),
+    ("slo_burn_alerts", False,
+     "one bucket-keyed aggregate over the raw stream; the slow window "
+     "re-aggregates the TINY fast-bucket table and joins back "
+     "broadcast — never a second raw scan"),
+    ("session_transitions", False,
+     "one user-key exchange for the lag window, then one (prev, page) "
+     "count whose partials collapse the small pair space map-side"),
+    ("retention_cohorts", False,
+     "one raw-input pass (distinct user/day); cohort is a re-aggregate "
+     "joined back on the SAME user key; final count over the small "
+     "(cohort, offset) space"),
+    ("rendezvous_shards", False,
+     "per-row constant expression (n md5 digests + argmax) into ONE "
+     "shard-keyed aggregate; zero joins"),
+    ("cms_accuracy", False,
+     "grid build is one (row, bucket) aggregate whose map-side partial "
+     "is bounded at d*w rows per task regardless of skew; probes are "
+     "BroadcastHashJoins against the constant-size grid"),
 ]
 
 
