@@ -28,7 +28,8 @@ pipeline-demo:
 # package the library, ship via --py-files, run the pipeline entry point
 submit-check:
 	rm -f /tmp/alp.zip && zip -qr /tmp/alp.zip access_log_parser_spark
-	spark-submit --master 'local[4]' --py-files /tmp/alp.zip \
+	spark-submit --master 'local[4]' --driver-memory 8g \
+	    --conf spark.sql.shuffle.partitions=4 --py-files /tmp/alp.zip \
 	    scripts/run_pipeline.py --synth 50 --out /tmp/alp_submit_check
 
 train-prep-demo:

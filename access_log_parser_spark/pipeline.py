@@ -86,17 +86,40 @@ def run_pipeline(
     skipped = [b for b in all_ids if b in done]
 
     total = Result()
+    par = spark.sparkContext.defaultParallelism
     for batch_id in todo:
         batch_pages = pages.filter(F.col("batch_id") == batch_id)
-        carry = tuple(k for _, (_, k) in (lookups or {}).items())
+        # A compact parquet corpus (one row group / few small files) arrives
+        # as fewer input splits than cores, and the decode — the CPU-heavy
+        # stage — would run at the split count no matter how many executors
+        # the cluster has (measured: local[2] == local[8] wall-clock on a
+        # 2M-line corpus before this spread). Repartition only when the
+        # batch is under-split; at 100 TB the input arrives as thousands of
+        # splits and this branch never fires, costing nothing.
+        if batch_pages.rdd.getNumPartitions() < par:
+            batch_pages = batch_pages.repartition(par)
         lines = explode_lines(
-            batch_pages, text_col=text_col, source_col=url_col, keep=carry
+            batch_pages, text_col=text_col, source_col=url_col
         )
         routed = parse(lines.select("source", "line_no", "raw"), fmt, opt)
 
         if lookups:
-            keyed = lines.select("source", "line_no", *carry)
-            routed = routed.join(keyed, on=["source", "line_no"], how="left")
+            # Lookup keys are PAGE-level attributes, so the carry joins at
+            # page grain (one row per url), not line grain: the previous
+            # shape — routed (lines-sized) |><| keyed lines (lines-sized)
+            # on (source, line_no) — shuffled the whole corpus twice per
+            # lookup and measurably stopped the 2->8 core scaling of the
+            # submit-mode pipeline. Page-grain is 20x smaller here,
+            # AQE-broadcastable when the page table fits, and joins on the
+            # single source key. Contract: url is the page key (one row
+            # per url, per the input_hint schema); duplicate urls would
+            # duplicate routed rows under either shape.
+            carry = tuple(k for _, (_, k) in (lookups or {}).items())
+            page_attrs = batch_pages.select(
+                F.col(url_col).alias("source"),
+                *[F.col(k) for k in carry],
+            )
+            routed = routed.join(page_attrs, on="source", how="left")
             for _, (lk, key) in lookups.items():
                 routed = routed.join(F.broadcast(lk), on=key, how="left")
 

@@ -24,16 +24,26 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
-    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
-        os.environ.get("SPARK_GRAFT_CPUS", "*")
-    )
-    shuffle_partitions = shuffle_partitions or int(
-        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
-    )
+    # Under spark-submit the JVM gateway is already running with the
+    # launcher's --master/--conf applied (PYSPARK_GATEWAY_PORT is set), and
+    # builder options would OVERRIDE them — measured: every `spark-submit
+    # --master local[2]` pipeline run silently executed at local[*], which
+    # also falsified the 2-vs-8-core scaling pair. When launched that way,
+    # only explicit caller arguments may override the launcher; master and
+    # shuffle-partition defaults stay with spark-submit/spark-defaults.
+    launched_by_submit = "PYSPARK_GATEWAY_PORT" in os.environ
+    master = master or os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None and not launched_by_submit:
+        master = "local[%s]" % os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None and launched_by_submit:
+        shuffle_sql = None
+    else:
+        shuffle_sql = str(
+            shuffle_partitions
+            or int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+        )
     b = (
         SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -51,6 +61,10 @@ def get_spark(
         .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs", "false")
         .config("spark.hadoop.parquet.summary.metadata.level", "NONE")
     )
+    if shuffle_sql is not None:
+        b = b.config("spark.sql.shuffle.partitions", shuffle_sql)
+    if master is not None:
+        b = b.master(master)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     return b.getOrCreate()
