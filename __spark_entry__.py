@@ -4571,6 +4571,205 @@ def _q_readability_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return readability(_docs_par(spark, sf_dir))
 
 
+# --------------------------------------------------------------------------
+# round-4c: UA structuring, privacy, growth metrics, graph k-core
+# --------------------------------------------------------------------------
+
+#: realistic UA strings remapped onto parsed CLF rows by event_id % 8
+#: (the bot_signals precedent); class -> (family, os, major) is closed-form
+_UA_CLASSES = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.100.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 "
+    "(KHTML, like Gecko) Version/17.0 Safari/605.1.15",
+    "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) "
+    "AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.0 Mobile/15E148 "
+    "Safari/604.1",
+    "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36 "
+    "(KHTML, like Gecko) Chrome/120.0.6099.43 Mobile Safari/537.36",
+    "Googlebot/2.1 (+http://www.google.com/bot.html)",
+    "curl/8.5.0",
+]
+
+#: expected (family, os, major) per class — the oracle's VALUES table;
+#: class 7 (curl) carries no OS token -> 'other'
+_UA_EXPECT = [
+    ("chrome", "windows", 120),
+    ("edge", "windows", 120),
+    ("safari", "macos", 605),
+    ("firefox", "linux", 121),
+    ("safari", "ios", 604),
+    ("chrome", "android", 120),
+    ("bot", "other", None),
+    ("bot", "other", None),
+]
+
+
+def _q_ua_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Browser/OS/major-version report (operators/uaparse.ua_breakdown)
+    over parsed CLF rows with realistic UA strings remapped by
+    event_id %% 8 — the detection-order contract (bot before Edg before
+    Chrome before Safari; iOS before the 'like Mac OS X' token it
+    carries) is exactly what the 8 classes exercise. The oracle maps
+    each class to its closed-form (family, os, major) triple."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.uaparse import ua_breakdown
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    fields = extract_fields(
+        lines, "apache_clf", passthrough=["event_id"], fields=["user_agent"]
+    ).filter(F.col("pattern_id") >= 0)
+    ua = None
+    for i, s in enumerate(_UA_CLASSES):
+        cond = F.col("event_id") % 8 == i
+        ua = F.when(cond, F.lit(s)) if ua is None else ua.when(cond, F.lit(s))
+    return ua_breakdown(fields.select(ua.alias("user_agent")))
+
+
+def _q_ip_anon_kcheck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR /24 masking with measured k-anonymity (operators/sre
+    .ip_anonymize_report): client IPs remapped so every third prefix
+    carries at most 2 distinct tails (k_ok false at threshold 5) while
+    the rest spread over ~40 — the report must separate them."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.sre import ip_anonymize_report
+
+    lines = _event_lines(spark, sf_dir, CLF_LINE)
+    fields = extract_fields(
+        lines, "apache_clf", passthrough=["event_id"],
+        fields=["remote_host"],
+    ).filter(F.col("pattern_id") >= 0)
+    e = F.col("event_id")
+    tail = F.when(e % 3 == 0, e % 2).otherwise(e % 40)
+    ip = F.concat(
+        F.lit("10."), (e % 3).cast("string"),
+        F.lit("."), (F.col("event_id") % 5).cast("string"),
+        F.lit("."), tail.cast("string"),
+    )
+    return ip_anonymize_report(
+        fields.select(ip.alias("client_ip")), "client_ip", k_threshold=5
+    )
+
+
+def _q_active_users_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / rolling-7-day-WAU / stickiness (operators/sre
+    .active_users_rolling) over the event stream."""
+    from access_log_parser_spark.operators.sre import active_users_rolling
+
+    ev = _load(spark, sf_dir, "events")
+    return active_users_rolling(ev, "user_id", "ts", window_days=7)
+
+
+def _q_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution (operators/referrers
+    .last_touch_attribution): every third event is campaign-tagged,
+    purchases convert; a purchase with no prior touch in its user's
+    stream credits organic '-'. Ordered (ts, campaign NULLS FIRST) —
+    tie-total and dialect-pinned."""
+    from access_log_parser_spark.operators.referrers import (
+        last_touch_attribution,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    camp = F.when(
+        F.col("event_id") % 3 == 1,
+        F.concat(F.lit("c"), (F.col("event_id") % 5).cast("string")),
+    )
+    touches = ev.select(
+        "user_id", "ts", camp.alias("campaign"),
+        (F.col("event_type") == "purchase").alias("is_conv"),
+    )
+    return last_touch_attribution(touches, "user_id", "ts", "campaign", "is_conv")
+
+
+def _q_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-round k=3 core peel (operators/graph.kcore_peel) over a layered
+    host graph built to cascade: h0-h4 form a K5 (ring + chords, degree
+    6 with fringe attached), each fringe f_k holds degree 3 = two core
+    edges + one leaf — so round 1 peels ONLY the leaves, round 2 peels
+    the fringe (now degree 2), and round 3 confirms the K5 fixpoint
+    (degree 4). A single-round filter would keep the fringe and be
+    wrong. The oracle unrolls the rounds as degree/semi-join CTEs.
+    Layer index k = (doc_id %% 20) // 4 is independent of the
+    doc_id %% 4 class selector by construction."""
+    from access_log_parser_spark.operators.graph import kcore_peel
+
+    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    m = d % 4
+    k = F.floor((d % 20) / 4).cast("int")
+
+    def h(i):
+        return F.concat(F.lit("h"), (i % 5).cast("string"))
+
+    def f(i):
+        return F.concat(F.lit("f"), (i % 5).cast("string"))
+
+    def leaf(i):
+        return F.concat(F.lit("l"), (i % 5).cast("string"))
+
+    src = (
+        F.when(m == 0, h(k))
+        .when(m == 1, h(k))
+        .when(m == 2, f(k))
+        .when(d % 8 == 3, f(k))
+        .otherwise(leaf(k))
+    )
+    dst = (
+        F.when(m == 0, h(k + 1))
+        .when(m == 1, h(k + 2))
+        .when(m == 2, h(k))
+        .when(d % 8 == 3, h(k + 1))
+        .otherwise(f(k))
+    )
+    edges = docs.select(src.alias("src"), dst.alias("dst"))
+    return kcore_peel(edges, k=3, rounds=3)
+
+
+def _q_latency_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p95 latency regression report per load balancer (operators/sre
+    .latency_regression): the ALB-lat corpus split at mid-month; the
+    synthetic latency distribution is time-independent, so the pinned
+    math reports near-zero deltas and regressed=false — the oracle
+    replays the split, both exact quantiles, and the flag."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.sre import latency_regression
+
+    ev = _load(spark, sf_dir, "events").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    lines = ev.select("event_id", "ts", F.expr(ALB_LAT_LINE).alias("raw"))
+    fields = extract_fields(
+        lines,
+        "alb",
+        passthrough=["ts"],
+        fields=[
+            "elb",
+            "request_processing_time",
+            "target_processing_time",
+            "response_processing_time",
+        ],
+    ).filter(F.col("pattern_id") >= 0)
+    lat = fields.select(
+        "elb",
+        "ts",
+        (
+            F.col("request_processing_time").cast("double")
+            + F.col("target_processing_time").cast("double")
+            + F.col("response_processing_time").cast("double")
+        ).alias("latency"),
+    )
+    import datetime as _dt
+
+    return latency_regression(
+        lat, "elb", "latency", "ts",
+        split_ts=_dt.datetime(2024, 1, 16), p=0.95, threshold=0.05,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: parse+route the CLF corpus derived from sf0.001 events,
     enrich per-sink counts — the north_rule pipeline in one DataFrame."""
@@ -4682,6 +4881,12 @@ _GATE_FIRST = [
     "cms_accuracy",
     "utm_attribution",
     "readability_bands",
+    "ua_breakdown",
+    "ip_anon_kcheck",
+    "active_users_rolling",
+    "last_touch",
+    "kcore_hosts",
+    "latency_regression",
     # -- code paths touched in round 4: re-prove under the hard signal --
     "ann_cosine_topk",
     "warc_scan",
@@ -4930,6 +5135,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_accuracy": _q_cms_accuracy,
         "utm_attribution": _q_utm_attribution,
         "readability_bands": _q_readability_bands,
+        "ua_breakdown": _q_ua_breakdown,
+        "ip_anon_kcheck": _q_ip_anon_kcheck,
+        "active_users_rolling": _q_active_users_rolling,
+        "last_touch": _q_last_touch,
+        "kcore_hosts": _q_kcore_hosts,
+        "latency_regression": _q_latency_regression,
     }
     ordered = {k: base[k] for k in _GATE_FIRST}
     ordered.update({k: v for k, v in base.items() if k not in ordered})
@@ -9040,6 +9251,145 @@ SELECT doc_id, CAST(words AS BIGINT) AS words,
   CASE WHEN raw >= 60 THEN 'easy' WHEN raw >= 30 THEN 'standard'
        ELSE 'difficult' END AS band
 FROM f
+"""
+
+
+# --- round-4c oracles --------------------------------------------------------
+
+_ORACLE["ua_breakdown"] = (
+    """
+WITH map AS (
+  SELECT * FROM (VALUES
+"""
+    + ",\n".join(
+        f"    ({i}, '{fam}', '{os_}', "
+        + ("NULL" if major is None else str(major)) + ")"
+        for i, (fam, os_, major) in enumerate(_UA_EXPECT)
+    )
+    + """
+  ) v(c, family, os, major)
+), m AS (
+  SELECT CAST(event_id % 8 AS INT) AS c FROM events WHERE event_id % 10 <> 0
+)
+SELECT map.family, map.os, CAST(map.major AS INT) AS major,
+  CAST(COUNT(*) AS BIGINT) AS requests
+FROM m JOIN map ON m.c = map.c
+GROUP BY map.family, map.os, map.major
+"""
+)
+
+_ORACLE["ip_anon_kcheck"] = """
+WITH m AS (
+  SELECT concat('10.', CAST(event_id % 3 AS VARCHAR), '.',
+                CAST(event_id % 5 AS VARCHAR), '.0') AS prefix24,
+    concat('10.', CAST(event_id % 3 AS VARCHAR), '.',
+           CAST(event_id % 5 AS VARCHAR), '.',
+           CAST(CASE WHEN event_id % 3 = 0 THEN event_id % 2
+                     ELSE event_id % 40 END AS VARCHAR)) AS ip
+  FROM events WHERE event_id % 10 <> 0
+)
+SELECT prefix24, CAST(COUNT(*) AS BIGINT) AS n_requests,
+  CAST(COUNT(DISTINCT ip) AS BIGINT) AS k_distinct_ips,
+  (COUNT(DISTINCT ip) >= 5) AS k_ok
+FROM m GROUP BY prefix24
+"""
+
+_ORACLE["active_users_rolling"] = """
+WITH a AS (
+  SELECT DISTINCT user_id AS u, date_trunc('day', ts) AS day FROM events
+), dau AS (
+  SELECT day, COUNT(*) AS dau FROM a GROUP BY day
+), fan AS (
+  SELECT DISTINCT u, day + INTERVAL (i) DAY AS wd
+  FROM a CROSS JOIN range(7) t(i)
+), wau AS (
+  SELECT wd, COUNT(*) AS wau FROM fan GROUP BY wd
+)
+SELECT day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+  ROUND(CAST(dau AS DOUBLE) / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau ON day = wd
+"""
+
+_ORACLE["last_touch"] = """
+WITH t AS (
+  SELECT user_id, ts, event_type,
+    CASE WHEN event_id % 3 = 1
+         THEN concat('c', CAST(event_id % 5 AS VARCHAR)) END AS camp
+  FROM events
+), w AS (
+  SELECT event_type,
+    coalesce(last_value(camp IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY ts, camp NULLS FIRST
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), '-') AS campaign
+  FROM t
+)
+SELECT campaign, CAST(COUNT(*) AS BIGINT) AS conversions
+FROM w WHERE event_type = 'purchase' GROUP BY campaign
+"""
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 3) -> str:
+    """Unrolled peel: per round, degree count + both-endpoint semi-join
+    against the surviving node set — the same rounds kcore_peel runs."""
+    base = """
+WITH kk AS (
+  SELECT doc_id, CAST(doc_id % 4 AS INT) AS m,
+    CAST((doc_id % 20) // 4 AS INT) AS k
+  FROM documents WHERE doc_id < 400
+), raw AS (
+  SELECT
+    CASE WHEN m = 0 THEN concat('h', CAST(k % 5 AS VARCHAR))
+         WHEN m = 1 THEN concat('h', CAST(k % 5 AS VARCHAR))
+         WHEN m = 2 THEN concat('f', CAST(k % 5 AS VARCHAR))
+         WHEN doc_id % 8 = 3 THEN concat('f', CAST(k % 5 AS VARCHAR))
+         ELSE concat('l', CAST(k % 5 AS VARCHAR)) END AS src,
+    CASE WHEN m = 0 THEN concat('h', CAST((k + 1) % 5 AS VARCHAR))
+         WHEN m = 1 THEN concat('h', CAST((k + 2) % 5 AS VARCHAR))
+         WHEN m = 2 THEN concat('h', CAST(k % 5 AS VARCHAR))
+         WHEN doc_id % 8 = 3 THEN concat('h', CAST((k + 1) % 5 AS VARCHAR))
+         ELSE concat('f', CAST(k % 5 AS VARCHAR)) END AS dst
+  FROM kk
+), e0 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT src AS a, dst AS b FROM raw
+    UNION ALL SELECT dst AS a, src AS b FROM raw
+  ) WHERE a <> b
+)"""
+    parts = [base]
+    for r in range(rounds):
+        parts.append(f""",
+d{r} AS (SELECT a, COUNT(*) AS deg FROM e{r} GROUP BY a),
+k{r} AS (SELECT a FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS (
+  SELECT e.a, e.b FROM e{r} e
+  WHERE EXISTS (SELECT 1 FROM k{r} x WHERE x.a = e.a)
+    AND EXISTS (SELECT 1 FROM k{r} y WHERE y.a = e.b)
+)""")
+    parts.append(f"""
+SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM e{rounds} GROUP BY a
+""")
+    return "".join(parts)
+
+
+_ORACLE["kcore_hosts"] = _kcore_oracle(3, 3)
+
+_ORACLE["latency_regression"] = f"""
+WITH m AS (
+  SELECT {_ELB_SQL} AS elb, {_LAT_SQL} AS lat,
+    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'before'
+         ELSE 'after' END AS period
+  FROM events WHERE event_id % 10 <> 0
+), a AS (
+  SELECT elb, period, quantile_cont(lat, 0.95) AS pq, COUNT(*) AS n
+  FROM m GROUP BY elb, period
+)
+SELECT b.elb, ROUND(b.pq, 6) AS p_before, ROUND(f.pq, 6) AS p_after,
+  ROUND(f.pq - b.pq, 6) AS delta,
+  CAST(b.n AS BIGINT) AS n_before, CAST(f.n AS BIGINT) AS n_after,
+  ((f.pq - b.pq) > 0.05) AS regressed
+FROM a b JOIN a f ON b.elb = f.elb
+WHERE b.period = 'before' AND f.period = 'after'
 """
 
 

@@ -559,3 +559,62 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
                  "n_nodes")
 
     return _side("dst", "in").unionByName(_side("src", "out"))
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-round k-core peeling over the undirected simple graph —
+    the density tier above :func:`triangle_counts` for spam/community
+    structure: the k-core (maximal subgraph where every node keeps
+    degree >= k) survives the iterated removal of low-degree fringe,
+    so boilerplate-linked leaf hosts peel away while link farms and
+    genuine dense communities remain. Matula & Beck 1983 degeneracy
+    peeling, round-limited like :func:`pagerank`'s fixed power
+    iterations: each round drops every node whose CURRENT degree is
+    below k, together with its edges; ``rounds`` rounds reach the true
+    core on graphs whose fringe is at most ``rounds`` layers deep
+    (the remainder is the documented fixed-iteration contract — at
+    web scale, run until a round removes nothing).
+
+    Returns (node, degree) — the EXACT state after ``rounds`` peels:
+    degree is the distinct-neighbor count inside the surviving
+    subgraph, and a node with degree < k may remain when ``rounds``
+    was too small to reach the fixpoint (no hidden extra filter — the
+    reported degrees are always self-consistent with the reported
+    node set, and an under-peeled result is visible instead of being
+    silently half-filtered).
+
+    Plan at 100 TB: one symmetrize + distinct up front, then per round
+    ONE degree aggregate + a broadcast-able semi-join of the edge list
+    against the surviving (small, shrinking) node set — the edge list
+    shuffles on the node key once per round, the same per-round cost
+    shape as pagerank; no window, no all-pairs anywhere.
+    """
+    s, d = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.select(s.alias("a"), d.alias("b"))
+        .union(edges.select(d.alias("a"), s.alias("b")))
+        .filter(
+            F.col("a").isNotNull()
+            & F.col("b").isNotNull()
+            & (F.col("a") != F.col("b"))
+        )
+        .distinct()
+    )
+    for _ in range(rounds):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        e = (
+            e.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+        )
+    return (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .select(F.col("a").alias("node"), "degree")
+    )

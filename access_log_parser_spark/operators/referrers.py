@@ -120,3 +120,39 @@ def utm_attribution(df: DataFrame, uri_col: str = "request_uri") -> DataFrame:
         .groupBy("utm_source", "utm_medium", "utm_campaign")
         .agg(F.count(F.lit(1)).cast("long").alias("hits"))
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    campaign_col: str,
+    conversion_col: str,
+) -> DataFrame:
+    """Last-touch conversion attribution: each conversion credits the
+    most recent campaign-tagged touch at or before it in the user's
+    event stream (``campaign_col`` NULL on untagged rows); conversions
+    with no preceding touch report campaign ``-`` (organic).
+
+    Output: (campaign, conversions). Plan at 100 TB: ONE user-keyed
+    exchange for the last_value(ignorenulls) window ordered
+    (ts, campaign) — tie-total like session_transitions — then one
+    campaign-keyed count over the conversions only.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(campaign_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last(F.col(campaign_col), ignorenulls=True).over(w)
+    return (
+        df.select(
+            F.col(conversion_col).alias("_conv"),
+            F.coalesce(carried, F.lit("-")).alias("campaign"),
+        )
+        .filter(F.col("_conv"))
+        .groupBy("campaign")
+        .agg(F.count(F.lit(1)).cast("long").alias("conversions"))
+    )

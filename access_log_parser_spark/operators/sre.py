@@ -6,9 +6,11 @@ them. These operators are the reporting layer an operations team runs
 NEXT on those fields: latency percentiles and Apdex per endpoint,
 statistically-sound error-rate flags (Wilson bounds), multi-window SLO
 burn-rate alerts, CDN cache-efficiency reports, availability-gap
-detection, session transition matrices, retention cohorts, and
-rendezvous (HRW) shard routing for fanning the parsed stream out to
-downstream consumers.
+detection, session transition matrices, retention cohorts, rendezvous
+(HRW) shard routing for fanning the parsed stream out to downstream
+consumers, GDPR IP anonymization with a measured k-anonymity check,
+rolling active-user (DAU/WAU) growth metrics, and before/after latency
+regression reports.
 
 Scale notes (100 TB): every operator here reduces to at most two keyed
 hash aggregates with map-side partial combine; none retains per-row
@@ -382,5 +384,133 @@ def rendezvous_shards(
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_keys"),
             F.sum("_moved").cast("long").alias("n_moved_on_remove_last"),
+        )
+    )
+
+
+def ip_anonymize_report(
+    df: DataFrame, ip_col: str, k_threshold: int = 5
+) -> DataFrame:
+    """GDPR-style IPv4 anonymization with a measured k-anonymity check.
+
+    Masking to the /24 prefix (zeroed last octet) is the standard
+    log-retention move; whether it actually anonymizes depends on how
+    many distinct source IPs share each prefix — a prefix carrying ONE
+    client re-identifies it. Output per prefix: (prefix24, n_requests,
+    k_distinct_ips, k_ok) where k_ok = k >= ``k_threshold``.
+
+    Plan at 100 TB: the mask is a pure regexp projection; the report is
+    ONE prefix-keyed aggregate (count + exact distinct over the <=256
+    possible tails per prefix — bounded, so count_distinct's per-group
+    state cannot blow up the way a raw-cardinality key would).
+    """
+    prefix = F.regexp_replace(F.col(ip_col), r"\.\d+$", ".0")
+    return (
+        df.select(prefix.alias("prefix24"), F.col(ip_col).alias("_ip"))
+        .groupBy("prefix24")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_requests"),
+            F.count_distinct(F.col("_ip")).cast("long").alias("k_distinct_ips"),
+        )
+        .select(
+            "prefix24",
+            "n_requests",
+            "k_distinct_ips",
+            (F.col("k_distinct_ips") >= k_threshold).alias("k_ok"),
+        )
+    )
+
+
+def active_users_rolling(
+    df: DataFrame, user_col: str, ts_col: str, window_days: int = 7
+) -> DataFrame:
+    """DAU / rolling-WAU / stickiness per active day.
+
+    The rolling distinct-user count cannot be re-aggregated from daily
+    distincts (users overlap across days), so each distinct
+    (user, day) activity row is fanned out to the ``window_days``
+    window-end days it falls inside, then deduplicated per (user,
+    window-end) — two bounded exchanges instead of a per-day
+    re-scan-the-week self-join. Trailing windows past the last active
+    day are not reported (output rows = days with any activity);
+    leading windows are partial by construction, as in any WAU chart.
+
+    Output: (day, dau, wau, stickiness = dau/wau).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    activity = df.select(F.col(user_col).alias("u"), day.alias("day")).distinct()
+    dau = activity.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    fan = activity.select(
+        "u",
+        F.explode(
+            F.array(*[
+                F.col("day") + F.expr(f"INTERVAL {i} DAY")
+                for i in range(window_days)
+            ])
+        ).alias("wd"),
+    ).distinct()
+    wau = fan.groupBy("wd").agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    return (
+        dau.join(wau, dau["day"] == wau["wd"])
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
+def latency_regression(
+    df: DataFrame,
+    key_col: str,
+    latency_col: str,
+    ts_col: str,
+    split_ts,
+    p: float = 0.95,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Week-over-week style latency regression report: per key, the
+    exact p-quantile latency before vs after ``split_ts``, the delta,
+    and a regressed flag at ``threshold`` seconds.
+
+    Plan: ONE (key, period) aggregate over the raw input, then a
+    key-keyed self-join of the two tiny period tables (broadcast).
+    Keys seen in only one period drop — there is nothing to compare.
+    """
+    period = F.when(F.col(ts_col) < F.lit(split_ts), F.lit("before")).otherwise(
+        F.lit("after")
+    )
+    agg = (
+        df.select(
+            F.col(key_col).alias("k"), period.alias("period"),
+            F.col(latency_col).alias("lat"),
+        )
+        .groupBy("k", "period")
+        .agg(
+            F.expr(f"percentile(lat, {p!r})").alias("pq"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    before = agg.filter(F.col("period") == "before").select(
+        F.col("k"), F.col("pq").alias("_pb"), F.col("n").alias("n_before")
+    )
+    after = agg.filter(F.col("period") == "after").select(
+        F.col("k"), F.col("pq").alias("_pa"), F.col("n").alias("n_after")
+    )
+    return (
+        before.join(F.broadcast(after), "k")
+        .select(
+            F.col("k").alias(key_col),
+            F.round(F.col("_pb"), 6).alias("p_before"),
+            F.round(F.col("_pa"), 6).alias("p_after"),
+            F.round(F.col("_pa") - F.col("_pb"), 6).alias("delta"),
+            "n_before",
+            "n_after",
+            ((F.col("_pa") - F.col("_pb")) > threshold).alias("regressed"),
         )
     )

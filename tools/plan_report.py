@@ -421,6 +421,20 @@ SELECTED = [
      "grid build is one (row, bucket) aggregate whose map-side partial "
      "is bounded at d*w rows per task regardless of skew; probes are "
      "BroadcastHashJoins against the constant-size grid"),
+    ("active_users_rolling", False,
+     "one raw pass to distinct (user, day); the 7-day fan-out is a "
+     "per-row explode (constant factor) deduped on (user, window-end) — "
+     "never a per-day self-join over the week"),
+    ("kcore_hosts", False,
+     "per round ONE degree aggregate + two semi-joins against the "
+     "shrinking survivor set (broadcast at this scale); no window, no "
+     "cartesian anywhere in the peel"),
+    ("last_touch", False,
+     "one user-key exchange for the last_value(ignorenulls) window, "
+     "then one campaign count over conversions only"),
+    ("ua_breakdown", False,
+     "classification is a pure first-match-wins projection after the "
+     "decode; ONE triple-keyed count over a bounded key space"),
 ]
 
 
