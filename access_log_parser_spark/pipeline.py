@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,7 +67,13 @@ def run_pipeline(
     explode).
 
     ``engine``: "fast" (JVM serialization, regex presets only), "compat"
-    (reference-exact Python path), or "auto" (fast when eligible).
+    (reference-exact Python path), or "auto" (fast when eligible; for a
+    NAMED preset fmt the decode also runs the zero-Python JVM decoder —
+    the preset grammars are byte-verified Java/Python-identical
+    (functions/jvm_decode.py, tests/test_fast_engine.py), and dropping
+    the Arrow transfer + Python workers keeps the whole hot path inside
+    whole-stage codegen; user-supplied pattern lists keep the Python
+    decoder for reference dialect parity).
 
     ``partition_lineage=True`` additionally records per-PARTITION counters
     in each batch manifest (north_rule: per-partition lineage): the routed
@@ -76,7 +83,17 @@ def run_pipeline(
     use_fast = engine == "fast" or (
         engine == "auto" and fmt != "ltsv" and not callable(opt.line_handler)
     )
-    parse = fast_parse_routed if use_fast else parse_routed
+    if use_fast:
+        from .patterns import PRESETS
+
+        decoder = (
+            "jvm"
+            if engine == "auto" and isinstance(fmt, str) and fmt in PRESETS
+            else "python"
+        )
+        parse = partial(fast_parse_routed, decoder=decoder)
+    else:
+        parse = parse_routed
     start = time.monotonic()
 
     pages = _with_batch_id(pages, url_col, n_batches)
