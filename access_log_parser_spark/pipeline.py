@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
-from functools import partial
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,13 +66,15 @@ def run_pipeline(
     explode).
 
     ``engine``: "fast" (JVM serialization, regex presets only), "compat"
-    (reference-exact Python path), or "auto" (fast when eligible; for a
-    NAMED preset fmt the decode also runs the zero-Python JVM decoder —
-    the preset grammars are byte-verified Java/Python-identical
-    (functions/jvm_decode.py, tests/test_fast_engine.py), and dropping
-    the Arrow transfer + Python workers keeps the whole hot path inside
-    whole-stage codegen; user-supplied pattern lists keep the Python
-    decoder for reference dialect parity).
+    (reference-exact Python path), or "auto" (fast when eligible).
+    The fast path keeps the PYTHON decoder deliberately: the zero-Python
+    JVM decoder (decoder="jvm", byte-verified row-identical on the
+    presets) measured 2.5x SLOWER on the S3 cascade at 6M lines —
+    75-78 s vs 29-33 s at local[8] — because each fallback pattern costs
+    a full regexp_replace pass per row in Java's backtracking engine,
+    while the Arrow-batched Python loop runs one compiled first-match
+    cascade; codegen-resident is not automatically faster than a
+    vectorized Python stage when the regex work dominates.
 
     ``partition_lineage=True`` additionally records per-PARTITION counters
     in each batch manifest (north_rule: per-partition lineage): the routed
@@ -83,17 +84,7 @@ def run_pipeline(
     use_fast = engine == "fast" or (
         engine == "auto" and fmt != "ltsv" and not callable(opt.line_handler)
     )
-    if use_fast:
-        from .patterns import PRESETS
-
-        decoder = (
-            "jvm"
-            if engine == "auto" and isinstance(fmt, str) and fmt in PRESETS
-            else "python"
-        )
-        parse = partial(fast_parse_routed, decoder=decoder)
-    else:
-        parse = parse_routed
+    parse = fast_parse_routed if use_fast else parse_routed
     start = time.monotonic()
 
     pages = _with_batch_id(pages, url_col, n_batches)
