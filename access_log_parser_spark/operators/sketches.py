@@ -84,7 +84,8 @@ def cms_estimate(
             _h(item, r, width) == F.col(f"_b{r}"),
             "left",
         ).drop(f"_b{r}")
-    est = F.least(*[F.coalesce(F.col(f"_c{r}"), F.lit(0)) for r in range(depth)])
+    probes = [F.coalesce(F.col(f"_c{r}"), F.lit(0)) for r in range(depth)]
+    est = probes[0] if depth == 1 else F.least(*probes)
     return out.select(
         *[c for c in items.columns], est.cast("long").alias("est")
     )
