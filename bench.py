@@ -8,15 +8,26 @@ via Observation. The scaling protocol (sandbox stand-in for N vs 4N
 executors) runs the SAME job at local[N] and local[4N] on the same input
 and reports efficiency = (T_N / T_4N) / 4.
 
-Prints ONE JSON line:
+Artifact discipline (r04 lesson: the driver archives only the TAIL of
+stdout, and the r04 headline was lost to a >2 KB result line): the FULL
+result — per-query timings, raw scaling trials — is written to
+``bench_full_last.json`` next to this file, and the LAST stdout line is
+a COMPACT (<2 KB) JSON with the headline, its regime, the scaling
+efficiencies and the volume-counters check, so the driver's tail
+capture always parses. Nothing prints after it.
+
+Compact final line:
   {"metric": ..., "value": <headline seconds>, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "docs_per_sec": ...,
-   "scaling": {...}}
+   "sf": ..., "docs_per_sec": ..., "headline_regime": {...},
+   "scaling": {...}, "queries_n": N, "queries_total_sec": ...,
+   "volume_check": {...}, "full": "bench_full_last.json"}
 
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
      SPARK_GRAFT_CPUS (default 32),
      ALP_BENCH_QUERIES=0 to skip per-query timings,
-     ALP_BENCH_SCALING=0 to skip the two-parallelism run.
+     ALP_BENCH_SCALING=0 to skip the two-parallelism run,
+     ALP_BENCH_VOLUME=0 to skip the 500k-doc counters check
+     (ALP_BENCH_VOLUME_DOCS overrides the doc count).
 """
 
 from __future__ import annotations
@@ -72,6 +83,8 @@ def parse_route_job(spark, n_pages: int, out_dir: str) -> dict:
         "lines": m["total"],
         "matched": m["matched"],
         "unmatched": m["unmatched"],
+        "excluded": m.get("excluded", 0) or 0,
+        "skipped": m.get("skipped", 0) or 0,
         "docs_per_sec": round(n_pages / elapsed, 1),
         "lines_per_sec": round(m["total"] / elapsed, 1),
     }
@@ -117,8 +130,7 @@ def _best_of(
     return best
 
 
-def run_headline() -> tuple[dict, dict]:
-    spark = _session(CPUS)
+def run_headline(spark) -> dict:
     n_pages = _n_pages(spark)
     tmp = tempfile.mkdtemp(prefix="alp_bench_")
     try:
@@ -126,25 +138,56 @@ def run_headline() -> tuple[dict, dict]:
         parse_route_job(spark, max(n_pages // 20, 100), os.path.join(tmp, "warm"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    head = _best_of(spark, n_pages, runs=3, max_extra=2)
+    return _best_of(spark, n_pages, runs=3, max_extra=2)
 
+
+def run_query_sweep(spark) -> dict[str, float]:
     qtimes: dict[str, float] = {}
-    if os.environ.get("ALP_BENCH_QUERIES", "1") != "0":
-        import __spark_entry__ as entry
+    import __spark_entry__ as entry
 
-        for name, fn in entry.queries().items():
-            t0 = time.monotonic()
+    for name, fn in entry.queries().items():
+        t0 = time.monotonic()
+        try:
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        except Exception:
             try:
-                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                fn(spark, SF_DIR).count()
             except Exception:
-                try:
-                    fn(spark, SF_DIR).count()
-                except Exception:
-                    qtimes[name] = -1.0
-                    continue
-            qtimes[name] = round(time.monotonic() - t0, 3)
-    spark.stop()
-    return head, qtimes
+                qtimes[name] = -1.0
+                continue
+        qtimes[name] = round(time.monotonic() - t0, 3)
+    return qtimes
+
+
+def run_volume_check(spark, n_docs: int) -> dict:
+    """Pipeline-level counters check at volume (BENCH.md ledger item):
+    run the headline parse->route->fan-out job at ``n_docs`` pages and
+    verify BOTH the counters invariant (total = matched + unmatched +
+    excluded + skipped) and equality against the closed-form expected
+    counts of the synthetic corpus (each page: lines_per_page lines of
+    which lines_per_page/unmatched_every are the truncated unmatchable
+    golden line — pages.synth_pages docstring / FIXTURES.md §1)."""
+    tmp = tempfile.mkdtemp(prefix="alp_volume_")
+    try:
+        r = parse_route_job(spark, n_docs, os.path.join(tmp, "run"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    exp_total = n_docs * LINES_PER_PAGE
+    exp_unmatched = n_docs * (LINES_PER_PAGE // 5)
+    exp_matched = exp_total - exp_unmatched
+    return {
+        "docs": n_docs,
+        "lines": r["lines"],
+        "elapsed": round(r["elapsed"], 3),
+        "docs_per_sec": r["docs_per_sec"],
+        "invariant_ok": r["lines"]
+        == r["matched"] + r["unmatched"] + r["excluded"] + r["skipped"],
+        "counts_match_expected": (
+            r["lines"] == exp_total
+            and r["matched"] == exp_matched
+            and r["unmatched"] == exp_unmatched
+        ),
+    }
 
 
 def _scale_one(cores: int, mult: float) -> None:
@@ -390,42 +433,86 @@ def run_scaling(cpus: int) -> dict:
     return out
 
 
+def _compact_scaling(scaling: dict) -> dict:
+    """The scaling block minus the per-trial arrays (those live in the
+    full archive) — keeps the final stdout line under the driver's ~2 KB
+    tail-capture budget."""
+    keep = (
+        "cores_small", "cores_big", "docs_per_sec_small", "docs_per_sec_big",
+        "elapsed_small", "elapsed_big", "efficiency",
+        "efficiency_min_of_levels", "efficiency_paired_median",
+        "extension_trials_run", "regime_warning", "loadavg_after_quiesce",
+    )
+    out = {k: scaling[k] for k in keep if k in scaling}
+    out["trials_n"] = len(scaling.get("trials", []))
+    bc = scaling.get("bandwidth_capped_pair")
+    if bc:
+        out["bandwidth_capped_efficiency"] = bc.get("efficiency_min_of_levels")
+    return out
+
+
 def main() -> None:
     if len(sys.argv) >= 2 and sys.argv[1] == "--scale-one":
         _scale_one(int(sys.argv[2]), float(sys.argv[3]))
         return
-    # Scaling FIRST, on a fresh VM: the sandbox throttles ~40% under
-    # sustained load, so measuring the N vs 4N pair after the multi-minute
-    # headline + 73-query sweep would compare two throttled regimes that
-    # drifted mid-measurement. The pair protocol itself is already
-    # interleaved + subprocess-isolated; ordering it first removes the
-    # largest remaining bias.
+    # HEADLINE FIRST, after a loadavg gate (r04 lesson: running it after
+    # the 8-trial scaling block left it in the throttled regime even
+    # with a 7-minute cooldown — loadavg was 26.9 when it started). The
+    # headline is the shortest block (3-5 runs of ~10 s), so it gets the
+    # freshest VM; the scaling pair that follows is already
+    # subprocess-isolated + order-interleaved + adaptively extended, so
+    # it tolerates the mild heat the headline leaves behind, and it
+    # re-quiesces on its own before measuring.
+    _quiesce(target_load=4.0, max_wait=300.0)
+    spark = _session(CPUS)
+    head = run_headline(spark)
+    spark.stop()
+
     scaling = None
     if os.environ.get("ALP_BENCH_SCALING", "1") != "0":
         scaling = run_scaling(CPUS)
-        # The scaling trials leave the box hot (the VM throttles ~40%
-        # under sustained load) — let it cool before the headline
-        # measurement or docs/sec lands in the throttled regime. The
-        # r04 run showed 120 s is not enough after the 8-trial scaling
-        # block (headline started at loadavg 28): give the decay up to
-        # 7 minutes; the spread-extension + regime flag still cover the
-        # case where the box never settles.
-        _quiesce(target_load=4.0, max_wait=420.0)
-    head, qtimes = run_headline()
+
+    qtimes: dict[str, float] = {}
+    volume = None
+    spark = _session(CPUS)
+    if os.environ.get("ALP_BENCH_QUERIES", "1") != "0":
+        qtimes = run_query_sweep(spark)
+    if os.environ.get("ALP_BENCH_VOLUME", "1") != "0":
+        volume = run_volume_check(
+            spark, int(os.environ.get("ALP_BENCH_VOLUME_DOCS", "500000"))
+        )
+    spark.stop()
+
+    failed = sorted(k for k, v in qtimes.items() if v < 0)
     out = {
         "metric": "parse_route_docs_per_sec",
         "value": round(head["elapsed"], 3),
         "unit": "sec",
-        "queries": qtimes,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "docs": head["docs"],
         "lines": head["lines"],
         "docs_per_sec": head["docs_per_sec"],
         "lines_per_sec": head["lines_per_sec"],
         "headline_regime": head.get("regime"),
+        "queries_n": len(qtimes),
+        "queries_failed": failed,
+        "queries_total_sec": round(sum(v for v in qtimes.values() if v > 0), 1),
+        "volume_check": volume,
+        "full": "bench_full_last.json",
     }
     if scaling:
-        out["scaling"] = scaling
+        out["scaling"] = _compact_scaling(scaling)
+    full = dict(out)
+    full["queries"] = qtimes
+    if scaling:
+        full["scaling"] = scaling
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_full_last.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+    # the compact result is the FINAL stdout line — the driver keeps only
+    # the tail of stdout, so nothing may print after this
     print(json.dumps(out))
 
 

@@ -222,6 +222,33 @@ def test_headline_best_of_stops_when_quiet(monkeypatch):
     assert head["regime"]["throttled"] is False
 
 
+def test_compact_scaling_fits_the_driver_tail_budget():
+    # r04 lesson: the driver archives only ~2 KB of stdout tail, and the
+    # r04 headline was unrecoverable because the result line was bigger.
+    # The compact projection must strip the per-trial arrays (they live
+    # in bench_full_last.json) and stay far under the tail budget even
+    # with a large trial count.
+    import json
+
+    scaling = bench._scale_pair(
+        2, 8, trials=4, cooldown=0, max_extra_trials=4,
+        runner=_runner_from({2: [40.0 + i for i in range(8)],
+                             8: [20.0 + i for i in range(8)]}),
+    )
+    scaling["loadavg_after_quiesce"] = 3.2
+    scaling["bandwidth_capped_pair"] = dict(
+        scaling, trials=list(scaling["trials"])
+    )
+    compact = bench._compact_scaling(scaling)
+    assert "trials" not in compact
+    assert compact["trials_n"] == len(scaling["trials"])
+    assert compact["efficiency"] == scaling["efficiency"]
+    assert compact["bandwidth_capped_efficiency"] == scaling[
+        "efficiency_min_of_levels"
+    ]
+    assert len(json.dumps(compact)) < 700
+
+
 def test_absurd_big_slower_than_small_forces_extension():
     # 8 cores "slower" than 2 cores on an embarrassingly parallel job is
     # physically impossible quiet-state — even if the ratio diagnostics
