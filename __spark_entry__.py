@@ -2539,7 +2539,10 @@ def _q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle (sampling.epoch_shuffle):
     epoch-3 permutation of docs 0-499 by md5('3:'||doc_id) rank; the
-    oracle is the same ROW_NUMBER in DuckDB."""
+    oracle is the same ROW_NUMBER in DuckDB. Runs the default OFFSETS
+    strategy (range exchange + per-partition numbering + broadcast
+    offsets — no WindowExec), so the driver gate proves the 100-TB
+    plan, not the legacy partition-less window."""
     from access_log_parser_spark.operators.sampling import epoch_shuffle
 
     docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)

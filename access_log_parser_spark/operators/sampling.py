@@ -239,7 +239,11 @@ def dsir_select(
 
 
 def epoch_shuffle(
-    df: DataFrame, key_col: str = "doc_id", epoch: int = 0
+    df: DataFrame,
+    key_col: str = "doc_id",
+    epoch: int = 0,
+    strategy: str = "offsets",
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Deterministic training-order shuffle for one epoch: global position
     = rank of md5(epoch || ':' || key). Every epoch is a different but
@@ -250,18 +254,82 @@ def epoch_shuffle(
 
     Returns the input plus a 1-based ``position`` column.
 
-    Plan at scale: a total order is a range exchange + per-partition sort
-    (Spark samples the hash key space to build balanced range bounds);
-    md5 output is uniform, so the range partitions are balanced by
-    construction — no skew, no single-reducer sort. The window here is
-    over the WHOLE frame only to number rows; at 100 TB a deployment
-    writes `orderBy(_ord)` directly (positions implicit in file order)
-    or uses zipWithIndex-style per-partition offsets; the explicit
-    row_number keeps the operator's contract oracle-checkable.
+    Plan at scale (``strategy="offsets"``, the default — the zipWithIndex
+    shape): ONE balanced range exchange on the md5 order key (md5 is
+    uniform, so Spark's sampled range bounds are balanced by
+    construction — no skew, no single-reducer sort), pinned with an
+    eager localCheckpoint so both passes see identical partitions
+    (production would persist the sorted intermediate to disk/Iceberg
+    instead); then a P-row per-partition count is collected, turned into
+    cumulative offsets, and an Arrow-batched ``mapInPandas`` numbers
+    each partition locally as offset + within-partition index. No
+    WindowExec anywhere — the r04 verdict's last full-size
+    single-partition stage is gone; positions are exact global ranks.
+
+    ``strategy="window"`` keeps the original single-window plan (a
+    partition-less ``row_number`` — fine for dimension-sized frames,
+    a scale-killer on a full corpus); tests pin the two strategies
+    row-identical, and the driver oracle gates the offsets path.
     """
     ordk = F.md5(F.concat_ws(":", F.lit(str(epoch)), F.col(key_col).cast("string")))
-    w = Window.orderBy(ordk.asc(), F.col(key_col).asc())
-    return df.withColumn("position", F.row_number().over(w).cast("long"))
+    if strategy == "window":
+        w = Window.orderBy(ordk.asc(), F.col(key_col).asc())
+        return df.withColumn("position", F.row_number().over(w).cast("long"))
+    if strategy != "offsets":
+        raise ValueError(f"unknown epoch_shuffle strategy: {strategy!r}")
+
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.withColumn("_ord", ordk)
+        .repartitionByRange(p, F.col("_ord"), F.col(key_col))
+        .sortWithinPartitions(F.col("_ord"), F.col(key_col))
+        .withColumn("_pid", F.spark_partition_id())
+        # materialize ONCE: range bounds are sampled at shuffle time, so
+        # the count pass and the numbering pass must read the SAME
+        # partitioning — an eager local checkpoint pins it (and stands in
+        # for the persisted intermediate a 100-TB deployment would write)
+        .localCheckpoint(eager=True)
+    )
+    # P rows — bounded by the partition count, never by data size
+    counts = ranged.groupBy("_pid").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[int(row["_pid"])] = acc
+        acc += int(row["count"])
+
+    out_fields = [
+        f for f in ranged.schema.fields if f.name not in ("_ord", "_pid")
+    ]
+    out_schema = T.StructType(
+        out_fields + [T.StructField("position", T.LongType(), False)]
+    )
+
+    def _number(batches):
+        import numpy as np
+
+        seen = 0
+        off = None
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                out = pdf.drop(columns=["_ord", "_pid"])
+                out["position"] = np.array([], dtype="int64")
+                yield out
+                continue
+            if off is None:
+                off = offsets[int(pdf["_pid"].iloc[0])]
+            out = pdf.drop(columns=["_ord", "_pid"])
+            out["position"] = np.arange(
+                off + seen + 1, off + seen + n + 1, dtype="int64"
+            )
+            seen += n
+            yield out
+
+    return ranged.mapInPandas(_number, schema=out_schema)
 
 
 def shard_checksums(

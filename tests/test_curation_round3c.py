@@ -11,6 +11,8 @@ from __future__ import annotations
 import hashlib
 import math
 import random
+
+import pytest
 from collections import Counter
 
 from pyspark.sql import Row
@@ -102,6 +104,29 @@ def test_epoch_shuffle_matches_md5_order_and_varies_by_epoch(spark):
             for r in epoch_shuffle(df, epoch=2).collect()}
     assert got1 != got2  # different epoch -> different permutation
     assert sorted(got2.values()) == list(range(1, 41))  # still a permutation
+
+
+def test_epoch_shuffle_offsets_equals_window_strategy(spark):
+    """The scale path (range exchange + per-partition numbering +
+    broadcast offsets) and the legacy partition-less window must emit
+    identical (key, position) pairs — including with extra carried
+    columns and a non-default partition count that forces several
+    range partitions (offset arithmetic across boundaries)."""
+    df = spark.createDataFrame(
+        [Row(doc_id=i, tag=f"t{i % 3}") for i in range(257)]
+    )
+    a = {(r["doc_id"], r["tag"], r["position"])
+         for r in epoch_shuffle(df, epoch=4, num_partitions=7).collect()}
+    b = {(r["doc_id"], r["tag"], r["position"])
+         for r in epoch_shuffle(df, epoch=4, strategy="window").collect()}
+    assert a == b
+    assert sorted(p for _, _, p in a) == list(range(1, 258))
+
+
+def test_epoch_shuffle_rejects_unknown_strategy(spark):
+    df = spark.createDataFrame([Row(doc_id=1)])
+    with pytest.raises(ValueError):
+        epoch_shuffle(df, strategy="nope")
 
 
 # ------------------------------------------------------ keep_best_duplicate
