@@ -53,6 +53,7 @@ they never re-read the accumulated output.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -92,6 +93,38 @@ def write_ordered_batches(
         os.utime(p, (1_000_000 + i * 100, 1_000_000 + i * 100))
         paths.append(p)
     return paths
+
+
+def auto_key_buckets(
+    n_band_rows: int,
+    target_rows_per_bucket: int = 128,
+    lo: int = 4,
+    hi: int = 4096,
+) -> int:
+    """Size the band-key index's partition-bucket count from corpus
+    scale instead of a per-call-site constant (r04 verdict item #5: a
+    hand-tuned 256 cost 8x per-batch commit overhead at 300-doc test
+    scale, and a hand-tuned small value would under-prune at 100 TB).
+
+    Power-of-two nearest ``n_band_rows / target_rows_per_bucket``,
+    clamped to [lo, hi]: small corpora get few directories (per-batch
+    commit cost scales with bucket count x batches), huge corpora cap
+    at ``hi`` — at 10^12 docs the probe's selectivity comes from the
+    ``kb IN (...)`` partition filter over 4096 dirs plus the min/max
+    row-group stats inside each, and an Iceberg deployment swaps the
+    directory layout for a bucket transform with the same arithmetic.
+
+    The bucket count is a PHYSICAL layout knob only — it never changes
+    which documents are kept — but it must stay FIXED for the life of
+    one index (kb values written under a different modulus would not
+    match the probe's partition filter), which is why sizing happens
+    once at stream start, not per batch.
+    """
+    if n_band_rows <= 0:
+        return lo
+    raw = n_band_rows / max(target_rows_per_bucket, 1)
+    p = round(math.log2(raw)) if raw >= 1 else 0
+    return max(lo, min(hi, 2**p))
 
 
 def probe_index(
@@ -212,14 +245,24 @@ def run_streaming_minhash_dedup(
     n_bands: int = LSH_BANDS,
     rows_per_band: int = LSH_ROWS,
     max_files_per_trigger: int = 1,
-    n_key_buckets: int = 64,
+    n_key_buckets: int | None = None,
 ) -> list[dict]:
     """availableNow run of the incremental near-dup dedup over a parquet
     file stream; returns per-batch {batch_id, n_in, n_kept} metrics.
     Kept docs land in ``out_dir`` (partitioned by batch_id), the band
     index accumulates in ``index_dir`` (partitioned by key bucket +
-    batch_id so later probes prune — see make_batch_processor)."""
+    batch_id so later probes prune — see make_batch_processor).
+
+    ``n_key_buckets=None`` (default) auto-sizes the index bucket count
+    once at stream start from the bounded input directory's row count
+    (:func:`auto_key_buckets` — availableNow streams have a knowable
+    corpus size; an unbounded deployment passes an explicit value sized
+    to its expected steady-state index)."""
     metrics: list[dict] = []
+    if n_key_buckets is None:
+        # one metadata-cheap batch count over the bounded input dir
+        n_docs = spark.read.schema(schema).parquet(docs_dir).count()
+        n_key_buckets = auto_key_buckets(n_docs * n_bands)
     process = make_batch_processor(
         spark,
         out_dir,

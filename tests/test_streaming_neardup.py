@@ -13,10 +13,25 @@ from access_log_parser_spark.operators.dedup import (
     minhash_signatures_hof,
 )
 from access_log_parser_spark.streaming.neardup import (
+    auto_key_buckets,
     make_batch_processor,
     run_streaming_minhash_dedup,
     write_ordered_batches,
 )
+
+
+def test_auto_key_buckets_scales_with_corpus():
+    # small corpora -> few directories (bounded per-batch commit cost)
+    assert auto_key_buckets(0) == 4
+    assert auto_key_buckets(300 * 4) == 8      # the r04 driver-query scale
+    # mid scale grows as a power of two near rows/target
+    assert auto_key_buckets(65_536) == 512
+    assert auto_key_buckets(400_000) == 4096
+    # huge corpora clamp: pruning selectivity then comes from the kb
+    # partition filter over `hi` dirs + row-group stats within
+    assert auto_key_buckets(10**12) == 4096
+    # fixed-for-the-life-of-the-index: same inputs, same answer
+    assert auto_key_buckets(1200) == auto_key_buckets(1200)
 
 
 def _corpus(spark, n_unique=30, n_dups=10):
