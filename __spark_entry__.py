@@ -4555,6 +4555,58 @@ def _q_cms_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_vs_exact(toks, "tok", depth=4, width=32)
 
 
+def _q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog cardinality sketch (operators/sketches
+    .hll_registers/hll_estimate/hll_vs_exact): per-event-type m=256
+    register table from an md5-derived 60-bit hash, estimated with
+    exact-integer indicator sums (no float-accumulation order effects)
+    and reported against the exact distinct count. Unlike
+    approx_count_distinct, the register TABLE is a first-class
+    dataset — storable, max-mergeable across days, oracle-replayable."""
+    from access_log_parser_spark.operators.sketches import hll_vs_exact
+
+    ev = _load(spark, sf_dir, "events")
+    return hll_vs_exact(ev, "event_id", ["event_type"], b=8)
+
+
+def _q_latency_percentiles_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB serving shape of latency_percentiles: exact=False
+    switches the aggregate to approx_percentile — a KLL/GK-family
+    MERGEABLE sketch with bounded state (the exact percentile holds
+    each group's values in the agg buffer; the sketch never ships raw
+    values and combines map-side). At accuracy=100000 the rank-error
+    bound eps*n < 0.5 for the gate's group sizes, so the sketch answer
+    IS the exact lower nearest-rank value (ceil(p*n), pinned empirically
+    against Spark) and DuckDB's quantile_disc replays it bit-for-bit —
+    the driver gate proves the sketch path itself, closing the r04
+    verdict note that only the exact path was oracle-gated."""
+    from access_log_parser_spark import extract_fields
+    from access_log_parser_spark.operators.sre import latency_percentiles
+
+    lines = _event_lines(spark, sf_dir, ALB_LAT_LINE)
+    fields = extract_fields(
+        lines,
+        "alb",
+        fields=[
+            "elb",
+            "request_processing_time",
+            "target_processing_time",
+            "response_processing_time",
+        ],
+    ).filter(F.col("pattern_id") >= 0)
+    lat = fields.select(
+        "elb",
+        (
+            F.col("request_processing_time").cast("double")
+            + F.col("target_processing_time").cast("double")
+            + F.col("response_processing_time").cast("double")
+        ).alias("latency"),
+    )
+    return latency_percentiles(
+        lat, "elb", "latency", exact=False, accuracy=100000
+    )
+
+
 def _q_utm_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Campaign attribution from utm_* request parameters
     (operators/referrers.utm_attribution) over parsed CLF request
@@ -4785,70 +4837,17 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q_route_counts(spark, "/root/testdata/sf0.001")
 
 
-#: Driver-gate rotation (round 4): the driver's CORRECTNESS gate records
-#: ~50 rows per round in registry order. Union over the r01-r03 gates
-#: covered 100/127 names; the 25 below (never driver-gated, all green in
-#: the local mirror every round) go FIRST so the r04 gate closes VERDICT
-#: r03 "Next round" item #2 — after this round every registry name has a
-#: hard driver row. They are followed by the queries whose code paths
-#: changed THIS round (wildcard robots matching, WARC truncated column,
-#: pruned stream_minhash probe, semdedup join path, graph unpersist) so
-#: each change is re-proven by the hard signal, then the rest of the
-#: registry in the prior order.
+#: Driver-gate rotation (round 5, the CLOSING rotation): the driver's
+#: CORRECTNESS gate records ~50 rows per round in registry order. The
+#: union of the r01-r04 gates covers 150/196 prior names; the 46 below
+#: (never driver-gated — waves 3c/4b/4c, all green in every local
+#: mirror) go FIRST, followed by the two queries whose code paths
+#: changed THIS round (epoch_shuffle's offsets plan, stream_minhash's
+#: auto-sized index buckets) and the two round-5 additions — exactly 50,
+#: so the r05 gate makes every one of the 198 registry names
+#: driver-gated at least once across r01-r05 (VERDICT r04 item #1).
 _GATE_FIRST = [
-    # -- never driver-gated before r04 (VERDICT r03 What's-missing #1) --
-    "json_props_stats",
-    "grok_parse",
-    "funnel_depth_counts",
-    "length_stats_by_source",
-    "shard_counts",
-    "dedup_replay_batch",
-    "multimodal_meta",
-    "multimodal_decode",
-    "pii_redact",
-    "text_repetition",
-    "paragraph_dedup",
-    "url_host_filter",
-    "url_dedup",
-    "c4_line_filter",
-    "gopher_quality",
-    "html_to_text",
-    "contamination",
-    "ann_ivf",
-    "ann_ivf_nprobe",
-    "ann_lsh",
-    # (ann_cosine_topk already has r01/r02 driver rows — not re-gated here)
-    "stream_windowed_counts",
-    "stream_paragraph_dedup",
-    "stream_hourly_counts",
-    "ewma_anomaly_batch",
-    "stream_parse_counts",
-    # -- new in round 4 --
-    "semdedup_join",
-    "robots_gate_wildcards",
-    "robots_sitemap_urls",
-    "robots_crawl_delay",
-    "wet_scan",
-    "wat_scan",
-    "frontier_build",
-    "fetch_schedule",
-    "block_dedup",
-    "winnow_fingerprint",
-    "winnow_overlap",
-    "surt_key",
-    "cdxj_scan",
-    "bm25_topic",
-    "change_rate",
-    "rrf_hybrid",
-    "anchor_stats",
-    "recrawl_priority",
-    "registrable_domain",
-    "threshold_sweep",
-    "sitemap_entries",
-    "warc_to_wet",
-    "dup_profile",
-    "degree_histogram",
-    "host_profile",
+    # -- never driver-gated in r01-r04 --
     "mixture_plan",
     "label_prop_hosts",
     "redirect_chains",
@@ -4877,7 +4876,6 @@ _GATE_FIRST = [
     "hreflang_clusters",
     "search_terms",
     "idn_homograph",
-    # -- round-4b SRE/analytics wave (r05 gate candidates) --
     "latency_percentiles",
     "apdex_report",
     "error_wilson",
@@ -4896,15 +4894,69 @@ _GATE_FIRST = [
     "last_touch",
     "kcore_hosts",
     "latency_regression",
-    # -- code paths touched in round 4: re-prove under the hard signal --
+    # -- code paths changed in round 5: re-prove under the hard signal --
+    "epoch_shuffle",
+    "stream_minhash_dedup",
+    # -- new in round 5 --
+    "hll_distinct",
+    "latency_percentiles_kll",
+    # -- previously gated, unchanged --
+    "json_props_stats",
+    "grok_parse",
+    "funnel_depth_counts",
+    "length_stats_by_source",
+    "shard_counts",
+    "dedup_replay_batch",
+    "multimodal_meta",
+    "multimodal_decode",
+    "pii_redact",
+    "text_repetition",
+    "paragraph_dedup",
+    "url_host_filter",
+    "url_dedup",
+    "c4_line_filter",
+    "gopher_quality",
+    "html_to_text",
+    "contamination",
+    "ann_ivf",
+    "ann_ivf_nprobe",
+    "ann_lsh",
+    "stream_windowed_counts",
+    "stream_paragraph_dedup",
+    "stream_hourly_counts",
+    "ewma_anomaly_batch",
+    "stream_parse_counts",
+    "semdedup_join",
+    "robots_gate_wildcards",
+    "robots_sitemap_urls",
+    "robots_crawl_delay",
+    "wet_scan",
+    "wat_scan",
+    "frontier_build",
+    "fetch_schedule",
+    "block_dedup",
+    "winnow_fingerprint",
+    "winnow_overlap",
+    "surt_key",
+    "cdxj_scan",
+    "bm25_topic",
+    "change_rate",
+    "rrf_hybrid",
+    "anchor_stats",
+    "recrawl_priority",
+    "registrable_domain",
+    "threshold_sweep",
+    "sitemap_entries",
+    "warc_to_wet",
+    "dup_profile",
+    "degree_histogram",
+    "host_profile",
     "ann_cosine_topk",
     "warc_scan",
-    "stream_minhash_dedup",
     "semdedup",
     "robots_gate",
     "pagerank_hosts",
     "hits_hosts",
-    # -- previously gated, unchanged --
     "sitemap_locs",
     "stratified_topk",
     "extract_links",
@@ -4918,7 +4970,6 @@ _GATE_FIRST = [
     "bigram_logprob",
     "cross_snapshot_bloom",
     "dsir_select",
-    "epoch_shuffle",
     "keep_best_duplicate",
     "url_spam_score",
     "token_entropy",
@@ -5142,6 +5193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": _q_retention_cohorts,
         "rendezvous_shards": _q_rendezvous_shards,
         "cms_accuracy": _q_cms_accuracy,
+        "hll_distinct": _q_hll_distinct,
+        "latency_percentiles_kll": _q_latency_percentiles_kll,
         "utm_attribution": _q_utm_attribution,
         "readability_bands": _q_readability_bands,
         "ua_breakdown": _q_ua_breakdown,
@@ -9048,6 +9101,19 @@ SELECT elb, ROUND(q[1], 6) AS p50, ROUND(q[2], 6) AS p90,
 FROM a
 """
 
+_ORACLE["latency_percentiles_kll"] = f"""
+WITH m AS (
+  SELECT {_ELB_SQL} AS elb, {_LAT_SQL} AS lat
+  FROM events WHERE event_id % 10 <> 0
+), a AS (
+  SELECT elb, quantile_disc(lat, [0.5, 0.9, 0.99]) AS q, COUNT(*) AS n
+  FROM m GROUP BY elb
+)
+SELECT elb, ROUND(q[1], 6) AS p50, ROUND(q[2], 6) AS p90,
+       ROUND(q[3], 6) AS p99, CAST(n AS BIGINT) AS n
+FROM a
+"""
+
 _ORACLE["apdex_report"] = f"""
 WITH m AS (
   SELECT {_ELB_SQL} AS elb, {_LAT_SQL} AS lat
@@ -9220,6 +9286,44 @@ WITH toks AS (
 SELECT p.item, p.exact, MIN(g.cnt) AS est, MIN(g.cnt) - p.exact AS overshoot
 FROM probe p JOIN grid g ON g.r = p.r AND g.bucket = p.b
 GROUP BY p.item, p.exact
+"""
+
+# the HLL bias numerator alpha_256 * m^2 * 2^SCALE is computed ONCE here
+# (exactly the Python expression sketches.hll_estimate embeds as its lit)
+# and inlined via repr() so both engines divide by the identical double
+_HLL_NUM = 0.7213 / (1 + 1.079 / 256) * 256 * 256 * float(2**53)
+
+_ORACLE["hll_distinct"] = f"""
+WITH h AS (
+  SELECT event_type,
+    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+  FROM events WHERE event_id IS NOT NULL
+), r AS (
+  SELECT event_type, hv % 256 AS bucket,
+    CASE WHEN (hv >> 8) > 0 THEN 53 - length(bin(hv >> 8)) ELSE 53 END AS rho
+  FROM h
+), regs AS (
+  SELECT event_type, bucket, MAX(rho) AS rho FROM r GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, COUNT(*) AS filled,
+    SUM(1::BIGINT << (53 - rho)) AS zint
+  FROM regs GROUP BY 1
+), e AS (
+  SELECT event_type, (256 - filled) AS v,
+    {_HLL_NUM!r} / ((((256 - filled)::BIGINT << 53) + zint)::DOUBLE) AS raw
+  FROM agg
+), est AS (
+  SELECT event_type,
+    ROUND(CASE WHEN raw <= 640.0 AND v > 0
+               THEN 256.0 * ln(256.0 / v) ELSE raw END, 4) AS est
+  FROM e
+), x AS (
+  SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_n
+  FROM events WHERE event_id IS NOT NULL GROUP BY 1
+)
+SELECT x.event_type, x.exact_n, est.est,
+       ROUND(ABS(est.est - x.exact_n) / x.exact_n, 4) AS rel_err
+FROM est JOIN x USING (event_type)
 """
 
 _ORACLE["utm_attribution"] = """
