@@ -435,6 +435,20 @@ SELECTED = [
     ("ua_breakdown", False,
      "classification is a pure first-match-wins projection after the "
      "decode; ONE triple-keyed count over a bounded key space"),
+    ("epoch_shuffle", True,
+     "r05: the zipWithIndex shape — NO WindowExec anywhere (the r04 "
+     "partition-less row_number is gone); the visible plan is "
+     "MapInPandas over the range-sorted, checkpoint-pinned scan; the "
+     "range exchange + P-row offset collect ran eagerly at build"),
+    ("hll_distinct", False,
+     "register build is ONE (group, bucket) aggregate with map-side "
+     "partials bounded at m rows per group per task; estimate + exact "
+     "join on the tiny group table"),
+    ("latency_percentiles_kll", False,
+     "the 100-TB percentile shape under oracle gate: approx_percentile "
+     "is a mergeable bounded-state sketch — ONE key exchange with "
+     "partial aggregation (objHashAggregate partial_/final_ modes), "
+     "never a per-group value list"),
 ]
 
 
