@@ -133,3 +133,79 @@ def test_approx_percentile_is_exact_below_rank_error_window(spark):
         ).collect()[0][0]
         want = [vals[math.ceil(p * n) - 1] for p in (0.5, 0.9, 0.99)]
         assert got == want, (n, got, want)
+
+
+# ------------------------------------------------- epoch_shuffle fuzz
+def _epoch_positions_ref(keys: list[str], epoch: int) -> dict[str, set[int]]:
+    """Pure-Python replay of the epoch_shuffle contract: key groups are
+    ordered by (md5(epoch:key), key) and each group owns the contiguous
+    1-based position range at its rank. Within a duplicate-key group the
+    order key ties, so any assignment of the group's range is legal —
+    the reference therefore pins per-key position SETS, which are exact
+    (singletons) whenever keys are unique."""
+    from collections import Counter
+
+    cnt = Counter(keys)
+    ordered = sorted(
+        cnt, key=lambda k: (hashlib.md5(f"{epoch}:{k}".encode()).hexdigest(), k)
+    )
+    want: dict[str, set[int]] = {}
+    pos = 1
+    for k in ordered:
+        want[k] = set(range(pos, pos + cnt[k]))
+        pos += cnt[k]
+    return want
+
+
+@pytest.mark.parametrize(
+    "n,parts,dup",
+    [(0, 4, False), (1, 1, False), (2, 8, False), (17, 5, True),
+     (101, 13, True), (300, 32, False)],
+)
+def test_epoch_shuffle_offsets_fuzz_vs_python_reference(spark, n, parts, dup):
+    """Fuzz the scale path (range exchange + per-partition numbering +
+    broadcast offsets) against the pure-Python md5-rank reference across
+    sizes, partition counts (including parts > n, so empty range
+    partitions exercise the offset arithmetic), duplicate keys, and the
+    empty frame."""
+    from access_log_parser_spark.operators.sampling import epoch_shuffle
+
+    rng = random.Random(1000 + n * 7 + parts)
+    pool = max(1, n // 3) if dup else n
+    keys = [f"k{rng.randrange(pool) if dup else i}" for i in range(n)]
+    rng.shuffle(keys)  # input order must never matter
+    if n:
+        df = spark.createDataFrame([Row(doc_id=k) for k in keys])
+    else:
+        df = spark.createDataFrame([], "doc_id string")
+
+    got_rows = [
+        (r["doc_id"], r["position"])
+        for r in epoch_shuffle(df, epoch=7, num_partitions=parts).collect()
+    ]
+    assert sorted(p for _, p in got_rows) == list(range(1, n + 1))
+    got: dict[str, set[int]] = {}
+    for k, p in got_rows:
+        got.setdefault(k, set()).add(p)
+    assert got == _epoch_positions_ref(keys, 7)
+
+
+def test_epoch_shuffle_strategies_agree_under_duplicate_keys(spark):
+    """Offsets and legacy-window strategies must assign every duplicate
+    key group the same position range (within-group order is a tie both
+    may break arbitrarily)."""
+    from access_log_parser_spark.operators.sampling import epoch_shuffle
+
+    rng = random.Random(99)
+    keys = [f"k{rng.randrange(11)}" for _ in range(60)]
+    df = spark.createDataFrame([Row(doc_id=k) for k in keys])
+
+    def per_key(strategy):
+        out: dict[str, set[int]] = {}
+        for r in epoch_shuffle(
+            df, epoch=3, strategy=strategy, num_partitions=6
+        ).collect():
+            out.setdefault(r["doc_id"], set()).add(r["position"])
+        return out
+
+    assert per_key("offsets") == per_key("window")
