@@ -224,6 +224,7 @@ def _scale_pair(
     cooldown: float = 8.0, max_extra_trials: int = 4,
     extra_budget_s: float = 600.0, gate: float | None = 0.8,
     gate_margin: float = 0.06,
+    quiesce_load: float = 5.0, quiesce_wait: float = 120.0,
 ) -> dict:
     """Same job, same input, local[N] vs local[4N].
 
@@ -235,7 +236,12 @@ def _scale_pair(
       the PAIRED per-trial ratio t_small/t_big cancels slow drift;
     - trial order alternates (small-first / big-first), so a time-decaying
       throttle cannot systematically penalize one level;
-    - a bounded loadavg quiesce runs before the block (see run_scaling).
+    - a bounded loadavg quiesce runs before the block (see run_scaling)
+      AND before every run within it (``quiesce_load``/``quiesce_wait``,
+      skipped when ``cooldown`` is 0 for injected-runner tests): each
+      sample then starts from the same quiet regime instead of the
+      previous run's loadavg tail, which is what fed the sustained-load
+      throttle in the r05d block.
 
     The reported ``efficiency`` is min-of-levels — the standard
     min-of-N estimator applied per level (each level's minimum elapsed
@@ -286,11 +292,20 @@ def _scale_pair(
 
     def do_trial(trial: int) -> None:
         order = (n, big) if trial % 2 == 0 else (big, n)
-        load0 = round(os.getloadavg()[0], 2)
         by_cores: dict[int, dict] = {}
+        loads: list[float] = []
         for pos, cores in enumerate(order):
-            if pos or trial:
-                time.sleep(cooldown)  # let the previous run's heat decay
+            if (pos or trial) and cooldown:
+                # floor sleep lets the previous subprocess finish teardown,
+                # then a bounded quiesce waits out its loadavg tail: r05d
+                # showed back-to-back trials accumulate heat (later trials
+                # start at loadavg 7-10) until the VM's sustained-load
+                # throttle kicks in and the block measures the throttle,
+                # not the engine (its two extension trials read 206 s for
+                # a quiet-regime ~110 s small level)
+                time.sleep(cooldown)
+                _quiesce(target_load=quiesce_load, max_wait=quiesce_wait)
+            loads.append(round(os.getloadavg()[0], 2))
             r = runner(cores)
             by_cores[cores] = r
             if results[cores] is None or r["elapsed"] < results[cores]["elapsed"]:
@@ -301,7 +316,8 @@ def _scale_pair(
             "elapsed_small": round(by_cores[n]["elapsed"], 3),
             "elapsed_big": round(by_cores[big]["elapsed"], 3),
             "paired_efficiency": round(eff, 3),
-            "loadavg_at_start": load0,
+            "loadavg_at_start": loads[0],
+            "loadavg_runs": loads,
         })
 
     def _min_confirmed(key: str) -> bool:
@@ -415,7 +431,10 @@ def run_scaling(cpus: int) -> dict:
     multi-executor cluster adds a memory bus per executor, so the
     cap does not transfer to the N->4N *executor* deployment the
     BASELINE criterion describes. Reported for transparency."""
-    quiesce_load = _quiesce(target_load=max(cpus / 4.0, 4.0))
+    # same gate as the headline (4.0 / 300 s): the old max(cpus/4, 4) = 8
+    # target let the block start while the headline's heat was still on
+    # the box (r05d: loadavg_after_quiesce 7.68 at max_wait expiry)
+    quiesce_load = _quiesce(target_load=4.0, max_wait=300.0)
     # 6 base trials (r03 ran 4) + gate-proximity extension: the primary
     # pair is the BASELINE criterion artifact, so it gets the sampling
     # budget; near the 0.8 gate extra minima-samples are decisive.
@@ -429,6 +448,8 @@ def run_scaling(cpus: int) -> dict:
         out["bandwidth_capped_pair"] = _scale_pair(
             max(cpus // 4, 1), cpus, mult=0.5, trials=3,
             max_extra_trials=2, extra_budget_s=240.0, gate=None,
+            # a 32-core run leaves a longer loadavg tail than the 2/8 pair
+            quiesce_wait=180.0,
         )
     return out
 
