@@ -127,6 +127,47 @@ def auto_key_buckets(
     return max(lo, min(hi, 2**p))
 
 
+_BUCKETS_MARKER = "_n_key_buckets"
+
+
+def pin_bucket_count(index_dir: str, n_key_buckets: int | None) -> int:
+    """Resolve — and PERSIST with the index — the bucket modulus for one
+    band-key index. The modulus must stay fixed for the life of an index
+    (kb values written under a different modulus would not match the
+    probe's partition filter, silently keeping duplicates), so the first
+    stream run writes its choice to a ``_n_key_buckets`` marker inside
+    ``index_dir`` and every later run over the same index reads it back:
+
+    - marker present + ``n_key_buckets is None`` -> reuse the pinned
+      value (a resumed/incremental run over a grown input dir cannot
+      re-auto-size itself onto a new modulus);
+    - marker present + explicit mismatching value -> ``ValueError``
+      (the caller is about to corrupt the index layout);
+    - no marker -> pin the given value (caller resolves auto-sizing
+      first; an Iceberg deployment stores the same fact as the bucket
+      transform in the table's partition spec).
+
+    Returns the effective modulus. Local-filesystem marker, matching
+    the local-path probe in :func:`make_batch_processor`."""
+    marker = os.path.join(index_dir, _BUCKETS_MARKER)
+    if os.path.isfile(marker):
+        with open(marker) as f:
+            pinned = int(f.read().strip())
+        if n_key_buckets is not None and int(n_key_buckets) != pinned:
+            raise ValueError(
+                f"index at {index_dir} was written with n_key_buckets="
+                f"{pinned}; refusing to probe/append under "
+                f"{n_key_buckets} (would silently miss duplicates)"
+            )
+        return pinned
+    if n_key_buckets is None:
+        raise ValueError("n_key_buckets must be resolved before pinning")
+    os.makedirs(index_dir, exist_ok=True)
+    with open(marker, "w") as f:
+        f.write(str(int(n_key_buckets)))
+    return int(n_key_buckets)
+
+
 def probe_index(
     spark: SparkSession,
     index_dir: str,
@@ -254,15 +295,23 @@ def run_streaming_minhash_dedup(
     batch_id so later probes prune — see make_batch_processor).
 
     ``n_key_buckets=None`` (default) auto-sizes the index bucket count
-    once at stream start from the bounded input directory's row count
-    (:func:`auto_key_buckets` — availableNow streams have a knowable
-    corpus size; an unbounded deployment passes an explicit value sized
-    to its expected steady-state index)."""
+    once at FIRST stream start from the bounded input directory's row
+    count (:func:`auto_key_buckets` — availableNow streams have a
+    knowable corpus size; an unbounded deployment passes an explicit
+    value sized to its expected steady-state index). The chosen modulus
+    is pinned to the index via :func:`pin_bucket_count`: a resumed run
+    over the same ``index_dir`` (new files in ``docs_dir``, same
+    checkpoint) reuses the pinned value even though the directory's row
+    count has grown — re-auto-sizing onto a new modulus would write kb
+    values the probe's partition filter can never match, silently
+    keeping duplicates of already-indexed docs."""
     metrics: list[dict] = []
-    if n_key_buckets is None:
+    marker = os.path.join(index_dir, _BUCKETS_MARKER)
+    if n_key_buckets is None and not os.path.isfile(marker):
         # one metadata-cheap batch count over the bounded input dir
         n_docs = spark.read.schema(schema).parquet(docs_dir).count()
         n_key_buckets = auto_key_buckets(n_docs * n_bands)
+    n_key_buckets = pin_bucket_count(index_dir, n_key_buckets)
     process = make_batch_processor(
         spark,
         out_dir,

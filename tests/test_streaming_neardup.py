@@ -187,3 +187,80 @@ def test_index_has_n_bands_rows_per_doc(spark, tmp_path):
     # band keys agree with the batch operator's definition
     pairs = lsh_candidate_pairs(minhash_signatures_hof(docs))
     assert pairs.count() == 0
+
+
+def test_resumed_stream_reuses_pinned_modulus(spark, tmp_path):
+    """A resumed run over a grown input dir must keep the modulus the
+    index was written under — re-auto-sizing would write kb values the
+    probe's partition filter can never match, silently keeping
+    duplicates of already-indexed docs."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from access_log_parser_spark.streaming.neardup import _BUCKETS_MARKER
+
+    docs1 = _corpus(spark, n_unique=30, n_dups=0)
+    in_dir = tmp_path / "in"
+    write_ordered_batches(docs1, str(in_dir), n_batches=2)
+    run_streaming_minhash_dedup(
+        spark,
+        str(in_dir),
+        docs1.schema,
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+    )
+    marker = tmp_path / "idx" / _BUCKETS_MARKER
+    pinned = int(marker.read_text())
+    assert pinned == auto_key_buckets(30 * 4)
+    # grow the corpus enough that a FRESH auto-size would pick a larger
+    # modulus, then resume (same checkpoint/index: only new files run)
+    new = [
+        (5000 + i, f"new {i} " + " ".join(f"n{i}w{j}" for j in range(30)))
+        for i in range(500)
+    ]
+    dup_of_doc3 = (9999, docs1.filter(F.col("doc_id") == 3).first()["text"])
+    import pandas as pd
+
+    p = str(in_dir / "resume_00000.parquet")
+    pq.write_table(
+        pa.Table.from_pandas(
+            pd.DataFrame(new + [dup_of_doc3], columns=["doc_id", "text"]),
+            preserve_index=False,
+        ),
+        p,
+    )
+    os.utime(p, (2_000_000, 2_000_000))
+    assert auto_key_buckets((30 + 501) * 4) != pinned
+    run_streaming_minhash_dedup(
+        spark,
+        str(in_dir),
+        docs1.schema,
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+    )
+    assert int(marker.read_text()) == pinned  # modulus survived the resume
+    kept = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert 9999 not in kept  # cross-RUN dup caught via the pinned modulus
+    assert 5000 in kept and set(range(30)) <= kept
+
+
+def test_explicit_modulus_mismatch_raises(spark, tmp_path):
+    import pytest
+
+    docs = _corpus(spark, n_unique=10, n_dups=0)
+    write_ordered_batches(docs, str(tmp_path / "in"), n_batches=1)
+    args = (
+        spark,
+        str(tmp_path / "in"),
+        docs.schema,
+        str(tmp_path / "out"),
+        str(tmp_path / "idx"),
+        str(tmp_path / "ck"),
+    )
+    run_streaming_minhash_dedup(*args, n_key_buckets=8)
+    with pytest.raises(ValueError, match="n_key_buckets=8"):
+        run_streaming_minhash_dedup(*args, n_key_buckets=16)
