@@ -252,19 +252,27 @@ def epoch_shuffle(
     failure — emit the identical order (the shuffle a dataloader needs
     to resume mid-epoch without replaying data).
 
-    Returns the input plus a 1-based ``position`` column.
+    Returns the input plus a 1-based ``position`` column (replacing a
+    pre-existing ``position`` column, like ``withColumn`` would).
 
     Plan at scale (``strategy="offsets"``, the default — the zipWithIndex
-    shape): ONE balanced range exchange on the md5 order key (md5 is
-    uniform, so Spark's sampled range bounds are balanced by
-    construction — no skew, no single-reducer sort), pinned with an
-    eager localCheckpoint so both passes see identical partitions
-    (production would persist the sorted intermediate to disk/Iceberg
-    instead); then a P-row per-partition count is collected, turned into
-    cumulative offsets, and an Arrow-batched ``mapInPandas`` numbers
-    each partition locally as offset + within-partition index. No
-    WindowExec anywhere — the r04 verdict's last full-size
-    single-partition stage is gone; positions are exact global ranks.
+    shape): rows are assigned a DETERMINISTIC equal-width bucket from
+    the md5 order key's first 48 bits (``_bkt = (v * B) >> 48`` — md5 is
+    uniform, so the B buckets are balanced by construction, and the
+    bucket is a monotone pure function of the order key: no sampled
+    range bounds, no skew, no single-reducer sort). One pass counts rows
+    per bucket (a B-row collect, bounded by config, never by data size)
+    and turns them into cumulative offsets; one exchange ranges the
+    buckets across ``num_partitions`` tasks, sorts within partitions,
+    and an Arrow-batched ``mapInPandas`` numbers each bucket locally as
+    bucket offset + within-bucket index. Global rank is exact because
+    the bucket function is monotone in the order key. No WindowExec
+    anywhere — the r04 verdict's last full-size single-partition stage
+    is gone — and NOTHING is materialized or pinned: both passes are
+    pure recomputation of a deterministic plan (the same contract as
+    ``RDD.zipWithIndex``, which also runs its count job at construction
+    time; a nondeterministic upstream — e.g. ``rand()`` — must be
+    persisted by the caller first, for this or ANY numbering scheme).
 
     ``strategy="window"`` keeps the original single-window plan (a
     partition-less ``row_number`` — fine for dimension-sized frames,
@@ -282,53 +290,71 @@ def epoch_shuffle(
 
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.withColumn("_ord", ordk)
-        .repartitionByRange(p, F.col("_ord"), F.col(key_col))
-        .sortWithinPartitions(F.col("_ord"), F.col(key_col))
-        .withColumn("_pid", F.spark_partition_id())
-        # materialize ONCE: range bounds are sampled at shuffle time, so
-        # the count pass and the numbering pass must read the SAME
-        # partitioning — an eager local checkpoint pins it (and stands in
-        # for the persisted intermediate a 100-TB deployment would write)
-        .localCheckpoint(eager=True)
-    )
-    # P rows — bounded by the partition count, never by data size
-    counts = ranged.groupBy("_pid").count().collect()
+    # ~16 buckets per task: balls-into-bins smoothing keeps the range
+    # exchange balanced even though buckets, not rows, are the unit
+    n_buckets = 16 * max(int(p), 1)
+    # collision-free temp names (the input may legitimately carry _ord/_bkt)
+    ordc, bktc = "_ord", "_bkt"
+    while ordc in df.columns:
+        ordc += "_"
+    while bktc in df.columns:
+        bktc += "_"
+    # first 48 bits of the md5 hex as a long; lowercase fixed-width hex
+    # sorts lexicographically == numerically, so v (hence _bkt) is
+    # monotone non-decreasing in the full order key
+    v = F.conv(F.substring(F.col(ordc), 1, 12), 16, 10).cast("long")
+    bkt = F.shiftright(v * F.lit(int(n_buckets)), 48).cast("int")
+    keyed = df.withColumn(ordc, ordk).withColumn(bktc, bkt)
+
+    # pass 1: per-bucket counts -> cumulative offsets (<= n_buckets rows)
+    counts = keyed.groupBy(bktc).count().collect()
     offsets: dict[int, int] = {}
     acc = 0
-    for row in sorted(counts, key=lambda r: r["_pid"]):
-        offsets[int(row["_pid"])] = acc
+    for row in sorted(counts, key=lambda r: r[bktc]):
+        offsets[int(row[bktc])] = acc
         acc += int(row["count"])
 
-    out_fields = [
-        f for f in ranged.schema.fields if f.name not in ("_ord", "_pid")
-    ]
-    out_schema = T.StructType(
-        out_fields + [T.StructField("position", T.LongType(), False)]
-    )
+    # withColumn parity: a pre-existing `position` is replaced IN PLACE
+    pos_field = T.StructField("position", T.LongType(), False)
+    if "position" in df.columns:
+        out_fields = [
+            pos_field if f.name == "position" else f for f in df.schema.fields
+        ]
+        out_schema = T.StructType(out_fields)
+    else:
+        out_schema = T.StructType(list(df.schema.fields) + [pos_field])
+    out_names = [f.name for f in out_schema.fields]
 
     def _number(batches):
         import numpy as np
 
-        seen = 0
-        off = None
+        seen: dict[int, int] = {}
         for pdf in batches:
-            n = len(pdf)
-            if n == 0:
-                out = pdf.drop(columns=["_ord", "_pid"])
+            if len(pdf) == 0:
+                out = pdf.drop(columns=[ordc, bktc], errors="ignore")
                 out["position"] = np.array([], dtype="int64")
-                yield out
+                yield out.reindex(columns=out_names)
                 continue
-            if off is None:
-                off = offsets[int(pdf["_pid"].iloc[0])]
-            out = pdf.drop(columns=["_ord", "_pid"])
-            out["position"] = np.arange(
-                off + seen + 1, off + seen + n + 1, dtype="int64"
-            )
-            seen += n
-            yield out
+            bvals = pdf[bktc].to_numpy()
+            pos = np.empty(len(pdf), dtype="int64")
+            # buckets arrive as contiguous sorted runs; number each run
+            # as bucket offset + running within-bucket index
+            starts = np.flatnonzero(np.r_[True, bvals[1:] != bvals[:-1]])
+            ends = np.r_[starts[1:], len(bvals)]
+            for s, e in zip(starts, ends):
+                b = int(bvals[s])
+                base = offsets[b] + seen.get(b, 0)
+                pos[s:e] = np.arange(base + 1, base + 1 + (e - s))
+                seen[b] = seen.get(b, 0) + (e - s)
+            out = pdf.drop(columns=[ordc, bktc])
+            out["position"] = pos
+            yield out.reindex(columns=out_names)
 
+    # pass 2: one exchange on the bucket id (equal bucket values can
+    # never split across range partitions), sorted runs per bucket
+    ranged = keyed.repartitionByRange(p, F.col(bktc)).sortWithinPartitions(
+        F.col(bktc), F.col(ordc), F.col(key_col)
+    )
     return ranged.mapInPandas(_number, schema=out_schema)
 
 

@@ -209,3 +209,43 @@ def test_epoch_shuffle_strategies_agree_under_duplicate_keys(spark):
         return out
 
     assert per_key("offsets") == per_key("window")
+
+
+def test_epoch_shuffle_replaces_position_and_tolerates_reserved_names(spark):
+    """Inputs that already carry `position` (re-shuffling a numbered
+    frame for a new epoch) or columns named like the offsets path's
+    internal temporaries must behave identically under both strategies:
+    position is REPLACED in place (withColumn semantics) and user
+    columns named _ord/_bkt pass through untouched."""
+    from access_log_parser_spark.operators.sampling import epoch_shuffle
+
+    df = spark.range(50).select(
+        F.col("id").cast("string").alias("doc_id"),
+        F.lit(0).cast("long").alias("position"),
+        F.lit("x").alias("_ord"),
+        F.lit(7).alias("_bkt"),
+    )
+    outs = {}
+    for strat in ("offsets", "window"):
+        out = epoch_shuffle(df, epoch=2, strategy=strat)
+        assert out.columns == ["doc_id", "position", "_ord", "_bkt"]
+        rows = out.collect()
+        assert sorted(r["position"] for r in rows) == list(range(1, 51))
+        assert all(r["_ord"] == "x" and r["_bkt"] == 7 for r in rows)
+        outs[strat] = {r["doc_id"]: r["position"] for r in rows}
+    assert outs["offsets"] == outs["window"]
+
+
+def test_epoch_shuffle_pins_no_storage(spark):
+    """The offsets path is pure recomputation of a deterministic plan —
+    constructing AND consuming it must leave nothing persisted or
+    checkpointed in executor block storage (the r05 localCheckpoint
+    design pinned a full input copy per call for the session lifetime)."""
+    from access_log_parser_spark.operators.sampling import epoch_shuffle
+
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    df = spark.range(2000).select(F.col("id").cast("string").alias("doc_id"))
+    out = epoch_shuffle(df, epoch=5, num_partitions=8)
+    assert out.count() == 2000
+    assert jsc.getPersistentRDDs().size() == before

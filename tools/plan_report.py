@@ -437,9 +437,11 @@ SELECTED = [
      "decode; ONE triple-keyed count over a bounded key space"),
     ("epoch_shuffle", True,
      "r05: the zipWithIndex shape — NO WindowExec anywhere (the r04 "
-     "partition-less row_number is gone); the visible plan is "
-     "MapInPandas over the range-sorted, checkpoint-pinned scan; the "
-     "range exchange + P-row offset collect ran eagerly at build"),
+     "partition-less row_number is gone); deterministic md5-prefix "
+     "buckets make both passes pure recomputation (nothing pinned or "
+     "checkpointed); the visible plan is MapInPandas over ONE "
+     "bucket-range exchange; the <=16P-row bucket-count collect ran "
+     "eagerly at build (the RDD.zipWithIndex contract)"),
     ("hll_distinct", False,
      "register build is ONE (group, bucket) aggregate with map-side "
      "partials bounded at m rows per group per task; estimate + exact "
