@@ -464,6 +464,16 @@ def run_scaling(cpus: int) -> dict:
     return out
 
 
+def _compact_failed(failed: list, cap: int = 10) -> list:
+    """Bound the failed-query name list on the compact stdout line: a
+    regression that breaks a whole query family must not push the final
+    JSON line past the driver's ~2 KB tail budget (the full list always
+    lives in bench_full_last.json)."""
+    if len(failed) <= cap:
+        return failed
+    return failed[:cap] + [f"...+{len(failed) - cap} more"]
+
+
 def _compact_scaling(scaling: dict) -> dict:
     """The scaling block minus the per-trial arrays (those live in the
     full archive) — keeps the final stdout line under the driver's ~2 KB
@@ -514,7 +524,8 @@ def main() -> None:
         )
     spark.stop()
 
-    failed = sorted(k for k, v in qtimes.items() if v < 0)
+    failed_full = sorted(k for k, v in qtimes.items() if v < 0)
+    failed = _compact_failed(failed_full)
     out = {
         "metric": "parse_route_docs_per_sec",
         "value": round(head["elapsed"], 3),
@@ -534,6 +545,7 @@ def main() -> None:
     if scaling:
         out["scaling"] = _compact_scaling(scaling)
     full = dict(out)
+    full["queries_failed"] = failed_full
     full["queries"] = qtimes
     if scaling:
         full["scaling"] = scaling

@@ -264,3 +264,17 @@ def test_absurd_big_slower_than_small_forces_extension():
     assert out["elapsed_big"] == 8.0
     # budget ran out before the 8.0 minimum could be reproduced
     assert "regime_warning" in out
+
+
+def test_compact_failed_list_is_bounded():
+    # the final stdout line must survive a whole-family regression: 198
+    # failed names would alone exceed the ~2 KB driver tail budget
+    import json
+
+    names = sorted(f"query_{i:03d}" for i in range(198))
+    compact = bench._compact_failed(names)
+    assert len(compact) == 11 and compact[-1] == "...+188 more"
+    assert len(json.dumps(compact)) < 250
+    # small lists pass through untouched (and stay in sorted order)
+    assert bench._compact_failed(names[:3]) == names[:3]
+    assert bench._compact_failed([]) == []
