@@ -2539,12 +2539,15 @@ def _q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic training-order shuffle (sampling.epoch_shuffle):
     epoch-3 permutation of docs 0-499 by md5('3:'||doc_id) rank; the
     oracle is the same ROW_NUMBER in DuckDB. Runs the default OFFSETS
-    strategy (range exchange + per-partition numbering + broadcast
-    offsets — no WindowExec), so the driver gate proves the 100-TB
-    plan, not the legacy partition-less window."""
+    strategy (deterministic md5-prefix buckets + per-bucket numbering +
+    broadcast offsets — no WindowExec), so the driver gate proves the
+    100-TB plan, not the legacy partition-less window. Plain read, not
+    _docs_par: the operator's own bucket-range exchange already
+    redistributes the single input split, so a round-robin shuffle in
+    front of it would be a second, wasted full-data exchange."""
     from access_log_parser_spark.operators.sampling import epoch_shuffle
 
-    docs = _docs_par(spark, sf_dir).filter(F.col("doc_id") < 500)
+    docs = _load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return epoch_shuffle(docs.select("doc_id"), epoch=3)
 
 
