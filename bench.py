@@ -299,6 +299,7 @@ def _scale_pair(
         runner = run_one
     results: dict[int, dict | None] = {n: None, big: None}
     trial_rows: list[dict] = []
+    failed_runs: list[str] = []
 
     def do_trial(trial: int) -> None:
         order = (n, big) if trial % 2 == 0 else (big, n)
@@ -316,10 +317,28 @@ def _scale_pair(
                 time.sleep(cooldown)
                 _quiesce(target_load=quiesce_load, max_wait=quiesce_wait)
             loads.append(round(os.getloadavg()[0], 2))
-            r = runner(cores)
+            try:
+                r = runner(cores)
+            except Exception as exc:
+                # a transient subprocess death (python worker OOM,
+                # connection reset) must not abort the whole protocol —
+                # one retry after a fresh quiesce, then record and move
+                # on; min-of-levels over the SURVIVING runs stays sound
+                if cooldown:
+                    time.sleep(cooldown)
+                    _quiesce(target_load=quiesce_load, max_wait=quiesce_wait)
+                try:
+                    r = runner(cores)
+                except Exception as exc2:
+                    failed_runs.append(
+                        f"trial {trial} cores {cores}: {str(exc2)[-300:]}"
+                    )
+                    continue
             by_cores[cores] = r
             if results[cores] is None or r["elapsed"] < results[cores]["elapsed"]:
                 results[cores] = r
+        if len(by_cores) < 2:
+            return  # paired row needs both levels; minima already kept
         eff = (by_cores[n]["elapsed"] / by_cores[big]["elapsed"]) / (big / n)
         trial_rows.append({
             "order": f"{order[0]}->{order[1]}",
@@ -334,11 +353,15 @@ def _scale_pair(
         """A level's minimum is trustworthy when it was REPRODUCED: at
         least two samples within 20% of it. A single lucky (or unlucky)
         window doesn't establish the quiet-state time."""
+        if not trial_rows:
+            return False
         els = [t[key] for t in trial_rows]
         m = min(els)
         return sum(1 for e in els if e <= 1.2 * m) >= 2
 
     def regime_suspect() -> bool:
+        if results[n] is None or results[big] is None:
+            return True  # a level has no surviving run yet — keep sampling
         t_n, t_4n = results[n]["elapsed"], results[big]["elapsed"]
         eff_levels = (t_n / t_4n) / (big / n)
         # suspect when: 4x cores measures slower than 1x (physically
@@ -375,7 +398,7 @@ def _scale_pair(
     # move the estimate toward the true quiet-state scaling, never
     # inflate it past it) and near the gate they are decisive.
     def near_gate() -> bool:
-        if gate is None:
+        if gate is None or results[n] is None or results[big] is None:
             return False
         t_n, t_4n = results[n]["elapsed"], results[big]["elapsed"]
         return (t_n / t_4n) / (big / n) < gate + gate_margin
@@ -390,6 +413,11 @@ def _scale_pair(
         do_trial(trials + extra)
         extra += 1
 
+    if results[n] is None or results[big] is None or not trial_rows:
+        raise RuntimeError(
+            f"scaling pair {n}->{big}: no surviving paired trial "
+            f"({len(failed_runs)} failed runs: {failed_runs[:3]})"
+        )
     t_n, t_4n = results[n]["elapsed"], results[big]["elapsed"]
     eff_levels = (t_n / t_4n) / (big / n)
     eff_paired = statistics.median(t["paired_efficiency"] for t in trial_rows)
@@ -406,6 +434,8 @@ def _scale_pair(
         "extension_trials_run": extra,
         "trials": trial_rows,
     }
+    if failed_runs:
+        out["failed_runs"] = failed_runs
     if regime_suspect():
         out["regime_warning"] = (
             "level minima unconfirmed or cross-regime (a minimum was "
@@ -454,13 +484,17 @@ def run_scaling(cpus: int) -> dict:
     out["loadavg_after_quiesce"] = quiesce_load
     if cpus >= 32:
         # the 8->32 pair is bandwidth-capped on one box (reported for
-        # transparency, not the criterion) — no gate extension for it
-        out["bandwidth_capped_pair"] = _scale_pair(
-            max(cpus // 4, 1), cpus, mult=0.5, trials=3,
-            max_extra_trials=2, extra_budget_s=240.0, gate=None,
-            # a 32-core run leaves a longer loadavg tail than the 2/8 pair
-            quiesce_wait=180.0,
-        )
+        # transparency, not the criterion) — no gate extension for it,
+        # and its failure must never take the criterion pair down with it
+        try:
+            out["bandwidth_capped_pair"] = _scale_pair(
+                max(cpus // 4, 1), cpus, mult=0.5, trials=3,
+                max_extra_trials=2, extra_budget_s=240.0, gate=None,
+                # a 32-core run leaves a longer loadavg tail than the 2/8 pair
+                quiesce_wait=180.0,
+            )
+        except Exception as exc:
+            out["bandwidth_capped_pair"] = {"error": str(exc)[-400:]}
     return out
 
 
@@ -483,9 +517,12 @@ def _compact_scaling(scaling: dict) -> dict:
         "elapsed_small", "elapsed_big", "efficiency",
         "efficiency_min_of_levels", "efficiency_paired_median",
         "extension_trials_run", "regime_warning", "loadavg_after_quiesce",
+        "error",
     )
     out = {k: scaling[k] for k in keep if k in scaling}
     out["trials_n"] = len(scaling.get("trials", []))
+    if scaling.get("failed_runs"):
+        out["failed_runs_n"] = len(scaling["failed_runs"])
     bc = scaling.get("bandwidth_capped_pair")
     if bc:
         out["bandwidth_capped_efficiency"] = bc.get("efficiency_min_of_levels")
@@ -511,7 +548,15 @@ def main() -> None:
 
     scaling = None
     if os.environ.get("ALP_BENCH_SCALING", "1") != "0":
-        scaling = run_scaling(CPUS)
+        try:
+            scaling = run_scaling(CPUS)
+        except Exception as exc:
+            # r05i lesson: one dead subprocess (python-worker connection
+            # reset) aborted the WHOLE bench and the driver artifact got
+            # a traceback instead of a result line — the exact artifact
+            # loss the compact-line contract exists to prevent. The
+            # headline/sweep/volume sections must still report.
+            scaling = {"error": f"scaling failed: {str(exc)[-400:]}"}
 
     qtimes: dict[str, float] = {}
     volume = None

@@ -278,3 +278,77 @@ def test_compact_failed_list_is_bounded():
     # small lists pass through untouched (and stay in sorted order)
     assert bench._compact_failed(names[:3]) == names[:3]
     assert bench._compact_failed([]) == []
+
+
+def _flaky_runner(times: dict[int, list[float]], fail_calls: set):
+    """Fake run_one that raises on the Nth call for a level (0-based,
+    keyed (cores, call_index)) — models a dead scale subprocess."""
+    calls: dict[int, int] = {}
+
+    def run(cores: int) -> dict:
+        i = calls.get(cores, 0)
+        calls[cores] = i + 1
+        if (cores, i) in fail_calls:
+            raise RuntimeError(f"worker died cores={cores} call={i}")
+        el = times[cores][i]
+        return {"elapsed": el, "docs_per_sec": round(1000.0 / el, 1)}
+
+    return run
+
+
+def test_one_dead_run_is_retried_and_survived():
+    # r05i incident: a python-worker connection reset killed the whole
+    # bench. A single dead run must be retried; the retry succeeding
+    # means a full paired row and no failure record.
+    out = bench._scale_pair(
+        2, 8, trials=3, cooldown=0,
+        runner=_flaky_runner(
+            {2: [99.0, 40.0, 40.0, 40.0], 8: [10.0, 10.0, 10.0]},
+            fail_calls={(2, 0)},  # first 2-core run dies; retry = call 1
+        ),
+    )
+    assert "failed_runs" not in out
+    assert len(out["trials"]) == 3
+    assert out["efficiency"] == 1.0
+
+
+def test_dead_level_drops_paired_row_but_keeps_minima():
+    # both the run AND its retry die in trial 0: the trial yields no
+    # paired row, but later trials carry the estimate and the failure
+    # is recorded for the archive
+    out = bench._scale_pair(
+        2, 8, trials=3, cooldown=0,
+        runner=_flaky_runner(
+            {2: [40.0] * 6, 8: [99.0, 99.0, 10.0, 10.0, 10.0, 10.0]},
+            fail_calls={(8, 0), (8, 1)},
+        ),
+    )
+    assert len(out["failed_runs"]) == 1
+    assert "cores 8" in out["failed_runs"][0]
+    assert len(out["trials"]) >= 2
+    assert out["efficiency"] == 1.0
+
+
+def test_total_level_failure_raises_cleanly():
+    import pytest
+
+    def always_dead(cores):
+        if cores == 8:
+            raise RuntimeError("no memory")
+        return {"elapsed": 40.0, "docs_per_sec": 25.0}
+
+    with pytest.raises(RuntimeError, match="no surviving paired trial"):
+        bench._scale_pair(
+            2, 8, trials=2, cooldown=0, max_extra_trials=1,
+            runner=always_dead,
+        )
+
+
+def test_compact_scaling_carries_error_and_failed_count():
+    assert bench._compact_scaling({"error": "scaling failed: boom"}) == {
+        "error": "scaling failed: boom", "trials_n": 0,
+    }
+    compact = bench._compact_scaling({
+        "efficiency": 0.9, "trials": [1, 2], "failed_runs": ["t0 cores 8"],
+    })
+    assert compact["failed_runs_n"] == 1 and compact["trials_n"] == 2
