@@ -16,8 +16,12 @@ import pandas as pd
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        # stringify for robust exact comparison (mirrors value-hash intent)
-        df[c] = df[c].map(lambda v: repr(v))
+        # stringify for robust exact comparison (mirrors value-hash intent);
+        # the astype matters on EMPTY frames: .map() on an empty series
+        # keeps the source dtype, and DataFrame.equals then compares dtype
+        # metadata (e.g. spark's datetime64[ns] vs duckdb's datetime64[us])
+        # even though there are zero values to differ
+        df[c] = df[c].map(lambda v: repr(v)).astype(object)
     return df.sort_values(by=list(df.columns)).reset_index(drop=True)
 
 
